@@ -1,0 +1,336 @@
+"""Vectorized numpy geometry kernels over ring-coordinate arrays.
+
+Replaces the reference's shapely/GEOS/PostGIS calls (no shapely in this
+environment; from-scratch mandate):
+
+- points_in_rings   <- prepared.contains(point), exposm/utils.py:38-48
+- wkb dump/load     <- shapely.wkb.loads, extract.py:139; writer side
+                       exposm/writer.py:103-117 (MultiPolygon WKB, 4326)
+- bbox              <- geom.envelope.bounds, extract.py:154
+- douglas_peucker   <- geom.simplify(tol) / ST_Simplify, extract_poly.py:107,
+                       postgis_sql/proc_functions.sql:219
+- snap_to_grid      <- ST_SnapToGrid(geom, 0.00005), POSMmanagement/process.py:85-102
+- validity          <- check_bad_geom / explain_validity, exposm/utils.py:51-70
+- representative_point <- geom.representative_point(), extract.py:212
+- buffer_rings      <- geom.buffer(d), extract_poly.py:106
+- haversine_m       <- kNN distance metric (north-rule addition; no
+                       reference counterpart, SURVEY.md O16)
+
+A MultiPolygon is represented as list[list[np.ndarray(N,2)]]:
+polygons -> rings (ring 0 outer, rest holes) -> [lon, lat] points.
+Rings are closed (first point == last point).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+
+
+def points_in_rings(px: np.ndarray, py: np.ndarray,
+                    rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd ray-crossing containment of many points vs one polygon.
+
+    rings: list of closed (N,2) arrays; holes included (even-odd handles
+    them). O(total_edges) numpy passes over the point vectors — this is
+    the "prepared geometry" fast path: edge arrays are precomputed once
+    per polygon on the broadcast side and reused for every Arrow batch.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        x = ring[:, 0]
+        y = ring[:, 1]
+        x1, y1 = x[:-1], y[:-1]
+        x2, y2 = x[1:], y[1:]
+        # consider only edges spanning the point's latitude
+        for k in range(len(x1)):
+            cond = (y1[k] > py) != (y2[k] > py)
+            if not cond.any():
+                continue
+            xint = (x2[k] - x1[k]) * (py - y1[k]) / (y2[k] - y1[k]) + x1[k]
+            inside ^= cond & (px < xint)
+    return inside
+
+
+def points_in_multipolygon(px, py, polys: list[list[np.ndarray]]) -> np.ndarray:
+    """Even-odd containment vs a MultiPolygon (any polygon claims the point)."""
+    out = np.zeros(np.asarray(px).shape, dtype=bool)
+    for rings in polys:
+        out |= points_in_rings(px, py, rings)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WKB (little-endian Polygon / MultiPolygon subset, EPSG:4326)
+
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+
+def multipolygon_to_wkb(polys: list[list[np.ndarray]]) -> bytes:
+    """Serialize MultiPolygon ring arrays to little-endian WKB."""
+    out = [struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(struct.pack("<BII", 1, _WKB_POLYGON, len(rings)))
+        for ring in rings:
+            r = np.asarray(ring, dtype="<f8")
+            out.append(struct.pack("<I", len(r)))
+            out.append(r.tobytes())
+    return b"".join(out)
+
+
+def wkb_to_multipolygon(buf: bytes) -> list[list[np.ndarray]]:
+    """Parse little-endian WKB Polygon/MultiPolygon into ring arrays."""
+    def read_polygon(mv: memoryview, off: int):
+        (nrings,) = struct.unpack_from("<I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from("<I", mv, off)
+            off += 4
+            arr = np.frombuffer(mv, dtype="<f8", count=npts * 2, offset=off)
+            rings.append(arr.reshape(npts, 2).copy())
+            off += npts * 16
+        return rings, off
+
+    mv = memoryview(buf)
+    byte_order, geom_type = struct.unpack_from("<BI", mv, 0)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    geom_type &= 0xFF  # strip SRID/Z flags if present in high bytes
+    if geom_type == _WKB_POLYGON:
+        rings, _ = read_polygon(mv, 5)
+        return [rings]
+    if geom_type == _WKB_MULTIPOLYGON:
+        (npolys,) = struct.unpack_from("<I", mv, 5)
+        off = 9
+        polys = []
+        for _ in range(npolys):
+            bo, gt = struct.unpack_from("<BI", mv, off)
+            if bo != 1 or (gt & 0xFF) != _WKB_POLYGON:
+                raise ValueError("malformed MultiPolygon WKB")
+            rings, off = read_polygon(mv, off + 5)
+            polys.append(rings)
+        return polys
+    raise ValueError(f"unsupported WKB geometry type {geom_type}")
+
+
+# ---------------------------------------------------------------------------
+# bbox / representative point / area
+
+
+def multipolygon_bbox(polys: list[list[np.ndarray]]):
+    """(minlon, minlat, maxlon, maxlat) like envelope.bounds (extract.py:154)."""
+    pts = np.vstack([r for rings in polys for r in rings])
+    mn = pts.min(axis=0)
+    mx = pts.max(axis=0)
+    return float(mn[0]), float(mn[1]), float(mx[0]), float(mx[1])
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) / 2.0)
+
+
+def representative_point(polys: list[list[np.ndarray]]):
+    """A point guaranteed inside the multipolygon (extract.py:212 analog).
+
+    Try the centroid of the largest outer ring; if outside (concave /
+    holed shapes), scan interior candidates along the horizontal line
+    through the bbox middle of that ring.
+    """
+    best = max((rings for rings in polys), key=lambda r: abs(ring_area(r[0])))
+    outer = best[0]
+    cx = float(np.mean(outer[:-1, 0]))
+    cy = float(np.mean(outer[:-1, 1]))
+    if points_in_rings(np.array([cx]), np.array([cy]), best)[0]:
+        return cx, cy
+    minx, maxx = float(outer[:, 0].min()), float(outer[:, 0].max())
+    miny, maxy = float(outer[:, 1].min()), float(outer[:, 1].max())
+    for frac_y in (0.5, 0.25, 0.75, 0.4, 0.6, 0.1, 0.9):
+        yy = miny + (maxy - miny) * frac_y
+        xs = np.linspace(minx, maxx, 257)[1:-1]
+        ys = np.full(xs.shape, yy)
+        ok = points_in_rings(xs, ys, best)
+        if ok.any():
+            xi = xs[ok]
+            return float(xi[len(xi) // 2]), float(yy)
+    raise ValueError("no interior point found")
+
+
+# ---------------------------------------------------------------------------
+# simplify / snap / buffer
+
+
+def douglas_peucker(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative Douglas-Peucker over one open or closed linestring.
+
+    Matches shapely's simplify semantics closely enough for the
+    containment loop of extract_poly.py:51-69; tolerance in degrees
+    (reference default 0.001, manage.py:116-121).
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = pts[b] - pts[a]
+        mid = pts[a + 1:b] - pts[a]
+        seglen2 = float(seg @ seg)
+        if seglen2 == 0.0:
+            d = np.sqrt((mid**2).sum(axis=1))
+        else:
+            t = np.clip((mid @ seg) / seglen2, 0.0, 1.0)
+            proj = np.outer(t, seg)
+            d = np.sqrt(((mid - proj) ** 2).sum(axis=1))
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            k = a + 1 + imax
+            keep[k] = True
+            stack.append((a, k))
+            stack.append((k, b))
+    return pts[keep]
+
+
+def simplify_ring_closed(ring: np.ndarray, tol: float) -> np.ndarray:
+    """DP-simplify a closed ring, keeping it closed and >= 4 points."""
+    out = douglas_peucker(ring, tol)
+    if len(out) < 4:  # degenerate: fall back to original
+        return np.asarray(ring, dtype=np.float64).copy()
+    return out
+
+
+def snap_to_grid(arr: np.ndarray, grid: float = 0.00005) -> np.ndarray:
+    """ST_SnapToGrid analog (process.py:85-102): round coords to a grid."""
+    return np.round(np.asarray(arr, dtype=np.float64) / grid) * grid
+
+
+def buffer_ring(ring: np.ndarray, dist: float) -> np.ndarray:
+    """Positive outward offset of a closed ring (vertex normal offset).
+
+    Low-fidelity Minkowski approximation — only used for the .poly
+    outline path (extract_poly.py:106 buffers by degrees before
+    simplifying); tested against containment, not exact shape.
+    """
+    pts = np.asarray(ring[:-1], dtype=np.float64)
+    nxt = np.roll(pts, -1, axis=0)
+    prv = np.roll(pts, 1, axis=0)
+    e1 = pts - prv
+    e2 = nxt - pts
+    ccw = ring_area(ring) > 0
+
+    def unit_normal(e):
+        ln = np.sqrt((e**2).sum(axis=1, keepdims=True))
+        ln[ln == 0] = 1.0
+        t = e / ln
+        n = np.stack([t[:, 1], -t[:, 0]], axis=1)  # right normal = outward for CCW
+        return n if ccw else -n
+
+    n1 = unit_normal(e1)
+    n2 = unit_normal(e2)
+    nv = n1 + n2
+    ln = np.sqrt((nv**2).sum(axis=1, keepdims=True))
+    ln[ln == 0] = 1.0
+    nv = nv / ln
+    out = pts + nv * dist
+    return np.vstack([out, out[:1]])
+
+
+# ---------------------------------------------------------------------------
+# validity (check_bad_geom analog)
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    """Proper intersection of segments p1p2 and p3p4 (excluding shared endpoints)."""
+    d1 = np.cross(p4 - p3, p1 - p3)
+    d2 = np.cross(p4 - p3, p2 - p3)
+    d3 = np.cross(p2 - p1, p3 - p1)
+    d4 = np.cross(p2 - p1, p4 - p1)
+    return bool(((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)))
+
+
+def ring_self_intersection(ring: np.ndarray):
+    """Find a self-intersection in a closed ring.
+
+    Returns (lon, lat) of an intersection point, or None if simple.
+    O(E^2) pairwise check vectorized per anchor edge — rings are small
+    (the reference's explain_validity does the same class of work in GEOS,
+    exposm/utils.py:58-70).
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    a = pts[:-1]
+    b = pts[1:]
+    n = len(a)
+    for i in range(n - 2):
+        # candidate edges j > i+1 (non-adjacent), and skip the wrap pair (0, n-1)
+        j0 = i + 2
+        j1 = n if i > 0 else n - 1
+        if j0 >= j1:
+            continue
+        p1, p2 = a[i], b[i]
+        p3 = a[j0:j1]
+        p4 = b[j0:j1]
+        d1 = np.cross(p4 - p3, p1 - p3)
+        d2 = np.cross(p4 - p3, p2 - p3)
+        d3 = np.cross((p2 - p1), p3 - p1)
+        d4 = np.cross((p2 - p1), p4 - p1)
+        hit = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        if hit.any():
+            k = int(np.argmax(hit)) + j0
+            # intersection point of edges i and k
+            p3k, p4k = a[k], b[k]
+            r = p2 - p1
+            s = p4k - p3k
+            denom = float(np.cross(r, s))
+            t = float(np.cross(p3k - p1, s)) / denom
+            pt = p1 + t * r
+            return float(pt[0]), float(pt[1])
+    return None
+
+
+def validity_reason(polys: list[list[np.ndarray]]):
+    """Classify a multipolygon: (is_valid, reason, lon, lat).
+
+    Reasons mirror the strings the reference parses out of GEOS
+    explain_validity (exposm/utils.py:105-115): 'Self-intersection',
+    'Too few points', 'Unclosed ring'.
+    """
+    for rings in polys:
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 4:
+                return False, "Too few points in geometry component", None, None
+            if not np.allclose(r[0], r[-1]):
+                return False, "Unclosed ring", float(r[0][0]), float(r[0][1])
+            hit = ring_self_intersection(r)
+            if hit is not None:
+                return False, "Self-intersection", hit[0], hit[1]
+    return True, None, None, None
+
+
+# ---------------------------------------------------------------------------
+# distance
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters, fully vectorized."""
+    R = 6_371_008.8
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, dtype=np.float64))
+                              for v in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return 2 * R * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))

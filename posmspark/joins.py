@@ -1,0 +1,465 @@
+"""Spatial joins: broadcast point-in-polygon and cell-ring kNN.
+
+Re-expresses the reference's three sequential full-input passes
+(/root/reference/extractor/extract.py:92,180,274 — countries, states,
+counties, each rebuilding an R-tree + prepared-geometry dict) as ONE
+scan of the fact table plus broadcast joins:
+
+  pages --geocode--> (lon,lat) --cell encode--> cell
+        --broadcast equi-join on cell vs polygon cover-->
+        --exact numpy PIP only on PARTIAL (boundary) cells-->
+        --first-match tie-break (row_number over insert_order)-->
+
+The build side (admin polygons) is a small dimension: prepared edge
+arrays are broadcast once (sc.broadcast) exactly like the reference's
+in-process `prep(geom)` dict (extract.py:152-155), but shared by every
+executor instead of one Python loop. The probe side never shuffles:
+broadcast-hash-join + pandas UDF means the 100 TB fact table streams
+through map tasks only.
+
+First-match semantics: the reference returns the FIRST R-tree candidate
+that contains the point (exposm/utils.py:43-48), which depends on
+insertion order; we pin that with an explicit `insert_order` priority
+column and row_number() == 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from posmspark import cells, geom
+from posmspark.synth import ADMIN_DEFAULTS
+
+COVER_RES = cells.DEFAULT_RES
+
+
+# ---------------------------------------------------------------------------
+# cell encode UDF
+
+
+@pandas_udf(T.LongType())
+def cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Vectorized numpy cell encoder (null coords -> null cell)."""
+    out = cells.encode(lon.to_numpy(dtype=np.float64, na_value=np.nan),
+                       lat.to_numpy(dtype=np.float64, na_value=np.nan))
+    s = pd.Series(out)
+    return s.where(s >= 0, other=pd.NA).astype("Int64")
+
+
+def with_cell(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
+              out_col: str = "cell") -> DataFrame:
+    return df.withColumn(out_col, cell_udf(F.col(lon_col), F.col(lat_col)))
+
+
+# ---------------------------------------------------------------------------
+# boundary preparation (reference passes A/B/C -> one hierarchy build)
+
+
+class PreparedBoundaries:
+    """Broadcast-side prepared geometry + cover tables.
+
+    Mirrors what the reference holds in process memory across its three
+    passes (R-tree + prepared dict + admin-level mapping), packaged for
+    broadcast: tiny enough for every executor (planet-scale admin
+    boundaries are a few GB of WKB; the cover tables are the only part
+    shipped through a join and they broadcast-hash-join).
+    """
+
+    def __init__(self, levels_pdf, problems_pdf, polys_by_id, cover_pdf):
+        self.levels_pdf = levels_pdf      # osm_id,name,name_en,adminlevel,iso3166,is_in,insert_order
+        self.problems_pdf = problems_pdf  # osm_id,reason,lon,lat
+        self.polys_by_id = polys_by_id    # osm_id -> list[list[ndarray]] ring arrays
+        self.cover_pdf = cover_pdf        # cell,osm_id,adminlevel,full,insert_order
+
+    def levels_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.levels_pdf)
+
+    def problems_df(self, spark: SparkSession) -> DataFrame:
+        schema = "osm_id string, name string, reason string, lon double, lat double"
+        return spark.createDataFrame(self.problems_pdf, schema=schema)
+
+    def cover_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.cover_pdf)
+
+
+def prepare_boundaries(boundaries_pdf: pd.DataFrame,
+                       mapping_pdf: pd.DataFrame,
+                       cover_res: int = COVER_RES) -> PreparedBoundaries:
+    """Build the admin hierarchy from raw boundary rows.
+
+    Reproduces extract.py pass semantics exactly, as one pass over the
+    small dimension table:
+      - validity filter -> problems rows with reason + coordinate
+        (check_bad_geom, exposm/utils.py:51-70,105-115)
+      - boundary=='administrative' filter (extract.py:128-137)
+      - name_en coalesce + drop-if-nameless (extract.py:100-108)
+      - iso3166 uppercase (extract.py:110-112)
+      - level 0: raw admin_level=='2' (extract.py:142)
+      - level 1/2: representative-point PIP into the parent level with
+        first-match tie-break, then the per-country raw-tag mapping
+        (admin_mapping.yaml; extract.py:218-247) — rows whose country/
+        state is missing are dropped (extract.py:241-243, O14)
+    """
+    problems = []
+    polys_by_id: dict[str, list] = {}
+    rows = []
+    for r in boundaries_pdf.itertuples(index=False):
+        name_en = r.name_en if isinstance(r.name_en, str) and r.name_en else r.name
+        if not name_en:
+            continue
+        polys = geom.wkb_to_multipolygon(r.geom_wkb)
+        ok, reason, plon, plat = geom.validity_reason(polys)
+        if not ok:
+            problems.append((r.osm_id, r.name, reason, plon, plat))
+            continue  # unusable-feature skip carried to later levels (O7)
+        if r.boundary != "administrative":
+            continue
+        polys_by_id[r.osm_id] = polys
+        rows.append(
+            {
+                "osm_id": r.osm_id,
+                "name": r.name,
+                "name_en": name_en,
+                "raw_level": str(r.admin_level),
+                "iso3166": r.iso3166.upper() if isinstance(r.iso3166, str) else None,
+                "insert_order": int(r.insert_order),
+            }
+        )
+    feats = pd.DataFrame(rows)
+
+    overrides = {
+        row.country_osm_id: {
+            "admin_level_1": int(row.admin_level_1)
+            if pd.notna(row.admin_level_1) else ADMIN_DEFAULTS["admin_level_1"],
+            "admin_level_2": int(row.admin_level_2)
+            if pd.notna(row.admin_level_2) else ADMIN_DEFAULTS["admin_level_2"],
+        }
+        for row in mapping_pdf.itertuples(index=False)
+    }
+
+    def tag_for(country_id: str, level: int) -> str:
+        key = f"admin_level_{level}"
+        return str(overrides.get(country_id, ADMIN_DEFAULTS)[key])
+
+    # level 0 (countries)
+    l0 = feats[feats.raw_level == "2"].copy()
+    l0["adminlevel"] = 0
+    l0["is_in"] = None
+
+    def first_match(lon: float, lat: float, parents: pd.DataFrame):
+        """First parent polygon (by insert_order) containing the point."""
+        for p in parents.sort_values("insert_order").itertuples(index=False):
+            if geom.points_in_multipolygon(
+                np.array([lon]), np.array([lat]), polys_by_id[p.osm_id]
+            )[0]:
+                return p.osm_id
+        return None
+
+    # level 1 (states): rep-point PIP into countries, then tag filter
+    cand1 = feats[~feats.osm_id.isin(l0.osm_id)]
+    rows1 = []
+    for r in cand1.itertuples(index=False):
+        lon, lat = geom.representative_point(polys_by_id[r.osm_id])
+        country = first_match(lon, lat, l0)
+        if country is None:
+            continue  # missing country -> dropped (extract.py:241-243)
+        if r.raw_level != tag_for(country, 1):
+            continue
+        rows1.append({**r._asdict(), "adminlevel": 1, "is_in": country})
+    l1 = pd.DataFrame(rows1)
+
+    # level 2 (counties): PIP into country AND state (both required, O14)
+    cand2 = feats[~feats.osm_id.isin(l0.osm_id) & ~feats.osm_id.isin(l1.osm_id)]
+    rows2 = []
+    for r in cand2.itertuples(index=False):
+        lon, lat = geom.representative_point(polys_by_id[r.osm_id])
+        country = first_match(lon, lat, l0)
+        if country is None or r.raw_level != tag_for(country, 2):
+            continue
+        state = first_match(lon, lat, l1) if len(l1) else None
+        if state is None:
+            continue  # missing state -> dropped (extract.py:312-341)
+        rows2.append({**r._asdict(), "adminlevel": 2, "is_in": state})
+    l2 = pd.DataFrame(rows2)
+
+    levels = pd.concat([l0, l1, l2], ignore_index=True)[
+        ["osm_id", "name", "name_en", "adminlevel", "iso3166", "is_in",
+         "insert_order"]
+    ]
+
+    # cell cover per retained boundary (FULL vs PARTIAL classification)
+    cov_rows = {"cell": [], "osm_id": [], "adminlevel": [], "full": [],
+                "insert_order": []}
+    for r in levels.itertuples(index=False):
+        for rings in polys_by_id[r.osm_id]:
+            cc, full = cells.cover_polygon(rings, cover_res)
+            cov_rows["cell"].append(cc)
+            cov_rows["osm_id"].append(np.repeat(r.osm_id, len(cc)))
+            cov_rows["adminlevel"].append(np.full(len(cc), r.adminlevel))
+            cov_rows["full"].append(full)
+            cov_rows["insert_order"].append(np.full(len(cc), r.insert_order))
+    cover = pd.DataFrame(
+        {
+            "cell": np.concatenate(cov_rows["cell"]),
+            "osm_id": np.concatenate(cov_rows["osm_id"]),
+            "adminlevel": np.concatenate(cov_rows["adminlevel"]).astype(np.int32),
+            "full": np.concatenate(cov_rows["full"]),
+            "insert_order": np.concatenate(cov_rows["insert_order"]).astype(np.int64),
+        }
+    )
+
+    problems_pdf = pd.DataFrame(
+        problems, columns=["osm_id", "name", "reason", "lon", "lat"]
+    )
+    keep_polys = {k: v for k, v in polys_by_id.items()
+                  if k in set(levels.osm_id)}
+    return PreparedBoundaries(levels, problems_pdf, keep_polys, cover)
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon join (fact side, fully distributed)
+
+
+def _pip_verdict_udf(bc_polys):
+    """Exact PIP verdict for (lon, lat, osm_id) candidate rows.
+
+    bc_polys: sc.broadcast({osm_id: ring-array multipolygon}). Grouped
+    by osm_id inside each Arrow batch so each polygon's edge arrays are
+    applied to all its points vectorized.
+    """
+
+    @pandas_udf(T.BooleanType())
+    def verdict(lon: pd.Series, lat: pd.Series, osm_id: pd.Series) -> pd.Series:
+        polys = bc_polys.value
+        out = np.zeros(len(lon), dtype=bool)
+        lon_np = lon.to_numpy(dtype=np.float64)
+        lat_np = lat.to_numpy(dtype=np.float64)
+        for oid, idx in osm_id.groupby(osm_id).groups.items():
+            ix = np.asarray(idx)
+            out[ix] = geom.points_in_multipolygon(
+                lon_np[ix], lat_np[ix], polys[oid]
+            )
+        return pd.Series(out)
+
+    return verdict
+
+
+def pip_join(points: DataFrame, prepared: PreparedBoundaries,
+             spark: SparkSession, point_key: str = "url",
+             keep_unmatched: bool = True) -> DataFrame:
+    """Assign every point its containing admin polygon per level.
+
+    points must carry (point_key, lon, lat[, cell]). Output: input
+    columns + cell + osm_id_l0/l1/l2 (+ name_en_l0.. via levels join).
+
+    Plan shape (checked in tests with .explain): one scan of `points`,
+    BroadcastHashJoin on cell, pandas-UDF PIP only on PARTIAL cells,
+    window top-1 per (point, level), pivot to columns. No shuffle of
+    the fact table except the final per-point window, which is
+    partitioned by the point key (same key for all levels -> single
+    shuffle, AQE-coalesced).
+    """
+    sc = spark.sparkContext
+    bc_polys = sc.broadcast(prepared.polys_by_id)
+    cover = F.broadcast(prepared.cover_df(spark))
+
+    pts = points if "cell" in points.columns else with_cell(points)
+    cand = pts.join(cover, "cell", "inner")
+    verdict = _pip_verdict_udf(bc_polys)
+    matched = cand.filter(
+        F.col("full") | verdict(F.col("lon"), F.col("lat"), F.col("osm_id"))
+    )
+    w = Window.partitionBy(point_key, "adminlevel").orderBy("insert_order")
+    first = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(point_key, "adminlevel", "osm_id")
+    )
+    assigned = (
+        first.groupBy(point_key)
+        .pivot("adminlevel", [0, 1, 2])
+        .agg(F.first("osm_id"))
+        .withColumnRenamed("0", "osm_id_l0")
+        .withColumnRenamed("1", "osm_id_l1")
+        .withColumnRenamed("2", "osm_id_l2")
+    )
+    how = "left" if keep_unmatched else "inner"
+    return pts.join(assigned, point_key, how)
+
+
+# ---------------------------------------------------------------------------
+# kNN (cell-ring expansion) — north-rule addition, no reference counterpart
+
+
+def knn_bruteforce(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
+                   spark: SparkSession, point_key: str = "url") -> DataFrame:
+    """Exact kNN vs a broadcast site table — the correctness oracle.
+
+    sites_pdf: (site_id, lon, lat). A vectorized pandas UDF computes the
+    full haversine matrix per Arrow batch (sites are broadcast, so this
+    is map-only over the fact table).
+    """
+    site_ids = sites_pdf["site_id"].to_numpy()
+    slon = sites_pdf["lon"].to_numpy(dtype=np.float64)
+    slat = sites_pdf["lat"].to_numpy(dtype=np.float64)
+    bc = spark.sparkContext.broadcast((site_ids, slon, slat))
+
+    out_schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("site_id", T.StringType()),
+                T.StructField("dist_m", T.DoubleType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_schema)
+    def topk(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        ids, sx, sy = bc.value
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        d = geom.haversine_m(lo[:, None], la[:, None], sx[None, :], sy[None, :])
+        kk = min(k, len(ids))
+        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for r in range(len(lo)):
+            idx = part[r][np.argsort(d[r, part[r]], kind="stable")]
+            # deterministic tie-break on site_id
+            order = sorted(range(len(idx)),
+                           key=lambda t: (d[r, idx[t]], str(ids[idx[t]])))
+            rows.append(
+                [
+                    {"site_id": str(ids[idx[t]]), "dist_m": float(d[r, idx[t]])}
+                    for t in order
+                ]
+            )
+        return pd.Series(rows)
+
+    return points.withColumn("knn", topk(F.col("lon"), F.col("lat")))
+
+
+def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
+                 spark: SparkSession, point_key: str = "url",
+                 res: int = 8, max_ring: int = 64) -> DataFrame:
+    """Distributed cell-ring-expansion kNN (SURVEY.md O16).
+
+    Sites are exploded into (cell, ring_r) shells at resolution `res`
+    and broadcast; points equi-join on their cell against shells of
+    increasing radius. A point's answer is final once its k-th nearest
+    candidate is closer than the minimum possible distance of the next
+    unexplored ring — the classic grid-kNN guarantee. Driver loops over
+    ring radii doubling (each iteration one broadcast join over only the
+    still-unresolved points), so total work is O(points x small-candidate
+    sets), never a cross join.
+
+    Returns (point_key, knn array<struct<site_id,dist_m>>) exact-equal
+    to knn_bruteforce (tested).
+    """
+    # Build shells: for each site, cells at Chebyshev ring r around its cell.
+    site_ids = sites_pdf["site_id"].astype(str).to_numpy()
+    slon = sites_pdf["lon"].to_numpy(dtype=np.float64)
+    slat = sites_pdf["lat"].to_numpy(dtype=np.float64)
+    scell = cells.encode(slon, slat, res)
+
+    pts = points.select(point_key, "lon", "lat").withColumn(
+        "qcell", cell_udf_at(res)(F.col("lon"), F.col("lat"))
+    ).filter(F.col("qcell").isNotNull())
+
+    # cell edge length lower bound (meters) at this resolution for the guarantee
+    nf = float(2**res)
+    cell_h_deg = 180.0 / nf
+    min_cell_m = cell_h_deg * 111_000.0 * 0.99  # lat spacing is the tight bound
+
+    resolved = None
+    unresolved = pts
+    r = 0
+    while r <= max_ring:
+        r_next = max(1, r * 2)
+        shell_rows = {"cell": [], "site_id": [], "slon": [], "slat": []}
+        for si in range(len(site_ids)):
+            ring_cells = cells.k_ring(int(scell[si]), r_next - 1)
+            shell_rows["cell"].append(ring_cells)
+            shell_rows["site_id"].append(np.repeat(site_ids[si], len(ring_cells)))
+            shell_rows["slon"].append(np.full(len(ring_cells), slon[si]))
+            shell_rows["slat"].append(np.full(len(ring_cells), slat[si]))
+        shells = pd.DataFrame(
+            {kk: np.concatenate(vv) for kk, vv in shell_rows.items()}
+        )
+        shells_df = F.broadcast(spark.createDataFrame(shells))
+        cand = unresolved.join(shells_df, unresolved.qcell == shells_df.cell,
+                               "left")
+        cand = cand.withColumn(
+            "dist_m",
+            haversine_expr(F.col("lon"), F.col("lat"),
+                           F.col("slon"), F.col("slat")),
+        )
+        w = Window.partitionBy(point_key).orderBy(
+            F.col("dist_m").asc_nulls_last(), F.col("site_id")
+        )
+        ranked = cand.withColumn("rn", F.row_number().over(w))
+        # guarantee radius: ring (r_next-1) fully explored -> any unexplored
+        # site is at least (r_next-1) * min_cell_m away
+        guarantee_m = (r_next - 1) * min_cell_m
+        agg = ranked.groupBy(point_key).agg(
+            F.sum(F.when(F.col("dist_m").isNotNull(), 1).otherwise(0)).alias("ncand"),
+            F.max(F.when(F.col("rn") == k, F.col("dist_m"))).alias("kth"),
+            F.first("lon").alias("lon"), F.first("lat").alias("lat"),
+            F.first("qcell").alias("qcell"),
+            F.collect_list(
+                F.when((F.col("rn") <= k) & F.col("dist_m").isNotNull(),
+                       F.struct(F.col("rn"), F.col("site_id"), F.col("dist_m")))
+            ).alias("cands"),
+        )
+        done_cond = F.coalesce(
+            (F.col("ncand") >= min(k, len(site_ids)))
+            & (F.col("kth") <= F.lit(guarantee_m)),
+            F.lit(False),
+        )
+        last = r_next - 1 >= max_ring
+        done = agg.filter(done_cond | F.lit(last)).select(
+            point_key,
+            F.transform(
+                F.array_sort(F.col("cands")),
+                lambda s: F.struct(
+                    s["site_id"].alias("site_id"), s["dist_m"].alias("dist_m")
+                ),
+            ).alias("knn"),
+        )
+        resolved = done if resolved is None else resolved.unionByName(done)
+        if last:
+            break
+        unresolved = agg.filter(~done_cond).select(point_key, "lon", "lat", "qcell")
+        # cheap emptiness check drives the loop (driver-side, tiny)
+        if unresolved.limit(1).count() == 0:
+            break
+        r = r_next
+    return resolved
+
+
+def cell_udf_at(res: int):
+    @pandas_udf(T.LongType())
+    def _u(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = cells.encode(lon.to_numpy(dtype=np.float64, na_value=np.nan),
+                           lat.to_numpy(dtype=np.float64, na_value=np.nan), res)
+        s = pd.Series(out)
+        return s.where(s >= 0, other=pd.NA).astype("Int64")
+
+    return _u
+
+
+def haversine_expr(lon1, lat1, lon2, lat2):
+    """Haversine distance in meters as a JVM-side column expression
+    (whole-stage-codegen'd; no Python in the hot path)."""
+    R = F.lit(2 * 6_371_008.8)
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    a = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
+    )
+    return R * F.asin(F.sqrt(F.least(a, F.lit(1.0))))

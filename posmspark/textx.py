@@ -1,0 +1,72 @@
+"""Text extraction + geocoding — Arrow-batched pandas UDFs, byte-exact.
+
+The north-rule invariant: extracted text must be byte-identical per url
+to the fixture's `text` column. Extraction is a pure deterministic
+function of the html bytes (slice between fixed byte markers, utf-8
+decode) — no locale, no float formatting, no normalization.
+
+Geocode parse re-expresses the reference's text->attribute derivation
+style (cf. escaped-UTF8 decode at extract_overpass.py:41-52 and the
+lat/lon URL formatting at exposm/utils.py:118-126) as a single
+vectorized regex over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from posmspark.synth import HTML_POST, HTML_PRE
+
+_PRE_LEN = len(HTML_PRE)
+_POST_LEN = len(HTML_POST)
+
+GEO_RE = r"geo: (-?\d+\.\d{5}), (-?\d+\.\d{5})"
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """html bytes -> extracted text, byte-identical to the original.
+
+    Pure function of html: strip the fixed PRE/POST byte markers and
+    utf-8 decode. Vectorized via pandas .str on the binary series.
+    """
+    sliced = html.map(
+        lambda b: None if b is None else bytes(b)[_PRE_LEN:len(b) - _POST_LEN]
+    )
+    return sliced.map(lambda b: None if b is None else b.decode("utf-8"))
+
+
+_GEO_SCHEMA = T.StructType(
+    [
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_GEO_SCHEMA)
+def geocode_udf(text: pd.Series) -> pd.DataFrame:
+    """Parse 'geo: {lat:.5f}, {lon:.5f}' from text -> (lat, lon) doubles.
+
+    Vectorized Series.str.extract; rows without a geotag yield nulls.
+    """
+    ext = text.str.extract(GEO_RE)
+    return pd.DataFrame(
+        {
+            "lat": pd.to_numeric(ext[0], errors="coerce"),
+            "lon": pd.to_numeric(ext[1], errors="coerce"),
+        }
+    )
+
+
+def with_extracted_text(df, html_col: str = "html", out_col: str = "text_extracted"):
+    return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
+
+
+def with_geocode(df, text_col: str = "text"):
+    """Add lat/lon columns parsed from the text column."""
+    g = geocode_udf(F.col(text_col))
+    return df.withColumn("_geo", g).select("*", "_geo.lat", "_geo.lon").drop("_geo")

@@ -1,0 +1,77 @@
+"""Golden tests for boundary hierarchy prep — re-expresses the posm
+extract.py pass A/B/C semantics as DataFrame goldens (SURVEY.md §5.1):
+validity routing, maritime filter, coalesce, uppercase, per-country
+admin-level mapping, orphan drop, first-match tie-break."""
+
+import pandas as pd
+import pytest
+
+from posmspark import synth
+from posmspark.joins import prepare_boundaries
+
+
+@pytest.fixture(scope="module")
+def prepared():
+    return prepare_boundaries(synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+
+
+def test_problems_routed_with_reason(prepared):
+    probs = prepared.problems_pdf
+    assert list(probs.osm_id) == ["R9001"]
+    assert probs.reason.iloc[0] == "Self-intersection"
+    assert probs.lon.iloc[0] == pytest.approx(61.0)
+
+
+def test_level0_countries(prepared):
+    l0 = prepared.levels_pdf.query("adminlevel == 0")
+    assert sorted(l0.osm_id) == ["R1000", "R2000", "R3000"]
+    # iso uppercased (extract.py:110-112)
+    iso = dict(zip(l0.osm_id, l0.iso3166))
+    assert iso == {"R1000": "AA", "R2000": "NP", "R3000": "GG"}
+    # name_en coalesced to name (extract.py:100-108), incl. non-ASCII
+    ne = dict(zip(l0.osm_id, l0.name_en))
+    assert ne["R2000"] == "नेपाल"
+
+
+def test_level1_hierarchy_and_mapping(prepared):
+    l1 = prepared.levels_pdf.query("adminlevel == 1")
+    got = dict(zip(l1.osm_id, l1.is_in))
+    # R2x00 rows carry raw tag '3' and match only via the R2000 override
+    assert got == {
+        "R1100": "R1000", "R1200": "R1000", "R1300": "R1000",
+        "R1101": "R1000",  # duplicate-coverage twin still a valid level-1
+        "R2100": "R2000", "R2200": "R2000",
+        "R3100": "R3000", "R3200": "R3000",
+    }
+    # orphan (R9002, no containing country) dropped; maritime (R8000) dropped
+    assert "R9002" not in set(prepared.levels_pdf.osm_id)
+    assert "R8000" not in set(prepared.levels_pdf.osm_id)
+
+
+def test_level2_requires_state(prepared):
+    l2 = prepared.levels_pdf.query("adminlevel == 2")
+    got = dict(zip(l2.osm_id, l2.is_in))
+    # first-match tie-break: level-2 children of the duplicated strip
+    # resolve to R1100 (earlier insert_order), never R1101
+    assert got["R1110"] == "R1100" and got["R1120"] == "R1100"
+    assert got["R2110"] == "R2100" and got["R2220"] == "R2200"
+    assert len(l2) == 13  # 6 alpha + 4 beta + 3 gamma
+
+
+def test_check_file_diffs(prepared):
+    """Missing/new id set differences (extract.py:27-61) as anti-joins."""
+    expected = pd.DataFrame({"osm_id": ["R1000", "R2000", "R4000"]})
+    actual = prepared.levels_pdf.query("adminlevel == 0")[["osm_id"]]
+    missing = expected[~expected.osm_id.isin(actual.osm_id)]
+    new = actual[~actual.osm_id.isin(expected.osm_id)]
+    assert list(missing.osm_id) == ["R4000"]
+    assert list(new.osm_id) == ["R3000"]
+
+
+def test_cover_table_shape(prepared):
+    cov = prepared.cover_pdf
+    assert set(cov.columns) == {"cell", "osm_id", "adminlevel", "full",
+                                "insert_order"}
+    # every retained boundary contributes cover cells, most of them FULL
+    assert set(prepared.levels_pdf.osm_id) <= set(cov.osm_id)
+    assert cov.full.mean() > 0.5

@@ -1,0 +1,146 @@
+"""Unit tests for the numpy geometry kernels (SURVEY.md §5: PIP edge
+cases + holes, WKB round-trip, Douglas-Peucker containment loop,
+validity reasons, representative point)."""
+
+import numpy as np
+import pytest
+
+from posmspark import geom
+
+
+SQUARE = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+HOLE = np.array([[4.0, 4.0], [4.0, 6.0], [6.0, 6.0], [6.0, 4.0], [4.0, 4.0]])
+
+
+def test_pip_basic():
+    px = np.array([5.0, -1.0, 11.0, 5.0, 5.0])
+    py = np.array([5.0, 5.0, 5.0, -1.0, 11.0])
+    got = geom.points_in_rings(px, py, [SQUARE])
+    assert got.tolist() == [True, False, False, False, False]
+
+
+def test_pip_hole():
+    px = np.array([5.0, 3.0, 4.5])
+    py = np.array([5.0, 3.0, 5.0])
+    got = geom.points_in_rings(px, py, [SQUARE, HOLE])
+    assert got.tolist() == [False, True, False]
+
+
+def test_pip_concave():
+    # C-shape: interior notch on the right
+    ring = np.array(
+        [[0, 0], [10, 0], [10, 3], [3, 3], [3, 7], [10, 7], [10, 10],
+         [0, 10], [0, 0]], dtype=np.float64
+    )
+    px = np.array([5.0, 1.5, 5.0, 5.0])
+    py = np.array([5.0, 5.0, 1.5, 8.5])
+    got = geom.points_in_rings(px, py, [ring])
+    assert got.tolist() == [False, True, True, True]
+
+
+def test_pip_multipolygon():
+    sq2 = SQUARE + np.array([20.0, 0.0])
+    got = geom.points_in_multipolygon(
+        np.array([5.0, 25.0, 15.0]), np.array([5.0, 5.0, 5.0]),
+        [[SQUARE], [sq2]],
+    )
+    assert got.tolist() == [True, True, False]
+
+
+def test_wkb_roundtrip():
+    polys = [[SQUARE, HOLE], [SQUARE + 30.0]]
+    buf = geom.multipolygon_to_wkb(polys)
+    back = geom.wkb_to_multipolygon(buf)
+    assert len(back) == 2 and len(back[0]) == 2
+    for a, b in zip([r for p in polys for r in p], [r for p in back for r in p]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_wkb_single_polygon_accepted():
+    import struct
+
+    # hand-build a WKB Polygon (type 3) and parse it
+    ring = SQUARE
+    buf = struct.pack("<BIII", 1, 3, 1, len(ring)) + ring.astype("<f8").tobytes()
+    back = geom.wkb_to_multipolygon(buf)
+    np.testing.assert_array_equal(back[0][0], ring)
+
+
+def test_bbox():
+    assert geom.multipolygon_bbox([[SQUARE, HOLE]]) == (0.0, 0.0, 10.0, 10.0)
+
+
+def test_douglas_peucker_collinear_removed():
+    line = np.array([[0.0, 0.0], [1.0, 0.0001], [2.0, 0.0], [3.0, 0.0001],
+                     [4.0, 0.0]])
+    out = geom.douglas_peucker(line, 0.01)
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0], line[0])
+    np.testing.assert_array_equal(out[-1], line[-1])
+
+
+def test_douglas_peucker_keeps_significant_vertex():
+    line = np.array([[0.0, 0.0], [5.0, 3.0], [10.0, 0.0]])
+    out = geom.douglas_peucker(line, 0.5)
+    assert len(out) == 3
+
+
+def test_simplify_ring_stays_closed():
+    theta = np.linspace(0, 2 * np.pi, 101)
+    ring = np.stack([np.cos(theta), np.sin(theta)], axis=1)
+    ring[-1] = ring[0]
+    out = geom.simplify_ring_closed(ring, 0.01)
+    assert len(out) >= 4
+    np.testing.assert_array_equal(out[0], out[-1])
+    assert len(out) < len(ring)
+
+
+def test_snap_to_grid():
+    # ST_SnapToGrid(geom, 0.00005) analog (process.py:85-102)
+    arr = np.array([1.000024, 1.000026, -0.000051])
+    np.testing.assert_allclose(
+        geom.snap_to_grid(arr), [1.0, 1.00005, -0.00005], atol=1e-12
+    )
+
+
+def test_buffer_contains_original():
+    # the checkGeom loop invariant (extract_poly.py:51-69): buffered ⊇ original
+    buf = geom.buffer_ring(SQUARE, 0.5)
+    rng = np.random.default_rng(3)
+    px = rng.uniform(0, 10, 2000)
+    py = rng.uniform(0, 10, 2000)
+    assert geom.points_in_rings(px, py, [buf]).all()
+
+
+def test_validity_bowtie():
+    bowtie = np.array([[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]])
+    ok, reason, lon, lat = geom.validity_reason([[bowtie]])
+    assert not ok and reason == "Self-intersection"
+    assert lon == pytest.approx(1.0) and lat == pytest.approx(1.0)
+
+
+def test_validity_good():
+    ok, reason, _, _ = geom.validity_reason([[SQUARE, HOLE]])
+    assert ok and reason is None
+
+
+def test_validity_too_few_points():
+    tri = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 0.0]])
+    ok, reason, _, _ = geom.validity_reason([[tri]])
+    assert not ok and "Too few points" in reason
+
+
+def test_representative_point_inside():
+    for polys in [[[SQUARE]], [[SQUARE, HOLE]],
+                  [[np.array([[0, 0], [10, 0], [10, 3], [3, 3], [3, 7],
+                              [10, 7], [10, 10], [0, 10], [0, 0]],
+                             dtype=np.float64)]]]:
+        x, y = geom.representative_point(polys)
+        assert geom.points_in_multipolygon(np.array([x]), np.array([y]), polys)[0]
+
+
+def test_haversine_known_distance():
+    # 1 degree of latitude ~ 111.2 km
+    d = geom.haversine_m(0.0, 0.0, 0.0, 1.0)
+    assert 110_000 < float(d) < 112_500
+    assert float(geom.haversine_m(12.0, 34.0, 12.0, 34.0)) == 0.0

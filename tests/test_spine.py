@@ -1,0 +1,109 @@
+"""End-to-end spine: synth pages -> byte-identical text extraction ->
+geocode -> cell encode -> broadcast PIP join -> admin assignment.
+
+This exercises the whole engine spine (scan -> Arrow UDF -> broadcast
+join -> window -> agg) on local Spark, including the north-rule
+invariants: byte-identity per url, exact join assignments vs a pure
+numpy oracle, and plan shape (broadcast, no fact-side pre-join shuffle).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from posmspark import geom, synth, textx
+from posmspark.joins import pip_join, prepare_boundaries, with_cell
+
+N_PAGES = 2000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth.pages_df(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def prepared():
+    return prepare_boundaries(synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+
+
+def test_byte_identical_extraction(spark, pages):
+    """BASELINE.json invariant: extract_text(html) == text for every url."""
+    df = textx.with_extracted_text(pages)
+    bad = df.filter(
+        ~F.col("text_extracted").eqNullSafe(F.col("text"))
+    ).count()
+    assert bad == 0
+    # and it's bytes, not just string equality: compare re-encoded bytes
+    bad2 = df.filter(
+        F.encode(F.col("text_extracted"), "UTF-8") != F.encode(F.col("text"), "UTF-8")
+    ).count()
+    assert bad2 == 0
+
+
+def test_geocode_parse(spark, pages):
+    df = textx.with_geocode(pages)
+    n = df.count()
+    n_geo = df.filter(F.col("lat").isNotNull()).count()
+    assert 0.6 * n < n_geo < 0.8 * n  # ~70% geotagged
+    # parsed values re-format to the exact token in the text
+    bad = df.filter(F.col("lat").isNotNull()).filter(
+        ~F.col("text").contains(F.format_string("geo: %.5f, %.5f", "lat", "lon"))
+    ).count()
+    assert bad == 0
+
+
+def test_pip_join_matches_numpy_oracle(spark, pages, prepared):
+    """Join assignments must equal a brute-force numpy oracle exactly
+    (the reference-semantics golden: first insert_order match wins)."""
+    geo = with_cell(textx.with_geocode(pages)).filter(F.col("lat").isNotNull())
+    out = pip_join(geo, prepared, spark).select(
+        "url", "lon", "lat", "osm_id_l0", "osm_id_l1", "osm_id_l2"
+    )
+    got = out.toPandas().set_index("url").sort_index()
+
+    levels = prepared.levels_pdf
+    ordered = levels.sort_values("insert_order")
+
+    def oracle(lon, lat, level):
+        for r in ordered[ordered.adminlevel == level].itertuples(index=False):
+            if geom.points_in_multipolygon(
+                np.array([lon]), np.array([lat]), prepared.polys_by_id[r.osm_id]
+            )[0]:
+                return r.osm_id
+        return None
+
+    sample = got.sample(n=300, random_state=42) if len(got) > 300 else got
+    for url, row in sample.iterrows():
+        for lv, col in [(0, "osm_id_l0"), (1, "osm_id_l1"), (2, "osm_id_l2")]:
+            exp = oracle(row.lon, row.lat, lv)
+            assert row[col] == exp or (exp is None and pd.isna(row[col])), (
+                url, lv, row[col], exp)
+
+
+def test_pip_join_counts_stable_across_parallelism(spark, pages, prepared):
+    """North-rule invariant: identical results across partition counts."""
+    geo = with_cell(textx.with_geocode(pages)).filter(F.col("lat").isNotNull())
+    a = pip_join(geo.repartition(4), prepared, spark)
+    b = pip_join(geo.repartition(32), prepared, spark)
+    agg_a = a.groupBy("osm_id_l0", "osm_id_l1", "osm_id_l2").count()
+    agg_b = b.groupBy("osm_id_l0", "osm_id_l1", "osm_id_l2").count()
+    assert agg_a.exceptAll(agg_b).count() == 0
+    assert agg_b.exceptAll(agg_a).count() == 0
+
+
+def test_pip_join_plan_is_broadcast(spark, pages, prepared):
+    geo = with_cell(textx.with_geocode(pages)).filter(F.col("lat").isNotNull())
+    out = pip_join(geo, prepared, spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hot_cell_skew_exists(spark, pages):
+    """The synthetic generator must produce the mandated hot-cell skew."""
+    geo = with_cell(textx.with_geocode(pages)).filter(F.col("lat").isNotNull())
+    top = (geo.groupBy("cell").count().orderBy(F.desc("count")).limit(1)
+           .collect()[0])
+    total = geo.count()
+    assert top["count"] > 0.05 * total  # one cell holds >5% of the docs
