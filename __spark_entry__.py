@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship spatial-join + tiling pipeline on sf0.001
+queries()     -> every implemented operator from SURVEY.md §2 (relational
+                 ops oracle-checked vs DuckDB; spatial/kNN ops rows-only,
+                 covered by numpy-oracle goldens in tests/)
+oracle_sql()  -> DuckDB-equivalent ANSI SQL per oracle-checkable query
 """
 
 from __future__ import annotations
@@ -12,27 +12,123 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posmspark import relops
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geocode -> cell-index -> broadcast PIP join -> tile
+    rollup over a pages table derived from sf0.001 documents."""
+    from posmspark.pipeline import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# spatial / kNN queries (not SQL-expressible -> rows-only driver check;
+# exact semantics are pinned by numpy-oracle goldens in tests/)
+
+
+def _q_pip_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark.pipeline import flagship
+
+    return flagship(spark, sf_dir)
+
+
+def _q_pip_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark.pipeline import pages_from_documents, run_pipeline
+
+    out = run_pipeline(spark, pages_from_documents(spark, sf_dir))
+    return out["assigned"]
+
+
+def _q_cell_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark import tiles
+    from posmspark.pipeline import pages_from_documents, run_pipeline
+
+    out = run_pipeline(spark, pages_from_documents(spark, sf_dir))
+    return tiles.cell_tile_stats(out["assigned"])
+
+
+def _q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from posmspark import geom, synth
+    from posmspark.joins import knn_cellring, prepare_boundaries
+    from posmspark.pipeline import pages_from_documents
+    from posmspark.textx import with_geocode
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    sites = pd.DataFrame(
+        [
+            {"site_id": oid, "lon": lon, "lat": lat}
+            for oid, (lon, lat) in (
+                (oid, geom.representative_point(polys))
+                for oid, polys in sorted(prepared.polys_by_id.items())
+            )
+        ]
+    )
+    pts = with_geocode(pages_from_documents(spark, sf_dir)).filter(
+        F.col("lat").isNotNull()
+    ).select("url", "lon", "lat")
+    out = knn_cellring(pts, sites, k=3, spark=spark)
+    return out.select(
+        "url",
+        F.col("knn")[0]["site_id"].alias("nn1"),
+        F.round(F.col("knn")[0]["dist_m"], 2).alias("nn1_dist_m"),
+        F.col("knn")[1]["site_id"].alias("nn2"),
+        F.col("knn")[2]["site_id"].alias("nn3"),
+    )
+
+
+def _q_problems_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark import synth
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    return prepared.problems_df(spark)
+
+
+def _q_byte_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule invariant as a query: urls whose extracted text is
+    NOT byte-identical (must be empty) + total audited count."""
+    from posmspark.pipeline import pages_from_documents
+    from posmspark.textx import with_extracted_text
+
+    pages = with_extracted_text(pages_from_documents(spark, sf_dir))
+    return pages.select(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(
+            F.when(~F.col("text_extracted").eqNullSafe(F.col("text")), 1)
+            .otherwise(0)
+        ).alias("n_violations"),
+    )
+
+
+_SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pip_tile_rollup": _q_pip_tile_rollup,
+    "pip_assignment": _q_pip_assignment,
+    "cell_tile_stats": _q_cell_tile_stats,
+    "knn_cellring": _q_knn_cellring,
+    "problems_routing": _q_problems_routing,
+    "byte_identity_audit": _q_byte_identity_audit,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in relops.QUERIES.items():
+        out[name] = fn
+    out.update(_SPATIAL_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in relops.QUERIES.items() if sql
+    }

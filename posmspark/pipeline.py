@@ -1,0 +1,145 @@
+"""The flagship pipeline — posm's `manage.py extract_and_simplify`
+re-expressed as one lazy DataFrame DAG cut into checkpointed stages
+(SURVEY.md §3.1 restatement):
+
+  stage 1 ingest : pages -> byte-identity-verified text -> geocode -> cell
+  stage 2 assign : broadcast PIP join -> (url, cell, osm_id_l0/l1/l2)
+  stage 3 tiles  : raster<->vector tile stats + admin rollup
+
+The reference runs three full scans of the input and a chain of PL/pgSQL
+procedures; here the fact table is scanned once, everything else is
+broadcast or map-side, and each stage checkpoint is a resume point
+(lineage.run_stage).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posmspark import lineage, synth, textx, tiles
+from posmspark.joins import pip_join, prepare_boundaries, with_cell
+from posmspark.synth import HTML_POST, HTML_PRE
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a pages table (BASELINE.json input_hint shape) from the
+    driver's documents.parquet — url/warc_ts/html/text/lang.
+
+    A deterministic ~70% of rows get a geotag token appended to their
+    text (hash-seeded, inside the synthetic boundary grid bbox); html is
+    built from the final text, so the byte-identity invariant
+    extract_text(html) == text holds by construction, exactly as a real
+    WARC extractor would persist (html, extracted_text) pairs.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    url = F.concat(F.lit("https://crawl.example/"), F.col("source"),
+                   F.lit("/"), F.col("doc_id").cast("string"))
+    h1 = F.abs(F.xxhash64(url, F.lit(11))) % 1000000 / 1000000.0
+    h2 = F.abs(F.xxhash64(url, F.lit(12))) % 1000000 / 1000000.0
+    h3 = F.abs(F.xxhash64(url, F.lit(13))) % 1000000 / 1000000.0
+    h4 = F.abs(F.xxhash64(url, F.lit(14))) % 1000000 / 1000000.0
+    has_geo = h1 < 0.7
+    is_hot = h2 < 0.1
+    lon = F.when(is_hot, synth.HOT_LON + (h3 - 0.5) * 0.02).otherwise(h3 * 50.0)
+    lat = F.when(is_hot, synth.HOT_LAT + (h4 - 0.5) * 0.02).otherwise(h4 * 20.0 - 10.0)
+    text = F.concat(
+        F.col("text"),
+        F.when(has_geo, F.format_string(" geo: %.5f, %.5f", lat, lon))
+        .otherwise(F.lit("")),
+    )
+    html = F.concat(F.lit(HTML_PRE), F.encode(text, "UTF-8"), F.lit(HTML_POST))
+    ts = F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 137)
+    return docs.select(
+        url.alias("url"), ts.alias("warc_ts"), html.alias("html"),
+        text.alias("text"), F.col("lang"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str | None = None,
+    input_fingerprint: str = "",
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """Run the staged pipeline; returns all stage outputs.
+
+    With workdir=None the DAG runs unmaterialized (tests/smoke); with a
+    workdir every stage is checkpointed Parquet + manifest and a rerun
+    resumes from the last consistent stage.
+    """
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+
+    def build_ingest() -> DataFrame:
+        extracted = textx.with_extracted_text(pages)
+        # byte-identity is an invariant, not a cleaning step: violations
+        # are routed out (kept observable), never silently fixed
+        ok = extracted.filter(
+            F.col("text_extracted").eqNullSafe(F.col("text"))
+        ).drop("text_extracted")
+        geo = textx.with_geocode(ok)
+        return with_cell(geo).drop("html")  # html no longer needed downstream
+
+    def build_assign() -> DataFrame:
+        pts = ingest.filter(F.col("lat").isNotNull())
+        return pip_join(pts, prepared, spark).select(
+            "url", "warc_ts", "lang", "lon", "lat", "cell",
+            "osm_id_l0", "osm_id_l1", "osm_id_l2",
+        )
+
+    def build_tiles() -> DataFrame:
+        return tiles.cell_admin_tile_stats(assigned)
+
+    if workdir is None:
+        ingest = build_ingest()
+        assigned = build_assign()
+        tile_stats = build_tiles()
+    else:
+        ingest = lineage.run_stage(
+            spark, "ingest", input_fingerprint,
+            os.path.join(workdir, "stage_ingest"), build_ingest, force)
+        assigned = lineage.run_stage(
+            spark, "assign", input_fingerprint,
+            os.path.join(workdir, "stage_assign"), build_assign, force)
+        tile_stats = lineage.run_stage(
+            spark, "tiles", input_fingerprint,
+            os.path.join(workdir, "stage_tiles"), build_tiles, force)
+
+    rollup = tiles.admin_rollup(assigned)
+    return {
+        "ingest": ingest,
+        "assigned": assigned,
+        "tiles": tile_stats,
+        "rollup": rollup,
+        "prepared": prepared,
+    }
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline query: per-admin-area document stats from the tile
+    aggregation, named columns stable for the driver smoke check."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = run_pipeline(spark, pages)
+    prepared = out["prepared"]
+    # sentinel for data-nulls so rollup subtotal-nulls stay unambiguous
+    assigned = out["assigned"].withColumn(
+        "osm_id_l1", F.coalesce("osm_id_l1", F.lit("-"))
+    ).withColumn("osm_id_l2", F.coalesce("osm_id_l2", F.lit("-")))
+    rollup = tiles.admin_rollup(assigned)
+    levels = F.broadcast(prepared.levels_df(spark).select(
+        F.col("osm_id").alias("osm_id_l0"), F.col("name_en").alias("country"),
+        F.col("iso3166").alias("iso"),
+    ))
+    return (
+        rollup
+        .filter(F.col("osm_id_l0").isNotNull())
+        .join(levels, "osm_id_l0", "left")
+        .select("osm_id_l0", "country", "iso", "osm_id_l1", "osm_id_l2",
+                "doc_count", "distinct_urls")
+        .orderBy("osm_id_l0", "osm_id_l1", "osm_id_l2")
+    )

@@ -1,0 +1,924 @@
+"""Relational operator suite — SURVEY.md §2 coverage over the driver
+testdata, each query paired with a DuckDB-oracle ANSI SQL string.
+
+Every entry re-expresses one reference operator (cited per query) as an
+idiomatic Spark DataFrame plan. Conventions that keep the oracle
+comparison exact:
+  - every computed column is aliased IDENTICALLY in Spark and SQL
+  - float aggregates are rounded (decimal-stable across engines)
+  - timestamps cross the boundary as formatted strings
+  - ties in window/top-k are always broken by a unique key
+
+Registry: QUERIES[name] = (spark_fn, duckdb_sql | None). A None oracle
+means the op is not SQL-expressible (spatial/minhash/etc.) -> the
+driver runs a rows-only check and pytest covers it against a numpy
+oracle instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# scans / filters / projections (S2, O1-O5, O9)
+
+
+def q_scan_filter_project(spark, sf):
+    """S2+O1: pushdown filter + projection + row-level compute
+    (reference: SetAttributeFilter, exposm/reader.py:20-28)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1995-06-01")
+                  & (F.col("l_quantity") < 10))
+        .select(
+            "l_orderkey", "l_linenumber",
+            # price*discount is 4-decimal-exact -> round(.,4) is never a
+            # half-way case (round(.,2) would be, and engines disagree there)
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("net_price"),
+            "l_returnflag",
+        )
+    )
+
+
+SQL_SCAN_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+       l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_quantity < 10
+"""
+
+
+def q_coalesce_upper(spark, sf):
+    """O2+O4: coalesce fallback + uppercase (extract.py:100-112)."""
+    d = _t(spark, sf, "documents")
+    return d.filter(F.col("n_chars") > 100).select(
+        "doc_id",
+        F.coalesce("source", "lang").alias("src"),
+        F.upper("lang").alias("lang_uc"),
+    )
+
+
+SQL_COALESCE_UPPER = """
+SELECT doc_id, coalesce(source, lang) AS src, upper(lang) AS lang_uc
+FROM documents WHERE n_chars > 100
+"""
+
+
+def q_id_prefix(spark, sf):
+    """O3+T1: layer-dispatched id prefixing (exposm/utils.py:13-35)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        F.concat(
+            F.when(F.col("c_mktsegment") == "BUILDING", F.lit("N"))
+            .when(F.col("c_mktsegment") == "MACHINERY", F.lit("W"))
+            .otherwise(F.lit("R")),
+            F.col("c_custkey").cast("string"),
+        ).alias("osm_style_id"),
+        F.col("c_name").alias("name"),
+    )
+
+
+SQL_ID_PREFIX = """
+SELECT (CASE WHEN c_mktsegment = 'BUILDING' THEN 'N'
+             WHEN c_mktsegment = 'MACHINERY' THEN 'W'
+             ELSE 'R' END) || CAST(c_custkey AS VARCHAR) AS osm_style_id,
+       c_name AS name
+FROM customer
+"""
+
+
+def q_boundary_predicate(spark, sf):
+    """O5: tag predicate filter (extract.py:128-137)."""
+    e = _t(spark, sf, "events")
+    return e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.round("value", 2).alias("value_r")
+    )
+
+
+SQL_BOUNDARY_PREDICATE = """
+SELECT event_id, user_id, round(value, 2) AS value_r
+FROM events WHERE event_type = 'click'
+"""
+
+
+def q_filler_filter(spark, sf):
+    """T3+T4: synthetic-id generation + left(id,3)!='xxx' filter
+    (proc_functions.sql:128,243)."""
+    p = _t(spark, sf, "part")
+    ids = p.select(
+        F.when(F.col("p_type") == "PROMO",
+               F.concat(F.lit("xxx"), F.col("p_partkey").cast("string")))
+        .otherwise(F.concat(F.lit("R"), F.col("p_partkey").cast("string")))
+        .alias("gid"),
+        "p_size",
+    )
+    return ids.filter(F.substring("gid", 1, 3) != "xxx")
+
+
+SQL_FILLER_FILTER = """
+WITH ids AS (
+  SELECT CASE WHEN p_type = 'PROMO'
+              THEN 'xxx' || CAST(p_partkey AS VARCHAR)
+              ELSE 'R' || CAST(p_partkey AS VARCHAR) END AS gid,
+         p_size
+  FROM part
+)
+SELECT gid, p_size FROM ids WHERE substring(gid, 1, 3) <> 'xxx'
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins (O7, O11-O17)
+
+
+def q_anti_join(spark, sf):
+    """O17/O26: set difference as anti-join (extract.py:27-61)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_semi_join(spark, sf):
+    """O15: EXISTS semi-join (django models.py:11-39 indicator query)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_unusable_anti_join(spark, sf):
+    """O7: unusable-feature carry-forward skip (extract.py:73,201-206):
+    rows flagged bad in one pass are anti-joined away in the next."""
+    li = _t(spark, sf, "lineitem")
+    bad = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    return (
+        li.join(bad, "l_orderkey", "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+SQL_UNUSABLE_ANTI_JOIN = """
+SELECT l_returnflag, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+def q_hierarchy_join(spark, sf):
+    """O13: chained dimension joins, broadcast build sides
+    (proc_functions.sql:337-362 simple_admin views)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"))
+    )
+
+
+SQL_HIERARCHY_JOIN = """
+SELECT r_name, n_name, count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS acctbal_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_mapping_override(spark, sf):
+    """O8: per-key config override with default fallback
+    (admin_mapping.yaml + extract.py:218-239)."""
+    n = _t(spark, sf, "nation")
+    ov = spark.createDataFrame(
+        [("FRANCE", "EU-CORE"), ("GERMANY", "EU-CORE"), ("CHINA", "APAC-CORE")],
+        ["n_name", "zone_override"],
+    )
+    return (
+        n.join(F.broadcast(ov), "n_name", "left")
+        .select(
+            "n_name",
+            F.coalesce("zone_override", F.lit("DEFAULT")).alias("zone"),
+        )
+    )
+
+
+SQL_MAPPING_OVERRIDE = """
+SELECT n_name, coalesce(ov.zone_override, 'DEFAULT') AS zone
+FROM nation
+LEFT JOIN (VALUES ('FRANCE','EU-CORE'), ('GERMANY','EU-CORE'),
+                  ('CHINA','APAC-CORE')) AS ov(name, zone_override)
+  ON n_name = ov.name
+"""
+
+
+def q_first_match(spark, sf):
+    """O24: first-match-wins per group, explicit priority tie-break
+    (exposm/utils.py:43-48 first R-tree hit)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_date"),
+        )
+    )
+
+
+SQL_FIRST_MATCH = """
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS first_date
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+def q_set_difference(spark, sf):
+    """O26: EXCEPT both directions with a side tag (check files,
+    extract.py:40-61)."""
+    p = _t(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    l = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    missing = p.exceptAll(l.distinct()).distinct().withColumn(
+        "side", F.lit("never_ordered"))
+    new = l.distinct().exceptAll(p).withColumn("side", F.lit("unknown_part"))
+    return missing.unionByName(new)
+
+
+SQL_SET_DIFFERENCE = """
+SELECT k, 'never_ordered' AS side FROM (
+  SELECT p_partkey AS k FROM part
+  EXCEPT SELECT DISTINCT l_partkey FROM lineitem)
+UNION ALL
+SELECT k, 'unknown_part' AS side FROM (
+  SELECT DISTINCT l_partkey AS k FROM lineitem
+  EXCEPT SELECT p_partkey FROM part)
+"""
+
+
+def q_union_bag(spark, sf):
+    """O25: bag union of two sources (proc_functions.sql:301-304)."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("src"))
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.lit("supplier").alias("src"))
+    return c.unionByName(s).filter(F.col("key") <= 50)
+
+
+SQL_UNION_BAG = """
+SELECT * FROM (
+  SELECT c_custkey AS key, 'customer' AS src FROM customer
+  UNION ALL
+  SELECT s_suppkey AS key, 'supplier' AS src FROM supplier)
+WHERE key <= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations (O18-O22 analogs)
+
+
+def q_pricing_summary(spark, sf):
+    """O20 + TPC-H Q1 shape: the workhorse groupBy aggregate."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("sum_disc_price"),
+            # avg from the already-rounded sum so both engines divide
+            # bit-identical doubles (no half-way disagreement)
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6)
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup_hierarchy(spark, sf):
+    """O18/O19 analog: levels 2->1->0 re-aggregation as ONE rollup pass
+    (replaces proc_functions.sql:104-197 three sequential passes)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    j = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+    )
+
+
+SQL_ROLLUP_HIERARCHY = """
+SELECT r_name, n_name, count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS acctbal_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_distinct_exact(spark, sf):
+    """exact count-distinct per group (O20/O22 tile-stats analog)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+SQL_DISTINCT_EXACT = """
+SELECT n_name, count(DISTINCT c_mktsegment) AS n_segments, count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_pivot_status(spark, sf):
+    """conditional aggregation fan-out (level multiplexer O10 analog)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT n_name,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_case_bucket(spark, sf):
+    """T-series CASE classification + min/max aggregates."""
+    o = _t(spark, sf, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+SQL_CASE_BUCKET = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'large' END AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_date_trunc_hourly(spark, sf):
+    """tile-style time bucketing of the events table (O22 raster axis)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6)
+             .alias("avg_value"))
+    )
+
+
+SQL_DATE_TRUNC_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events,
+       round(round(sum(value), 2) / count(*), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q_json_extract(spark, sf):
+    """nested props extraction (config-map analog, settings.py:41-46)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("k_val", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k_val").alias("k_sum"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows / sorts / limits (O23, O24)
+
+
+def q_window_running(spark, sf):
+    """running aggregate in deterministic order (ordered cursor loops,
+    generate_geojson.py:162-167, as a window)."""
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_topk(spark, sf):
+    """O23 ordered output + deterministic top-k."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .limit(15)
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+
+def q_sessionize(spark, sf):
+    """gap-based sessionization (the batch analog of the streaming
+    session-window op; north-rule 'resumable batch stages')."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # parquet reads as NTZ
+    gap = secs - F.lag(secs).over(w)
+    sess = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# string / format functions (T1-T11)
+
+
+def q_string_funcs(spark, sf):
+    """T2/T7/T10: upper, %.6E byte-level format (extract_poly.py:135),
+    regexp extraction (exposm/utils.py:105-115)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_uc"),
+        F.format_string("%.6E", F.col("p_retailprice")).alias("price_sci"),
+        F.format_string("%.2f", F.col("p_retailprice")).alias("price_fmt"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.substring("p_type", 1, 4).alias("type4"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey, upper(p_name) AS name_uc,
+       printf('%.6E', p_retailprice) AS price_sci,
+       printf('%.2f', p_retailprice) AS price_fmt,
+       regexp_extract(p_brand, '(\\d+)', 1) AS brand_num,
+       substring(p_type, 1, 4) AS type4
+FROM part
+"""
+
+
+def q_problem_url(spark, sf):
+    """T6: problem-link URL building (exposm/utils.py:118-126 format)."""
+    e = _t(spark, sf, "events")
+    return e.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.format_string(
+            "https://problems.example/?id=%d&v=%.2f#map=18", "event_id", "value"
+        ).alias("problem_url"),
+    )
+
+
+SQL_PROBLEM_URL = """
+SELECT event_id,
+       printf('https://problems.example/?id=%d&v=%.2f#map=18',
+              event_id, value) AS problem_url
+FROM events WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / text stats / similarity (north-rule additions)
+
+
+def q_dedup_exact(spark, sf):
+    """exact dedup via content signature: md5 of the sorted distinct
+    token set; keep min doc_id per group (hash-groupBy dedup)."""
+    d = _t(spark, sf, "documents")
+    sig = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    )
+    return (
+        d.withColumn("sig", sig)
+        .groupBy("sig")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+           ' ')) AS sig,
+       min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats(spark, sf):
+    """token counting + quality scoring (length / stopword ratios)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    stop = F.filter(toks, lambda x: x.isin("the", "a"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(F.size(stop) / F.size(toks), 4).alias("stopword_ratio"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       round(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) * 1.0
+             / len(string_split(text, ' ')), 4) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_lang_quality(spark, sf):
+    """language-ID heuristic + length-bucket quality class."""
+    d = _t(spark, sf, "documents")
+    guess = (
+        F.when(F.col("text").like("% the %"), "en-like").otherwise("other")
+    )
+    quality = (
+        F.when(F.col("n_chars") < 120, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long")
+    )
+    return d.groupBy(guess.alias("lang_guess"), quality.alias("quality")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+    )
+
+
+SQL_LANG_QUALITY = """
+SELECT CASE WHEN text LIKE '% the %' THEN 'en-like' ELSE 'other' END
+         AS lang_guess,
+       CASE WHEN n_chars < 120 THEN 'short'
+            WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS quality,
+       count(*) AS n_docs, round(avg(n_chars), 3) AS avg_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """near-dup detection: word-3-gram Jaccard >= 0.8 pairs (shingle
+    explode -> equi-join on shingle -> intersection counts -> Jaccard).
+    The scalable shape: no cross join, candidates only via shared
+    shingles."""
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+                    " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(t) - 2, 0)),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingle
+    FROM toks)),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.8
+"""
+
+
+def q_minhash_band_candidates(spark, sf):
+    """MinHash+LSH candidate pairs: per-band min(md5(band || shingle))
+    signatures; docs colliding on any band signature are candidates.
+    md5 is identical across engines, so this is fully oracle-checkable."""
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+                    " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    bands = spark.range(4).select(F.col("id").alias("band"))
+    sigs = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"),
+                                  F.lit("|"), F.col("shingle")))).alias("sig"))
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_MINHASH_BAND_CANDIDATES = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(t) - 2, 0)),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingle
+    FROM toks)),
+sigs AS (
+  SELECT doc_id, band,
+         min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+  GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_embedding_label_centroids(spark, sf):
+    """per-label embedding centroids (posexplode + group avg) — the
+    aggregation half of embedding-space dedup/clustering."""
+    e = _t(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.filter(F.col("pos") < 8)  # first 8 dims keep the output small
+        .groupBy("label", "pos")
+        # decimal sum is exact and aggregation-order-independent, so the
+        # distributed partial agg matches DuckDB's sequential sum bit-for-bit
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_val")
+        )
+    )
+
+
+SQL_EMBEDDING_LABEL_CENTROIDS = """
+SELECT label, i - 1 AS pos,
+       round(CAST(sum(CAST(embedding[i] AS DECIMAL(20,10))) AS DOUBLE)
+             / count(*), 6) AS avg_val
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+GROUP BY label, i - 1
+"""
+
+
+def q_ann_cosine_topk(spark, sf):
+    """brute-force cosine top-k ANN baseline: query = vec_id 0 against
+    all others; JVM-side F.aggregate/zip_with dot products (no Python
+    in the loop). The LSH-bucketed scale path lives in posmspark/ann.py."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, q_emb,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    return (
+        j.withColumn("cos_sim", F.round(dot / (na * nq), 6))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .select("vec_id", "label", "cos_sim")
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(
+         list_sum(list_transform(generate_series(1, len(embedding)),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(q_emb,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "scan_filter_project": (q_scan_filter_project, SQL_SCAN_FILTER_PROJECT),
+    "coalesce_upper": (q_coalesce_upper, SQL_COALESCE_UPPER),
+    "id_prefix": (q_id_prefix, SQL_ID_PREFIX),
+    "boundary_predicate": (q_boundary_predicate, SQL_BOUNDARY_PREDICATE),
+    "filler_filter": (q_filler_filter, SQL_FILLER_FILTER),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "unusable_anti_join": (q_unusable_anti_join, SQL_UNUSABLE_ANTI_JOIN),
+    "hierarchy_join": (q_hierarchy_join, SQL_HIERARCHY_JOIN),
+    "mapping_override": (q_mapping_override, SQL_MAPPING_OVERRIDE),
+    "first_match": (q_first_match, SQL_FIRST_MATCH),
+    "set_difference": (q_set_difference, SQL_SET_DIFFERENCE),
+    "union_bag": (q_union_bag, SQL_UNION_BAG),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "rollup_hierarchy": (q_rollup_hierarchy, SQL_ROLLUP_HIERARCHY),
+    "distinct_exact": (q_distinct_exact, SQL_DISTINCT_EXACT),
+    "pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
+    "case_bucket": (q_case_bucket, SQL_CASE_BUCKET),
+    "date_trunc_hourly": (q_date_trunc_hourly, SQL_DATE_TRUNC_HOURLY),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "window_running": (q_window_running, SQL_WINDOW_RUNNING),
+    "topk": (q_topk, SQL_TOPK),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "problem_url": (q_problem_url, SQL_PROBLEM_URL),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_quality": (q_lang_quality, SQL_LANG_QUALITY),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash_band_candidates": (q_minhash_band_candidates,
+                                SQL_MINHASH_BAND_CANDIDATES),
+    "embedding_label_centroids": (q_embedding_label_centroids,
+                                  SQL_EMBEDDING_LABEL_CENTROIDS),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+}

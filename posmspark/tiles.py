@@ -1,0 +1,86 @@
+"""Raster<->vector tile aggregation with explicit skew handling.
+
+Re-expresses the reference's per-country/per-state tile trees
+(/root/reference/extractor/prepare_topojson.py:87-162 and the GeoJSON
+fan-out of generate_geojson.py:144-377) as distributed aggregations:
+
+- raster side: per-cell document stats over the assigned pages table
+- vector side: per-admin-polygon rollups (the reference's level 2->1->0
+  re-aggregation, proc_functions.sql:104-197, as one rollup pass)
+- tile assignment: cell stats joined back to covering polygons
+
+Skew: dense urban cells concentrate documents (the mandated hot-cell
+fixture). Exact distinct-url counts are computed with a SALTED two-phase
+aggregation — partial distinct per (cell, salt) shard first, so no
+single reducer owns a hot cell — plus AQE skew splitting for the final
+exchange. Plain counts use Spark's built-in map-side partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def cell_tile_stats(assigned: DataFrame, salt: int = DEFAULT_SALT) -> DataFrame:
+    """Per-cell doc_count + exact distinct_urls, skew-safe.
+
+    Two-phase: (cell, url) dedup is salted implicitly by the url hash
+    (the shuffle key is (cell, url), so a hot cell spreads over many
+    reducers); the second phase aggregates tiny per-cell partials.
+    """
+    per_url = assigned.groupBy("cell", "url").agg(
+        F.count(F.lit(1)).alias("dup_docs")
+    )
+    return per_url.groupBy("cell").agg(
+        F.sum("dup_docs").alias("doc_count"),
+        F.count(F.lit(1)).alias("distinct_urls"),
+    )
+
+
+def cell_admin_tile_stats(assigned: DataFrame) -> DataFrame:
+    """Tile assignment: per (cell, admin polygon) stats — the join of the
+    raster grid to the vector layer (SURVEY.md O22)."""
+    return (
+        assigned.filter(F.col("osm_id_l0").isNotNull())
+        .groupBy("cell", "osm_id_l0", "osm_id_l1", "osm_id_l2")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.approx_count_distinct("url").alias("approx_urls"),
+        )
+    )
+
+
+def admin_rollup(assigned: DataFrame) -> DataFrame:
+    """Hierarchy re-aggregation levels 2->1->0 as ONE rollup pass
+    (replaces the reference's three sequential PL/pgSQL passes,
+    proc_functions.sql:104-197)."""
+    return (
+        assigned.filter(F.col("osm_id_l0").isNotNull())
+        .rollup("osm_id_l0", "osm_id_l1", "osm_id_l2")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.countDistinct("url").alias("distinct_urls"),
+        )
+    )
+
+
+def salted_exact_distinct(df: DataFrame, group_col: str, distinct_col: str,
+                          salt: int = DEFAULT_SALT) -> DataFrame:
+    """Generic salted exact count-distinct: explicit 2-stage plan for
+    when the group key alone would put a hot key on one reducer.
+
+    Stage 1 shuffles on (group, salt(hash(distinct_col)))  -> partial sets
+    Stage 2 shuffles tiny partials on group                -> exact union
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salt))
+    )
+    partial = salted.groupBy(group_col, "_salt").agg(
+        F.count_distinct(F.col(distinct_col)).alias("_pc")
+    )
+    # distinct values land in exactly one salt shard (hash-determined),
+    # so summing partial distinct counts is exact
+    return partial.groupBy(group_col).agg(F.sum("_pc").alias("distinct_count"))
