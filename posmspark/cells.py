@@ -80,6 +80,47 @@ def encode(lon: np.ndarray, lat: np.ndarray, res: int = DEFAULT_RES) -> np.ndarr
     return out
 
 
+def cell_column(lon, lat, res: int = DEFAULT_RES):
+    """The encoder as a pure JVM column expression (whole-stage codegen,
+    zero Python in the hot path). Bit-for-bit identical to encode()
+    (tested). Null/NaN coords -> null cell.
+
+    At 100 TB the cell encode runs on every row of the fact table;
+    keeping it inside Tungsten codegen instead of an Arrow round-trip
+    is the difference between a scan-speed stage and a Python-bound one.
+    """
+    from pyspark.sql import functions as F
+
+    nf = float(2**res)
+
+    def grid(v, offset, span):
+        g = F.floor((v + F.lit(offset)) / F.lit(span) * F.lit(nf))
+        return F.greatest(F.lit(0), F.least(F.lit(int(nf) - 1), g)).cast("long")
+
+    def spread(v):
+        masks = [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        out = v
+        for shift, mask in masks:
+            out = F.shiftleft(out, shift).bitwiseOR(out).bitwiseAND(F.lit(mask))
+        return out
+
+    i = grid(lon, 180.0, 360.0)
+    j = grid(lat, 90.0, 180.0)
+    cell = (
+        spread(i)
+        .bitwiseOR(F.shiftleft(spread(j), 1))
+        .bitwiseOR(F.lit(res << 58))
+    )
+    return F.when(lon.isNotNull() & lat.isNotNull()
+                  & ~F.isnan(lon) & ~F.isnan(lat), cell)
+
+
 def cell_to_ij(cell: np.ndarray):
     """Unpack int64 cell ids -> (res array, i array, j array)."""
     c = np.asarray(cell, dtype=np.int64).astype(np.uint64)

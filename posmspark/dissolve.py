@@ -1,0 +1,341 @@
+"""Geometric group aggregation: dissolve, residual holes, shared-edge
+consistent simplification.
+
+Replaces the reference's PostGIS pipeline:
+- dissolve          <- st_buildarea(st_union(...)) GROUP BY is_in_*
+                       (/root/reference/extractor/postgis_sql/proc_functions.sql:289-333)
+- residual holes    <- ST_Difference(parent, ST_Union(children)) with the
+                       complete / childless / filler('xxx'||id) classification
+                       (proc_functions.sql:104-197)
+- shared-edge simplify <- the PostGIS topology build + ST_Simplify(topo)
+                       (proc_functions.sql:1-82,219), replaced by canonical
+                       edge-chain simplification (SURVEY.md §4.3)
+
+Approach (from-scratch, numpy/pure python inside applyInPandas groups):
+admin hierarchies are *meshes* — children tile their parent and share
+border polylines vertex-for-vertex. On a mesh, union is exact segment
+cancellation: a segment appearing an odd number of times lies on the
+dissolved boundary; even-count segments are interior shared borders.
+This avoids general polygon clipping entirely (and is exactly what a
+topology-based ST_Union does under the hood).
+
+Each parent group is small (tens of children, thousands of vertices);
+the parallelism axis is the number of parents, which is what
+groupBy(parent).applyInPandas shuffles on — at planet scale that's
+hundreds of thousands of independent groups.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from posmspark import geom
+
+SNAP = 1e-9
+
+
+def _key(pt) -> tuple[int, int]:
+    return (int(round(pt[0] / SNAP)), int(round(pt[1] / SNAP)))
+
+
+def _split_ring_at_vertices(ring: np.ndarray, vertex_keys: set) -> np.ndarray:
+    """Insert mesh vertices that lie strictly inside this ring's edges so
+    that shared borders decompose into identical segment sets.
+
+    vertex_keys: snap-keys of ALL vertices in the mesh. For each edge,
+    any mesh vertex collinear with and interior to the edge becomes a
+    split point. Axis-aligned and general edges both handled.
+    """
+    verts = np.array(sorted(vertex_keys)) if vertex_keys else np.empty((0, 2))
+    if len(verts) == 0:
+        return ring
+    vx = verts[:, 0] * SNAP
+    vy = verts[:, 1] * SNAP
+    out = []
+    pts = ring
+    for k in range(len(pts) - 1):
+        a, b = pts[k], pts[k + 1]
+        out.append(a)
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        seglen2 = dx * dx + dy * dy
+        if seglen2 == 0:
+            continue
+        # collinear: cross product ~ 0; interior: 0 < t < 1
+        cross = (vx - a[0]) * dy - (vy - a[1]) * dx
+        t = ((vx - a[0]) * dx + (vy - a[1]) * dy) / seglen2
+        eps = SNAP * 10 * np.sqrt(seglen2)
+        on = (np.abs(cross) <= eps) & (t > 1e-12) & (t < 1 - 1e-12)
+        if on.any():
+            ts = np.sort(t[on])
+            for tt in ts:
+                out.append(np.array([a[0] + tt * dx, a[1] + tt * dy]))
+    out.append(pts[-1])
+    return np.asarray(out)
+
+
+def _mesh_segments(polys_by_id: dict[str, list[list[np.ndarray]]]):
+    """Decompose a mesh of multipolygons into conformal segments.
+
+    Returns (seg_count, seg_owners, rings_split) where segments are
+    undirected snap-key pairs, owners maps segment -> sorted owner ids,
+    and rings_split gives each input ring re-sampled at mesh vertices.
+    """
+    vertex_keys: set = set()
+    for polys in polys_by_id.values():
+        for rings in polys:
+            for ring in rings:
+                for p in ring[:-1]:
+                    vertex_keys.add(_key(p))
+
+    seg_count: dict[tuple, int] = defaultdict(int)
+    seg_owners: dict[tuple, set] = defaultdict(set)
+    rings_split: dict[str, list[list[np.ndarray]]] = {}
+    for oid, polys in polys_by_id.items():
+        rp = []
+        for rings in polys:
+            rr = []
+            for ring in rings:
+                s = _split_ring_at_vertices(np.asarray(ring, dtype=np.float64),
+                                            vertex_keys)
+                rr.append(s)
+                for k in range(len(s) - 1):
+                    a, b = _key(s[k]), _key(s[k + 1])
+                    if a == b:
+                        continue
+                    sk = (a, b) if a < b else (b, a)
+                    seg_count[sk] += 1
+                    seg_owners[sk].add(oid)
+            rp.append(rr)
+        rings_split[oid] = rp
+    return seg_count, seg_owners, rings_split
+
+
+def _chain_segments(segs: list[tuple]) -> list[np.ndarray]:
+    """Stitch undirected segments into closed rings (or open chains).
+
+    Walk adjacency greedily; deterministic order via sorted keys.
+    Returns list of (N,2) float arrays (closed rings repeat first point).
+    """
+    adj: dict[tuple, list[tuple]] = defaultdict(list)
+    for a, b in segs:
+        adj[a].append(b)
+        adj[b].append(a)
+    unused = {tuple(sorted((a, b))): None for a, b in segs}
+    unused = set(unused.keys())
+    rings = []
+    for start in sorted(adj.keys()):
+        while True:
+            nxt = None
+            for nb in sorted(adj[start]):
+                sk = (start, nb) if start < nb else (nb, start)
+                if sk in unused:
+                    nxt = nb
+                    break
+            if nxt is None:
+                break
+            path = [start, nxt]
+            unused.discard((start, nxt) if start < nxt else (nxt, start))
+            cur, prev = nxt, start
+            while cur != start:
+                found = None
+                for nb in sorted(adj[cur]):
+                    sk = (cur, nb) if cur < nb else (nb, cur)
+                    if sk in unused:
+                        found = nb
+                        break
+                if found is None:
+                    break  # open chain (shouldn't happen on valid mesh)
+                unused.discard((cur, found) if cur < found else (found, cur))
+                prev, cur = cur, found
+                path.append(cur)
+            arr = np.array([[k[0] * SNAP, k[1] * SNAP] for k in path])
+            rings.append(arr)
+    return rings
+
+
+def dissolve_union(polys_by_id: dict[str, list[list[np.ndarray]]]
+                   ) -> list[list[np.ndarray]]:
+    """Union of a mesh of multipolygons by odd-segment cancellation.
+
+    Exact when inputs are conformal (shared borders traced by both
+    owners — the admin-boundary case); segments traversed an even
+    number of times cancel, odd-count segments form the union boundary.
+    """
+    seg_count, _, _ = _mesh_segments(polys_by_id)
+    boundary = [sk for sk, c in seg_count.items() if c % 2 == 1]
+    rings = _chain_segments(boundary)
+    # orient + classify: outer rings CCW, holes CW, grouped by containment
+    outers, holes = [], []
+    for r in rings:
+        if len(r) < 4:
+            continue
+        a = geom.ring_area(r)
+        if a == 0:
+            continue
+        rr = r if a > 0 else r[::-1].copy()
+        # a ring is a hole iff its midpoint-offset interior test says it's
+        # inside an odd number of OTHER rings
+        inside_n = 0
+        probe = _interior_probe(rr)
+        for other in rings:
+            if other is r:
+                continue
+            if geom.points_in_rings(np.array([probe[0]]),
+                                    np.array([probe[1]]), [other])[0]:
+                inside_n += 1
+        if inside_n % 2 == 1:
+            holes.append(rr[::-1].copy())  # holes CW
+        else:
+            outers.append(rr)
+    # attach each hole to the smallest containing outer
+    polys = [[o] for o in sorted(outers, key=geom.ring_area, reverse=True)]
+    for h in holes:
+        probe = _interior_probe(h)
+        best = None
+        for pi, p in enumerate(polys):
+            if geom.points_in_rings(np.array([probe[0]]),
+                                    np.array([probe[1]]), [p[0]])[0]:
+                best = pi  # sorted big->small: keep the last (smallest) hit
+        if best is not None:
+            polys[best].append(h)
+    return polys
+
+
+def _interior_probe(ring: np.ndarray):
+    """A point just inside a ring (midpoint of first edge nudged along
+    the inward normal)."""
+    a, b = ring[0], ring[1]
+    mid = (a + b) / 2.0
+    d = b - a
+    n = np.array([-d[1], d[0]])
+    ln = np.hypot(*n)
+    if ln == 0:
+        return mid
+    n = n / ln
+    eps = max(np.hypot(*d) * 1e-6, 1e-9)
+    # CCW ring: left normal points inward
+    if geom.ring_area(ring) > 0:
+        return mid + n * eps
+    return mid - n * eps
+
+
+def residual_classify(parent: list[list[np.ndarray]],
+                      children: dict[str, list[list[np.ndarray]]],
+                      res: int = 14):
+    """ST_Difference(parent, ST_Union(children)) classification
+    (proc_functions.sql:104-197):
+
+      'complete'  - children exactly tile the parent (difference empty)
+      'childless' - no children at all (keep parent row as-is)
+      'filler'    - residual area exists -> synthetic 'xxx'-id rows
+
+    Exact residual geometry comes from segment cancellation over
+    parent+children together: segments traversed an odd number of times
+    by (parent ∪ children) bound the residual area.
+    Returns (status, residual_polys).
+    """
+    if not children:
+        return "childless", []
+    mesh = dict(children)
+    mesh["__parent__"] = parent
+    seg_count, _, _ = _mesh_segments(mesh)
+    boundary = [sk for sk, c in seg_count.items() if c % 2 == 1]
+    if not boundary:
+        return "complete", []
+    residual = dissolve_union_from_boundary(boundary)
+    if not residual:
+        return "complete", []
+    return "filler", residual
+
+
+def dissolve_union_from_boundary(boundary_segs: list[tuple]
+                                 ) -> list[list[np.ndarray]]:
+    rings = _chain_segments(boundary_segs)
+    polys = []
+    for r in rings:
+        if len(r) >= 4 and abs(geom.ring_area(r)) > (SNAP * 100) ** 2:
+            polys.append([r if geom.ring_area(r) > 0 else r[::-1].copy()])
+    return polys
+
+
+# ---------------------------------------------------------------------------
+# shared-edge consistent simplification (the PostGIS-topology replacement)
+
+
+def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
+                         tol: float = 0.001
+                         ) -> dict[str, list[list[np.ndarray]]]:
+    """Simplify a mesh so shared borders stay watertight.
+
+    1. decompose into conformal segments; group consecutive segments of
+       a ring into CHAINS keyed by owner-set (border between the same
+       pair of polygons = one chain)
+    2. Douglas-Peucker each chain ONCE in canonical direction, endpoints
+       pinned (junction nodes where owner-sets change are never dropped)
+    3. rebuild every ring by substituting each traversed chain with its
+       simplified polyline
+
+    Consistency is structural: both owners of a border reuse the same
+    simplified chain, so no slivers/gaps — the same guarantee the
+    reference buys with toTopoGeom + ST_Simplify(topo)
+    (proc_functions.sql:27-82,219).
+    """
+    _, seg_owners, rings_split = _mesh_segments(polys_by_id)
+
+    chain_cache: dict[tuple, np.ndarray] = {}
+
+    def simplify_chain(path: np.ndarray) -> np.ndarray:
+        a, b = _key(path[0]), _key(path[-1])
+        canonical = (a, b) if a <= b else (b, a)
+        flip = canonical != (a, b)
+        ck = (canonical, len(path), _key(path[len(path) // 2]))
+        if ck not in chain_cache:
+            p = path[::-1] if flip else path
+            chain_cache[ck] = geom.douglas_peucker(p, tol)
+        out = chain_cache[ck]
+        return out[::-1] if flip else out
+
+    result: dict[str, list[list[np.ndarray]]] = {}
+    for oid, polys in rings_split.items():
+        new_polys = []
+        for rings in polys:
+            new_rings = []
+            for ring in rings:
+                # owner-set per segment along the ring
+                osets = []
+                for k in range(len(ring) - 1):
+                    a, b = _key(ring[k]), _key(ring[k + 1])
+                    sk = (a, b) if a < b else (b, a)
+                    osets.append(frozenset(seg_owners[sk]))
+                # split the ring into chains at owner-set changes; also
+                # rotate so position 0 is a chain boundary
+                n = len(osets)
+                start = 0
+                for k in range(n):
+                    if osets[k] != osets[k - 1]:
+                        start = k
+                        break
+                idx = list(range(start, n)) + list(range(0, start))
+                pieces = []
+                cur = [ring[idx[0]]]
+                cur_set = osets[idx[0]]
+                for k in idx:
+                    if osets[k] != cur_set:
+                        pieces.append((cur_set, np.array(cur)))
+                        cur = [cur[-1]]
+                        cur_set = osets[k]
+                    cur.append(ring[k + 1] if k + 1 < len(ring) else ring[0])
+                pieces.append((cur_set, np.array(cur)))
+                rebuilt = []
+                for _oset, path in pieces:
+                    simp = simplify_chain(path)
+                    rebuilt.extend(simp[:-1])
+                rebuilt.append(rebuilt[0])
+                arr = np.array(rebuilt)
+                if len(arr) >= 4:
+                    new_rings.append(arr)
+            new_polys.append(new_rings)
+        result[oid] = new_polys
+    return result

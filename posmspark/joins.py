@@ -53,7 +53,12 @@ def cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
 
 def with_cell(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
               out_col: str = "cell") -> DataFrame:
-    return df.withColumn(out_col, cell_udf(F.col(lon_col), F.col(lat_col)))
+    """Cell encode via the pure-JVM bit-twiddling expression (codegen'd;
+    cell_udf is the Arrow/numpy equivalent, kept for kernel parity
+    tests and non-SQL callers)."""
+    return df.withColumn(
+        out_col, cells.cell_column(F.col(lon_col), F.col(lat_col))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -258,38 +263,56 @@ def pip_join(points: DataFrame, prepared: PreparedBoundaries,
     columns + cell + osm_id_l0/l1/l2 (+ name_en_l0.. via levels join).
 
     Plan shape (checked in tests with .explain): one scan of `points`,
-    BroadcastHashJoin on cell, pandas-UDF PIP only on PARTIAL cells,
-    window top-1 per (point, level), pivot to columns. No shuffle of
-    the fact table except the final per-point window, which is
-    partitioned by the point key (same key for all levels -> single
-    shuffle, AQE-coalesced).
+    BroadcastHashJoin on cell (map-side, skew-immune), pandas-UDF PIP
+    only on PARTIAL (boundary) cells, then ONE groupBy(point_key) whose
+    min(struct(insert_order, osm_id)) per level reproduces first-match
+    semantics with full map-side partial aggregation — no window, no
+    pivot, no join-back for matched points. Unmatched points (only if
+    requested) come from a single anti-join.
     """
     sc = spark.sparkContext
     bc_polys = sc.broadcast(prepared.polys_by_id)
     cover = F.broadcast(prepared.cover_df(spark))
 
     pts = points if "cell" in points.columns else with_cell(points)
+    carry = [c for c in pts.columns if c != point_key]
     cand = pts.join(cover, "cell", "inner")
     verdict = _pip_verdict_udf(bc_polys)
     matched = cand.filter(
         F.col("full") | verdict(F.col("lon"), F.col("lat"), F.col("osm_id"))
     )
-    w = Window.partitionBy(point_key, "adminlevel").orderBy("insert_order")
-    first = (
-        matched.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(point_key, "adminlevel", "osm_id")
-    )
+    # first-match per level == min over (insert_order, osm_id) structs;
+    # min is commutative -> Catalyst runs a map-side partial aggregate,
+    # so the hot-cell skew never concentrates on one reducer
+    level_aggs = [
+        F.min(
+            F.when(F.col("adminlevel") == lv,
+                   F.struct("insert_order", "osm_id"))
+        ).alias(f"_m{lv}")
+        for lv in (0, 1, 2)
+    ]
+    carry_aggs = [F.first(c).alias(c) for c in carry]
     assigned = (
-        first.groupBy(point_key)
-        .pivot("adminlevel", [0, 1, 2])
-        .agg(F.first("osm_id"))
-        .withColumnRenamed("0", "osm_id_l0")
-        .withColumnRenamed("1", "osm_id_l1")
-        .withColumnRenamed("2", "osm_id_l2")
+        matched.groupBy(point_key)
+        .agg(*carry_aggs, *level_aggs)
+        .select(
+            point_key, *carry,
+            F.col("_m0.osm_id").alias("osm_id_l0"),
+            F.col("_m1.osm_id").alias("osm_id_l1"),
+            F.col("_m2.osm_id").alias("osm_id_l2"),
+        )
     )
-    how = "left" if keep_unmatched else "inner"
-    return pts.join(assigned, point_key, how)
+    if not keep_unmatched:
+        return assigned
+    unmatched = pts.join(
+        assigned.select(point_key), point_key, "left_anti"
+    ).select(
+        point_key, *carry,
+        F.lit(None).cast("string").alias("osm_id_l0"),
+        F.lit(None).cast("string").alias("osm_id_l1"),
+        F.lit(None).cast("string").alias("osm_id_l2"),
+    )
+    return assigned.unionByName(unmatched)
 
 
 # ---------------------------------------------------------------------------

@@ -86,8 +86,11 @@ def run_pipeline(
         return with_cell(geo).drop("html")  # html no longer needed downstream
 
     def build_assign() -> DataFrame:
+        # keep_unmatched=False: matched-only fast path (single groupBy, no
+        # anti-join recompute); dropped-row counts are recoverable from the
+        # ingest-vs-assign manifest row counts (lineage accounting)
         pts = ingest.filter(F.col("lat").isNotNull())
-        return pip_join(pts, prepared, spark).select(
+        return pip_join(pts, prepared, spark, keep_unmatched=False).select(
             "url", "warc_ts", "lang", "lon", "lat", "cell",
             "osm_id_l0", "osm_id_l1", "osm_id_l2",
         )

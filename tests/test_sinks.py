@@ -1,0 +1,100 @@
+"""Sink tests: .poly byte-format golden (vs the layout of the reference
+fixture poly files), GeoJSON feature rows, partitioned write fan-out."""
+
+import json
+import re
+
+import numpy as np
+import pytest
+
+from posmspark import geom, sinks, synth
+from posmspark.joins import prepare_boundaries
+
+COORD_RE = re.compile(r"^   -?\d\.\d{6}E[+-]\d{2}   -?\d\.\d{6}E[+-]\d{2}$")
+
+
+@pytest.fixture(scope="module")
+def prepared():
+    return prepare_boundaries(synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+
+
+def test_format_poly_layout():
+    polys = [
+        [synth.rect(0, 0, 10, 10),
+         synth.rect(2, 2, 4, 4)[::-1].copy()],  # one hole
+        [synth.rect(20, 0, 25, 5)],
+    ]
+    text = sinks.format_poly("AA_R1000", polys)
+    lines = text.split("\n")
+    assert lines[0] == "AA_R1000"
+    assert lines[1] == "1"  # outer ring of polygon 1
+    # 5 coord lines then END
+    for ln in lines[2:7]:
+        assert COORD_RE.match(ln), ln
+    assert lines[7] == "END"
+    assert lines[8] == "!2"  # hole ring
+    assert lines[14] == "END"
+    assert lines[15] == "1"  # polygon 2 outer restarts at 1
+    assert lines[21] == "END"
+    assert lines[22] == "END"  # final terminator
+    assert lines[23] == "" and text.endswith("END\n")
+
+
+def test_format_poly_exact_coordinate_bytes():
+    """'%.6E' byte format (extract_poly.py:135): e.g. 79.92192 ->
+    '7.992192E+01' exactly like the reference poly files."""
+    ring = np.array([[79.92192, 28.83425], [80.0, 29.0],
+                     [79.92192, 29.0], [79.92192, 28.83425]])
+    text = sinks.format_poly("NP_TEST", [[ring]])
+    assert "   7.992192E+01   2.883425E+01" in text
+    assert "   8.000000E+01   2.900000E+01" in text
+
+
+def test_prepare_outline_contains_original():
+    """checkGeom invariant (extract_poly.py:51-69): the buffered+
+    simplified outline must contain every original vertex."""
+    theta = np.linspace(0, 2 * np.pi, 200)
+    ring = np.stack([10 + 3 * np.cos(theta) + 0.3 * np.cos(7 * theta),
+                     5 + 3 * np.sin(theta) + 0.3 * np.sin(5 * theta)], axis=1)
+    ring[-1] = ring[0]
+    out = sinks.prepare_outline([[ring]], 0.1, 0.05)
+    pts = ring
+    assert geom.points_in_rings(pts[:, 0], pts[:, 1], out[0]).all()
+    # and it actually simplified
+    assert len(out[0][0]) < len(ring)
+
+
+def test_poly_export_df(spark, prepared):
+    df = sinks.poly_export_df(spark, prepared, level=0)
+    rows = {r["osm_id"]: r for r in df.collect()}
+    assert set(rows) == {"R1000", "R2000", "R3000"}
+    assert rows["R2000"]["poly_name"] == "NP_R2000"
+    body = rows["R1000"]["poly_text"].split("\n")
+    assert body[0] == "AA_R1000" and body[1] == "1"
+    assert all(COORD_RE.match(l) for l in body[2:-3])
+    assert body[-3] == "END" and body[-2] == "END"
+
+
+def test_geojson_feature_df(spark, prepared):
+    df = sinks.geojson_feature_df(spark, prepared)
+    feats = [json.loads(r["feature_json"]) for r in df.collect()]
+    by_id = {f["properties"]["osm_id"]: f for f in feats}
+    assert by_id["R2000"]["properties"]["name"] == "नेपाल"
+    assert by_id["R1100"]["properties"]["is_in"] == "R1000"
+    g = by_id["R2100"]["geometry"]
+    assert g["type"] == "MultiPolygon"
+    assert len(g["coordinates"][0]) == 2  # outer + hole
+
+
+def test_partitioned_fanout(spark, prepared, tmp_path):
+    """O10: one partitioned write replaces the reference's 10 passes."""
+    df = prepared.levels_df(spark)
+    sinks.write_partitioned(df, str(tmp_path / "levels"), "adminlevel")
+    import os
+
+    dirs = sorted(
+        d for d in os.listdir(tmp_path / "levels") if d.startswith("adminlevel=")
+    )
+    assert dirs == ["adminlevel=0", "adminlevel=1", "adminlevel=2"]
+    back = spark.read.parquet(str(tmp_path / "levels"))
+    assert back.count() == len(prepared.levels_pdf)

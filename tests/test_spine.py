@@ -100,6 +100,20 @@ def test_pip_join_plan_is_broadcast(spark, pages, prepared):
     assert "BroadcastHashJoin" in plan
 
 
+def test_jvm_cell_encoder_matches_numpy(spark, pages):
+    """cell_column (JVM bit-twiddling) must be bit-identical to the
+    numpy encoder used on the broadcast/cover side."""
+    from posmspark import cells
+    from posmspark.joins import cell_udf
+
+    geo = textx.with_geocode(pages).filter(F.col("lat").isNotNull())
+    both = geo.select(
+        cells.cell_column(F.col("lon"), F.col("lat")).alias("jvm"),
+        cell_udf(F.col("lon"), F.col("lat")).alias("py"),
+    )
+    assert both.filter(~F.col("jvm").eqNullSafe(F.col("py"))).count() == 0
+
+
 def test_hot_cell_skew_exists(spark, pages):
     """The synthetic generator must produce the mandated hot-cell skew."""
     geo = with_cell(textx.with_geocode(pages)).filter(F.col("lat").isNotNull())
