@@ -278,9 +278,14 @@ def pip_join(points: DataFrame, prepared: PreparedBoundaries,
     carry = [c for c in pts.columns if c != point_key]
     cand = pts.join(cover, "cell", "inner")
     verdict = _pip_verdict_udf(bc_polys)
-    matched = cand.filter(
-        F.col("full") | verdict(F.col("lon"), F.col("lat"), F.col("osm_id"))
+    # FULL cells need no exact test; a pandas UDF inside a boolean OR is
+    # still evaluated for every row, so split the paths explicitly —
+    # the Python kernel only ever sees boundary-cell candidates
+    full_hits = cand.filter(F.col("full"))
+    partial_hits = cand.filter(~F.col("full")).filter(
+        verdict(F.col("lon"), F.col("lat"), F.col("osm_id"))
     )
+    matched = full_hits.unionByName(partial_hits)
     # first-match per level == min over (insert_order, osm_id) structs;
     # min is commutative -> Catalyst runs a map-side partial aggregate,
     # so the hot-cell skew never concentrates on one reducer

@@ -97,8 +97,8 @@ def fingerprint_df(df: DataFrame, sample_cols: list[str] | None = None) -> str:
     and distributes as one map-side-combinable aggregation.
     """
     cols = sample_cols or df.columns
-    h = df.select(
+    h = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("h")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*[F.col(c) for c in cols])).alias("s"),
+        F.expr("bit_xor(h)").alias("s"),  # order-insensitive, overflow-free
     ).collect()[0]
     return f"{h['n']}:{h['s']}"

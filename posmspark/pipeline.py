@@ -89,11 +89,13 @@ def run_pipeline(
         # keep_unmatched=False: matched-only fast path (single groupBy, no
         # anti-join recompute); dropped-row counts are recoverable from the
         # ingest-vs-assign manifest row counts (lineage accounting)
-        pts = ingest.filter(F.col("lat").isNotNull())
-        return pip_join(pts, prepared, spark, keep_unmatched=False).select(
-            "url", "warc_ts", "lang", "lon", "lat", "cell",
-            "osm_id_l0", "osm_id_l1", "osm_id_l2",
+        # project to join-relevant columns BEFORE the join: the wide text
+        # column must not ride through the shuffle (column pruning the
+        # planner can't do for us because the UDF output schema hides it)
+        pts = ingest.filter(F.col("lat").isNotNull()).select(
+            "url", "warc_ts", "lang", "lon", "lat", "cell"
         )
+        return pip_join(pts, prepared, spark, keep_unmatched=False)
 
     def build_tiles() -> DataFrame:
         return tiles.cell_admin_tile_stats(assigned)
