@@ -110,6 +110,86 @@ def _q_byte_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = dedup.simhash(docs)
+    return dedup.simhash_near_pairs(fps, max_hamming=8, n_blocks=16)
+
+
+def _q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.shingles(docs, n=3)
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh, n_bands=8))
+    out = dedup.verify_jaccard(cand, sh, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import ann
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = vecs.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = pd.DataFrame({
+        "query_id": [str(r["vec_id"]) for r in qrows],
+        "embedding": [np.array(r["embedding"], dtype=np.float64) for r in qrows],
+    })
+    out = ann.lsh_topk(vecs, queries, k=5, spark=spark, dim=64, n_planes=8)
+    return out.select("query_id", "vec_id",
+                      F.round("cos_sim", 6).alias("cos_sim"), "rn")
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark import multimodal
+
+    media = multimodal.synth_media_df(spark)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "decode_ok",
+        F.round(F.expr(
+            "aggregate(feature, CAST(0.0 AS DOUBLE),"
+            " (a, v) -> a + CAST(v AS DOUBLE))"), 6).alias("feature_sum"),
+    )
+
+
+def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming op surfaced as its batch-parity transform (same code
+    path the stream runs; structured-streaming plumbing tested in
+    tests/test_streaming.py)."""
+    from posmspark import streaming, synth
+    from posmspark.joins import prepare_boundaries
+    from posmspark.pipeline import pages_from_documents
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    assigned = streaming.transform_pages(
+        pages_from_documents(spark, sf_dir), prepared, spark)
+    return (
+        assigned.groupBy(
+            F.window("warc_ts", "5 minutes").alias("win"), "cell", "osm_id_l0")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(F.col("win.start").alias("window_start"), "cell",
+                "osm_id_l0", "doc_count")
+    )
+
+
+def _q_poly_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark import sinks, synth
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    return sinks.poly_export_df(spark, prepared, level=0)
+
+
 _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_tile_rollup": _q_pip_tile_rollup,
     "pip_assignment": _q_pip_assignment,
@@ -117,6 +197,12 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cellring": _q_knn_cellring,
     "problems_routing": _q_problems_routing,
     "byte_identity_audit": _q_byte_identity_audit,
+    "simhash_near_pairs": _q_simhash_near_pairs,
+    "minhash_verified_dups": _q_minhash_verified_dups,
+    "ann_lsh_topk": _q_ann_lsh_topk,
+    "multimodal_features": _q_multimodal_features,
+    "streaming_tile_counts": _q_streaming_tile_counts,
+    "poly_export": _q_poly_export,
 }
 
 

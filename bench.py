@@ -49,7 +49,8 @@ def main() -> None:
 
     pages_path = os.path.join(tempfile.gettempdir(), f"bench_pages_{N_DOCS}")
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
-        synth.pages_df(spark, N_DOCS).write.mode("overwrite").parquet(pages_path)
+        synth.pages_df(spark, N_DOCS, partitions=64).write.mode(
+            "overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)
 
     # warmup: run the identical plan on a slice so JVM JIT / codegen /

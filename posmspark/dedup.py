@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines (north-rule
+additions; no posm counterpart — SURVEY.md training-data section).
+
+Five dedup families, all shuffle-disciplined for 100 TB inputs:
+- exact           : content-hash groupBy (relops.q_dedup_exact, oracle'd)
+- minhash_lsh     : shingle -> per-band min-hash signature -> band-bucket
+                    join (relops.q_minhash_band_candidates, oracle'd);
+                    this module adds the signature builder + verify pass
+- simhash         : 64-bit sign-sum fingerprint; near-dups = fingerprints
+                    within Hamming distance k, bucketed by band rotation
+- ngram_jaccard   : shingle-join exact Jaccard (relops, oracle'd)
+- embedding_cosine: near-dup pairs by cosine >= tau via LSH buckets
+                    (ann.py provides the bucketing)
+
+Scale notes: every candidate generator is an equi-join on a derived
+key (band signature / rotation prefix) — never a cross join; verify
+passes run only on candidate pairs. Hot buckets (boilerplate shingles)
+are capped with a frequency filter, the textbook skew guard for LSH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM-side transform)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return df.select(id_col, F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def minhash_signatures(sh: DataFrame, n_bands: int = 8,
+                       id_col: str = "doc_id",
+                       max_shingle_freq: int | None = None) -> DataFrame:
+    """(doc_id, band, sig): per-band minimum of a salted shingle hash.
+
+    max_shingle_freq drops boilerplate shingles shared by more than K
+    docs before banding — the skew guard that keeps band buckets small.
+    """
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("shingle").count().filter(
+            F.col("count") > max_shingle_freq).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    salted = sh.select(id_col, "shingle", bands)
+    return salted.groupBy(id_col, "band").agg(
+        F.min(F.xxhash64(F.col("band"), F.col("shingle"))).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing any band signature -> distinct candidate pairs.
+
+    Self-equi-join on (band, sig) — bucket sizes are tiny after the
+    frequency cap, so the join output is near-linear in input size.
+    """
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard on candidate pairs only (the verify pass)."""
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a").join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+@pandas_udf(T.LongType())
+def _simhash_udf(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash from token arrays (vectorized numpy per batch).
+
+    Each token hashes to 64 bits (two independent 32-bit mixes of a
+    polynomial rolling hash); the fingerprint's bit b is the sign of the
+    sum over tokens of (+1 if bit set else -1).
+    """
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for row, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = np.fromiter(
+            (_token_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int32)
+        score = (2 * bits - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for b in np.nonzero(score > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(b)
+        out[row] = np.int64(fp.astype(np.int64))
+    return pd.Series(out)
+
+
+def _token_hash64(token: str) -> np.uint64:
+    """Deterministic 64-bit token hash (FNV-1a), locale-independent."""
+    h = np.uint64(0xCBF29CE484222325)
+    for byte in token.encode("utf-8"):
+        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) fingerprints."""
+    return df.select(
+        id_col,
+        _simhash_udf(F.split(F.col(text_col), " ")).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", n_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs within Hamming distance k via block bucketing.
+
+    Pigeonhole: split 64 bits into n_blocks (> max_hamming) blocks; two
+    fingerprints within distance k agree on at least one block -> equi-
+    join on (block_idx, block_value), verify with bit_count(xor).
+    """
+    block_bits = 64 // n_blocks
+    blocks = F.explode(
+        F.expr(
+            f"transform(sequence(0, {n_blocks - 1}), b -> struct(b as blk,"
+            f" shiftright(simhash, b * {block_bits})"
+            f" & {(1 << block_bits) - 1} as val))"
+        )
+    ).alias("kb")
+    keyed = fps.select(id_col, "simhash", blocks).select(
+        id_col, "simhash", F.col("kb.blk").alias("blk"),
+        F.col("kb.val").alias("val"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,177 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque `binary` columns + typed metadata structs;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas UDFs over mapInPandas. The actual codec step is STUBBED (no
+image/audio libraries in this container — see _decode_image_bytes),
+but everything Spark-side is real and tested: schemas, batch shapes,
+partition behavior, UDF signatures, and the deterministic fake decoder
+used by tests.
+
+Layout conventions (the 100 TB-scale part):
+- media rows are stored in their own table keyed by content hash, so
+  dedup collapses identical payloads before any decode
+- decode stages run via mapInPandas with small
+  spark.sql.execution.arrow.maxRecordsPerBatch (payloads are MBs; the
+  bound is bytes per batch, not rows)
+- extracted features are fixed-width float arrays -> feed ann.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("url", T.StringType()),
+    T.StructField("kind", T.StringType()),       # image | audio | video
+    T.StructField("mime", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ])),
+])
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("kind", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+    T.StructField("decode_ok", T.BooleanType()),
+    T.StructField("decode_err", T.StringType()),
+])
+
+
+def _decode_image_bytes(payload: bytes) -> np.ndarray:
+    """STUB decoder. A real deployment plugs Pillow/libvips here:
+
+        raise NotImplementedError("image codec not available in sandbox")
+
+    For tests we use a deterministic fake: payloads produced by
+    encode_fake_image() carry a tiny header + raw uint8 grid, which this
+    decoder parses. Any other payload raises ValueError, exercising the
+    per-row error routing (decode_ok=False rows, never task failure).
+    """
+    if payload[:4] != b"FAKE":
+        raise ValueError("unknown image codec (decoder stubbed in sandbox)")
+    w, h = struct.unpack("<HH", payload[4:8])
+    arr = np.frombuffer(payload[8:8 + w * h], dtype=np.uint8)
+    if len(arr) != w * h:
+        raise ValueError("truncated payload")
+    return arr.reshape(h, w)
+
+
+def encode_fake_image(w: int, h: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    return (b"FAKE" + struct.pack("<HH", w, h)
+            + rng.integers(0, 256, w * h, dtype=np.uint8).tobytes())
+
+
+def _grid_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic pooled-intensity features (4x4 mean grid) — the
+    shape a real embedding model would produce."""
+    h, w = img.shape
+    g = int(np.sqrt(dim))
+    ys = np.linspace(0, h, g + 1, dtype=int)
+    xs = np.linspace(0, w, g + 1, dtype=int)
+    out = np.empty(dim, dtype=np.float32)
+    k = 0
+    for i in range(g):
+        for j in range(g):
+            block = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+            out[k] = float(block.mean()) / 255.0 if block.size else 0.0
+            k += 1
+    return out
+
+
+def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """mapInPandas decode + feature extraction with per-row fault
+    isolation (the reference's per-feature try/except-and-continue,
+    proc_functions.sql:48-52, as decode_ok/decode_err columns)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    if r.kind != "image":
+                        raise ValueError(f"no decoder for kind={r.kind}")
+                    img = _decode_image_bytes(bytes(r.payload))
+                    feat = _grid_features(img)
+                    rows.append((r.media_id, r.kind,
+                                 [float(x) for x in feat], True, None))
+                except (ValueError, NotImplementedError) as e:
+                    rows.append((r.media_id, r.kind, None, False, str(e)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "feature",
+                               "decode_ok", "decode_err"])
+
+    cols = ["media_id", "kind", "payload"]
+    return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def dedupe_by_content(media: DataFrame) -> DataFrame:
+    """Content-hash dedup before decode: identical payloads decode once.
+    At 100 TB this is the single biggest decode-cost saver."""
+    hashed = media.withColumn("content_hash", F.sha2(F.col("payload"), 256))
+    w_first = F.min(F.struct("media_id", "url")).alias("canonical")
+    groups = hashed.groupBy("content_hash").agg(
+        w_first, F.count(F.lit(1)).alias("n_copies"))
+    return groups.select(
+        "content_hash",
+        F.col("canonical.media_id").alias("canonical_media_id"),
+        "n_copies",
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms)
+    derived from metadata — the distributed work list a real frame
+    extractor would consume (codec stubbed)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def synth_media_df(spark, n_images: int = 50, n_videos: int = 10) -> DataFrame:
+    """Deterministic fixture media table (seeded fake payloads)."""
+    rows = []
+    for i in range(n_images):
+        payload = encode_fake_image(32 + (i % 3) * 16, 32, seed=i % 7)
+        rows.append((
+            f"img{i:04d}", f"https://media.example/img/{i}", "image",
+            "image/fake", payload,
+            {"width": 32 + (i % 3) * 16, "height": 32, "duration_ms": None},
+        ))
+    # a corrupt payload to exercise error routing
+    rows.append(("imgBAD", "https://media.example/img/bad", "image",
+                 "image/fake", b"NOTFAKE123",
+                 {"width": None, "height": None, "duration_ms": None}))
+    for i in range(n_videos):
+        rows.append((
+            f"vid{i:04d}", f"https://media.example/vid/{i}", "video",
+            "video/fake", hashlib.sha256(str(i).encode()).digest(),
+            {"width": 640, "height": 360, "duration_ms": 3000 + i * 500},
+        ))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -76,14 +76,12 @@ def run_pipeline(
     )
 
     def build_ingest() -> DataFrame:
-        extracted = textx.with_extracted_text(pages)
-        # byte-identity is an invariant, not a cleaning step: violations
-        # are routed out (kept observable), never silently fixed
-        ok = extracted.filter(
-            F.col("text_extracted").eqNullSafe(F.col("text"))
-        ).drop("text_extracted")
-        geo = textx.with_geocode(ok)
-        return with_cell(geo).drop("html")  # html no longer needed downstream
+        # fused Arrow kernel: byte-identity verify + geocode in one
+        # Python pass; violations are routed out (observable via lineage
+        # row counts), never silently fixed
+        ing = textx.with_ingest(pages)
+        ok = ing.filter(F.col("text_ok")).drop("text_ok")
+        return with_cell(ok).drop("html")  # html no longer needed downstream
 
     def build_assign() -> DataFrame:
         # keep_unmatched=False: matched-only fast path (single groupBy, no

@@ -59,6 +59,48 @@ def geocode_udf(text: pd.Series) -> pd.DataFrame:
     )
 
 
+_INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("text_ok", T.BooleanType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_INGEST_SCHEMA)
+def ingest_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Fused ingest kernel: byte-identity verification + geocode parse in
+    ONE Arrow round-trip.
+
+    Chaining separate pandas UDFs costs one Python worker pass each per
+    task (JVM->py->JVM->py), which oversubscribes cores at high
+    parallelism; the fused kernel is the hot-path form (the standalone
+    extract_text_udf / geocode_udf remain the tested reference kernels
+    and feed the same assertions).
+    """
+    extracted = html.str[_PRE_LEN:-_POST_LEN].str.decode("utf-8")
+    ok = extracted.eq(text) & extracted.notna()
+    ext = text.str.extract(GEO_RE)
+    return pd.DataFrame(
+        {
+            "text_ok": ok,
+            "lat": pd.to_numeric(ext[0], errors="coerce"),
+            "lon": pd.to_numeric(ext[1], errors="coerce"),
+        }
+    )
+
+
+def with_ingest(df, html_col: str = "html", text_col: str = "text"):
+    """Hot-path ingest: adds text_ok/lat/lon via the fused kernel."""
+    g = ingest_udf(F.col(html_col), F.col(text_col))
+    return (
+        df.withColumn("_ing", g)
+        .select("*", "_ing.text_ok", "_ing.lat", "_ing.lon")
+        .drop("_ing")
+    )
+
+
 def with_extracted_text(df, html_col: str = "html", out_col: str = "text_extracted"):
     return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
 

@@ -1,0 +1,87 @@
+"""ANN tests: brute-force baseline exactness (vs numpy), LSH top-k
+recall, signature determinism — over the driver embeddings table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from posmspark import ann
+
+SF_DIR = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries_pdf(vectors):
+    rows = vectors.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    return pd.DataFrame(
+        {
+            "query_id": [str(r["vec_id"]) for r in rows],
+            "embedding": [np.array(r["embedding"], dtype=np.float64) for r in rows],
+        }
+    )
+
+
+def test_brute_force_matches_numpy(spark, vectors, queries_pdf):
+    out = ann.brute_force_topk(vectors, queries_pdf, k=5, spark=spark)
+    got = {r["vec_id"]: r["topk"] for r in out.collect()}
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in vectors.collect()}
+    qm = ann._normalize(np.vstack(queries_pdf["embedding"].to_numpy()))
+    for vid in list(got)[:20]:
+        v = emb[vid] / np.linalg.norm(emb[vid])
+        sims = qm @ v
+        order = sorted(range(len(sims)),
+                       key=lambda i: (-sims[i], queries_pdf["query_id"][i]))[:5]
+        exp = [queries_pdf["query_id"][i] for i in order]
+        assert [e["query_id"] for e in got[vid]] == exp
+        for e, i in zip(got[vid], order):
+            assert e["cos_sim"] == pytest.approx(sims[i], rel=1e-9)
+
+
+def test_lsh_signature_deterministic(spark, vectors):
+    s1 = ann.with_lsh_signature(vectors, spark, DIM).select("vec_id", "lsh_sig")
+    s2 = ann.with_lsh_signature(vectors, spark, DIM).select("vec_id", "lsh_sig")
+    assert s1.exceptAll(s2).count() == 0
+    nbuckets = s1.select("lsh_sig").distinct().count()
+    assert nbuckets > 10  # spreads across buckets
+
+
+def test_lsh_topk_recall(spark, vectors, queries_pdf):
+    """LSH top-k (multiprobe Hamming-1) must recall most of the exact
+    top-k — the standard ANN quality gate."""
+    k = 10
+    lsh = ann.lsh_topk(vectors, queries_pdf, k=k, spark=spark, dim=DIM,
+                       n_planes=8)
+    got = {}
+    for r in lsh.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    # exact reference by numpy
+    rows = vectors.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = ann._normalize(np.vstack([r["embedding"] for r in rows]).astype(np.float64))
+    qm = ann._normalize(np.vstack(queries_pdf["embedding"].to_numpy()))
+    recalls = []
+    for qi, qid in enumerate(queries_pdf["query_id"]):
+        sims = m @ qm[qi]
+        top = set(ids[np.argsort(-sims)[:k]].tolist())
+        recalls.append(len(got.get(qid, set()) & top) / k)
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_lsh_candidates_bounded(spark, vectors, queries_pdf):
+    """The scale property: LSH candidates are a small fraction of N x Q
+    (never a cross join)."""
+    n = vectors.count()
+    vecs = ann.with_lsh_signature(vectors, spark, DIM, n_planes=8)
+    sig_counts = vecs.groupBy("lsh_sig").count()
+    biggest = sig_counts.agg(F.max("count")).collect()[0][0]
+    assert biggest < n * 0.25

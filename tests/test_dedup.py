@@ -1,0 +1,101 @@
+"""Dedup operator tests: MinHash-LSH recall vs exact Jaccard, SimHash
+bucketing correctness vs brute-force Hamming."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from posmspark import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic corpus with planted near-duplicates."""
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(120):
+        toks = list(rng.choice(vocab, size=40))
+        rows.append((i, " ".join(toks)))
+        if i % 10 == 0:  # planted near-dup: tweak 2 tokens
+            dup = list(toks)
+            dup[3] = "CHANGED"
+            dup[17] = "ALSO"
+            rows.append((1000 + i, " ".join(dup)))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    sh = dedup.shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, n_bands=16)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.verify_jaccard(cand, sh, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    planted = {(i, 1000 + i) for i in range(0, 120, 10)}
+    # every planted pair must be recalled (2/40 token change, 16 bands)
+    assert planted <= got
+    # and no absurd false positives at tau=0.5 on random 40-token docs
+    assert len(got - planted) == 0
+
+
+def test_verify_jaccard_exact_value(spark):
+    a = "a b c d e f g h"
+    b = "a b c d e f g X"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sh = dedup.shingles(df, n=2)
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup.verify_jaccard(pairs, sh, threshold=0.0).collect()
+    # 7 bigrams each, 6 shared -> J = 6/8
+    assert len(out) == 1
+    assert out[0]["jaccard"] == pytest.approx(6 / 8)
+
+
+def test_simhash_deterministic_and_sensitive(spark, docs):
+    fps1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    fps2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fps1 == fps2
+    # planted dups have small Hamming distance; random pairs large
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    planted = [(i, 1000 + i) for i in range(0, 120, 10) if 1000 + i in fps1]
+    dup_ham = [ham(fps1[a], fps1[b]) for a, b in planted]
+    rand_ham = [ham(fps1[1], fps1[k]) for k in range(2, 50) if k in fps1]
+    assert max(dup_ham) < 12
+    assert np.mean(rand_ham) > 20
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark, docs):
+    fps = dedup.simhash(docs).cache()
+    k = 10
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_pairs(fps, max_hamming=k,
+                                          n_blocks=16).collect()
+    }
+    rows = fps.collect()
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            h = bin((a["simhash"] ^ b["simhash"]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= k:
+                x, y = sorted([a["doc_id"], b["doc_id"]])
+                brute.add((x, y))
+    # pigeonhole guarantee: n_blocks(16) > max_hamming(10) -> exact recall
+    assert got == brute
+
+
+def test_hot_shingle_cap(spark):
+    """Boilerplate shingles shared by everyone are dropped before
+    banding (skew guard)."""
+    boiler = "copyright example site all rights reserved"
+    rows = [(i, boiler + f" unique token{i} tail{i} x{i} y{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(df, n=3)
+    sigs_capped = dedup.minhash_signatures(sh, n_bands=4, max_shingle_freq=10)
+    cand = dedup.lsh_candidate_pairs(sigs_capped)
+    # without the boilerplate shingles, distinct docs shouldn't collide
+    # on every band; candidate count must be far below all-pairs (1225)
+    assert cand.count() < 300

@@ -100,6 +100,21 @@ def test_pip_join_plan_is_broadcast(spark, pages, prepared):
     assert "BroadcastHashJoin" in plan
 
 
+def test_fused_ingest_matches_reference_kernels(spark, pages):
+    """with_ingest (fused hot path) must agree with the standalone
+    extract_text_udf + geocode_udf reference kernels row-for-row."""
+    fused = textx.with_ingest(pages).select("url", "text_ok", "lat", "lon")
+    sep = textx.with_geocode(textx.with_extracted_text(pages)).select(
+        "url",
+        F.col("text_extracted").eqNullSafe(F.col("text")).alias("text_ok"),
+        "lat", "lon",
+    )
+    assert fused.exceptAll(sep).count() == 0
+    assert sep.exceptAll(fused).count() == 0
+    # all synthetic pages satisfy byte identity
+    assert fused.filter(~F.col("text_ok")).count() == 0
+
+
 def test_jvm_cell_encoder_matches_numpy(spark, pages):
     """cell_column (JVM bit-twiddling) must be bit-identical to the
     numpy encoder used on the broadcast/cover side."""
