@@ -73,61 +73,87 @@ def hyperplanes(dim: int, n_planes: int, seed: int = SEED) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def _sig_udf(planes: np.ndarray, bc):
-    @pandas_udf(T.LongType())
-    def sig(emb: pd.Series) -> pd.Series:
-        pl = bc.value
-        m = np.vstack(emb.to_numpy()).astype(np.float64)
-        bits = (m @ pl.T) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(pl.shape[0], dtype=np.int64))
-        return pd.Series((bits @ weights).astype(np.int64))
+def _table_planes(dim: int, n_planes: int, n_tables: int,
+                  seed: int = SEED) -> list[np.ndarray]:
+    return [hyperplanes(dim, n_planes, seed + 7919 * t)
+            for t in range(n_tables)]
 
-    return sig
+
+def _sigs_udf(bc):
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(emb: pd.Series) -> pd.Series:
+        tables = bc.value
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        out = np.empty((len(m), len(tables)), dtype=np.int64)
+        for t, pl in enumerate(tables):
+            bits = (m @ pl.T) > 0
+            out[:, t] = bits @ (1 << np.arange(pl.shape[0], dtype=np.int64))
+        return pd.Series(list(out))
+
+    return sigs
 
 
 def with_lsh_signature(vectors: DataFrame, spark: SparkSession, dim: int,
                        n_planes: int = 12, emb_col: str = "embedding",
-                       out_col: str = "lsh_sig", seed: int = SEED) -> DataFrame:
-    """Add a signed-hyperplane LSH signature column (int64 bucket key).
+                       out_col: str = "lsh_sig", seed: int = SEED,
+                       n_tables: int = 1) -> DataFrame:
+    """Add signed-hyperplane LSH signature column(s).
 
-    At cluster scale the vectors table is written bucketed/partitioned
-    by this key, so repeated ANN queries prune to matching buckets at
-    scan time."""
-    pl = hyperplanes(dim, n_planes, seed)
-    bc = spark.sparkContext.broadcast(pl)
-    return vectors.withColumn(out_col, _sig_udf(pl, bc)(F.col(emb_col)))
+    n_tables=1 -> one int64 bucket key (at cluster scale the vectors
+    table is written bucketed/partitioned by it, so repeated ANN queries
+    prune to matching buckets at scan time). n_tables>1 -> array column
+    (one signature per table; callers posexplode into postings)."""
+    bc = spark.sparkContext.broadcast(
+        _table_planes(dim, n_planes, n_tables, seed))
+    arr = _sigs_udf(bc)(F.col(emb_col))
+    if n_tables == 1:
+        return vectors.withColumn(out_col, arr[0])
+    return vectors.withColumn(out_col, arr)
 
 
 def lsh_topk(vectors: DataFrame, queries_pdf: pd.DataFrame, k: int,
-             spark: SparkSession, dim: int, n_planes: int = 12,
+             spark: SparkSession, dim: int, n_planes: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",
-             multiprobe: bool = True, seed: int = SEED) -> DataFrame:
-    """ANN top-k via LSH bucket equi-join.
+             multiprobe: bool = True, seed: int = SEED,
+             n_tables: int = 4) -> DataFrame:
+    """ANN top-k via multi-table LSH bucket equi-join.
 
-    Query signatures (plus Hamming-1 probes) are broadcast; candidates
-    come from the signature equi-join; exact cosine re-ranks candidates;
-    row_number keeps top-k per query. Recall is tested against
-    brute_force_topk in tests/test_ann.py.
+    Standard LSH indexing: L independent tables of n_planes hyperplanes;
+    the vector side posexplodes into (table, sig) postings (the on-disk
+    analog is L posting lists / bucket-partitioned files); query probes
+    (own bucket + Hamming-1 neighbors) are broadcast; union of bucket
+    hits -> exact cosine re-rank -> top-k. Recall grows as
+    1-(1-p^n)^L while candidates stay bucket-sized — never a cross join.
+    Tested against brute_force_topk on clustered data.
     """
-    pl = hyperplanes(dim, n_planes, seed)
-    vecs = with_lsh_signature(vectors, spark, dim, n_planes, emb_col, seed=seed)
+    tables = _table_planes(dim, n_planes, n_tables, seed)
+    vecs = with_lsh_signature(vectors, spark, dim, n_planes, emb_col,
+                              seed=seed, n_tables=n_tables)
+    postings = vecs.select(
+        id_col, emb_col,
+        F.posexplode("lsh_sig").alias("table", "lsh_sig"),
+    )
 
     qm = np.vstack(queries_pdf["embedding"].to_numpy()).astype(np.float64)
-    qsig = ((qm @ pl.T) > 0) @ (1 << np.arange(n_planes, dtype=np.int64))
     probe_rows = []
-    for qi, q in queries_pdf.iterrows():
-        sigs = {int(qsig[qi])}
-        if multiprobe:
-            for b in range(n_planes):
-                sigs.add(int(qsig[qi]) ^ (1 << b))
-        for s in sigs:
-            probe_rows.append(
-                {"query_id": str(q["query_id"]), "lsh_sig": s,
-                 "q_emb": [float(x) for x in q["embedding"]]}
-            )
+    for t, pl in enumerate(tables):
+        qsig = ((qm @ pl.T) > 0) @ (1 << np.arange(n_planes, dtype=np.int64))
+        for qi in range(len(queries_pdf)):
+            q = queries_pdf.iloc[qi]
+            sigs = {int(qsig[qi])}
+            if multiprobe:
+                for b in range(n_planes):
+                    sigs.add(int(qsig[qi]) ^ (1 << b))
+            for s in sigs:
+                probe_rows.append(
+                    {"query_id": str(q["query_id"]), "table": t, "lsh_sig": s,
+                     "q_emb": [float(x) for x in q["embedding"]]}
+                )
     probes = spark.createDataFrame(pd.DataFrame(probe_rows))
 
-    cand = vecs.join(F.broadcast(probes), "lsh_sig", "inner")
+    cand = postings.join(
+        F.broadcast(probes), ["table", "lsh_sig"], "inner"
+    ).dropDuplicates(["query_id", id_col])
     dot = F.expr(
         f"aggregate(zip_with({emb_col}, q_emb,"
         " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"

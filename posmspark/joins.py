@@ -35,7 +35,12 @@ from pyspark.sql.functions import pandas_udf
 from posmspark import cells, geom
 from posmspark.synth import ADMIN_DEFAULTS
 
-COVER_RES = cells.DEFAULT_RES
+# Coarse-join resolution is decoupled from the tile resolution: the
+# cover table (broadcast side) shrinks 16x at res 10 vs res 12 while the
+# exact-PIP pass absorbs the slightly wider boundary ring — the classic
+# broadcast-size vs verify-work tradeoff. Tile cells stay at
+# cells.DEFAULT_RES (12).
+COVER_RES = 10
 
 
 # ---------------------------------------------------------------------------
@@ -75,11 +80,46 @@ class PreparedBoundaries:
     shipped through a join and they broadcast-hash-join).
     """
 
-    def __init__(self, levels_pdf, problems_pdf, polys_by_id, cover_pdf):
+    def __init__(self, levels_pdf, problems_pdf, polys_by_id, cover_pdf,
+                 cover_res: int = COVER_RES):
         self.levels_pdf = levels_pdf      # osm_id,name,name_en,adminlevel,iso3166,is_in,insert_order
         self.problems_pdf = problems_pdf  # osm_id,reason,lon,lat
         self.polys_by_id = polys_by_id    # osm_id -> list[list[ndarray]] ring arrays
         self.cover_pdf = cover_pdf        # cell,osm_id,adminlevel,full,insert_order
+        self.cover_res = cover_res
+
+    def cover_map(self) -> dict:
+        """Per-cell resolution index (cached): cell -> 3-tuple per level
+        (f_osm, partials) where f_osm is the first-match FULL entry (no
+        exact test needed) and partials lists (insert_order, osm_id) of
+        boundary-cell candidates with insert_order BELOW f_osm's — the
+        only ones that can override it under first-match semantics."""
+        if getattr(self, "_cover_map", None) is not None:
+            return self._cover_map
+        cm: dict = {}
+        cov = self.cover_pdf.sort_values("insert_order")
+        for cell, g in cov.groupby("cell"):
+            ent = []
+            for lv in (0, 1, 2):
+                gl = g[g.adminlevel == lv]
+                if len(gl) == 0:
+                    ent.append((None, ()))
+                    continue
+                full = gl[gl.full]
+                if len(full):
+                    f_row = full.iloc[0]
+                    f_osm, f_ord = f_row.osm_id, f_row.insert_order
+                else:
+                    f_osm, f_ord = None, np.inf
+                partials = tuple(
+                    (int(r.insert_order), r.osm_id)
+                    for r in gl[~gl.full].itertuples(index=False)
+                    if r.insert_order < f_ord
+                )
+                ent.append((f_osm, partials))
+            cm[int(cell)] = tuple(ent)
+        self._cover_map = cm
+        return cm
 
     def levels_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.levels_pdf)
@@ -223,7 +263,8 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
     )
     keep_polys = {k: v for k, v in polys_by_id.items()
                   if k in set(levels.osm_id)}
-    return PreparedBoundaries(levels, problems_pdf, keep_polys, cover)
+    return PreparedBoundaries(levels, problems_pdf, keep_polys, cover,
+                              cover_res)
 
 
 # ---------------------------------------------------------------------------
@@ -254,70 +295,95 @@ def _pip_verdict_udf(bc_polys):
     return verdict
 
 
+_RESOLVE_SCHEMA = T.StructType([
+    T.StructField("osm_id_l0", T.StringType()),
+    T.StructField("osm_id_l1", T.StringType()),
+    T.StructField("osm_id_l2", T.StringType()),
+])
+
+
+def _resolve_udf(bc_cover_map, bc_polys):
+    """The whole assignment as one vectorized kernel: per Arrow batch,
+    group points by coarse cell; FULL-covered levels resolve by dict
+    lookup (no geometry work); only boundary-cell candidates run the
+    exact PIP, points-vectorized per candidate polygon, in first-match
+    (insert_order) order."""
+
+    @pandas_udf(_RESOLVE_SCHEMA)
+    def resolve(lon: pd.Series, lat: pd.Series, jcell: pd.Series) -> pd.DataFrame:
+        cm = bc_cover_map.value
+        polys = bc_polys.value
+        n = len(lon)
+        out = np.full((n, 3), None, dtype=object)
+        lon_np = lon.to_numpy(dtype=np.float64)
+        lat_np = lat.to_numpy(dtype=np.float64)
+        for cell, idx in jcell.groupby(jcell, dropna=True).groups.items():
+            ent = cm.get(int(cell))
+            if ent is None:
+                continue
+            ix = np.asarray(idx)
+            for lv in (0, 1, 2):
+                f_osm, partials = ent[lv]
+                if not partials:
+                    if f_osm is not None:
+                        out[ix, lv] = f_osm
+                    continue
+                undecided = np.ones(len(ix), dtype=bool)
+                for _ord, osm in partials:  # already insert_order-sorted
+                    if not undecided.any():
+                        break
+                    sub = ix[undecided]
+                    inside = geom.points_in_multipolygon(
+                        lon_np[sub], lat_np[sub], polys[osm])
+                    if inside.any():
+                        out[sub[inside], lv] = osm
+                        rem = np.where(undecided)[0]
+                        undecided[rem[inside]] = False
+                if f_osm is not None and undecided.any():
+                    out[ix[undecided], lv] = f_osm
+        return pd.DataFrame(
+            {"osm_id_l0": out[:, 0], "osm_id_l1": out[:, 1],
+             "osm_id_l2": out[:, 2]}
+        )
+
+    return resolve
+
+
 def pip_join(points: DataFrame, prepared: PreparedBoundaries,
              spark: SparkSession, point_key: str = "url",
              keep_unmatched: bool = True) -> DataFrame:
     """Assign every point its containing admin polygon per level.
 
     points must carry (point_key, lon, lat[, cell]). Output: input
-    columns + cell + osm_id_l0/l1/l2 (+ name_en_l0.. via levels join).
+    columns + cell + osm_id_l0/l1/l2.
 
-    Plan shape (checked in tests with .explain): one scan of `points`,
-    BroadcastHashJoin on cell (map-side, skew-immune), pandas-UDF PIP
-    only on PARTIAL (boundary) cells, then ONE groupBy(point_key) whose
-    min(struct(insert_order, osm_id)) per level reproduces first-match
-    semantics with full map-side partial aggregation — no window, no
-    pivot, no join-back for matched points. Unmatched points (only if
-    requested) come from a single anti-join.
+    Plan shape: MAP-ONLY. The prepared per-cell cover map (FULL winner +
+    boundary candidates per level, SURVEY.md O11) and the prepared ring
+    arrays ship via sc.broadcast — the Spark-native form of the
+    reference's in-process R-tree + prep(geom) dict (extract.py:75-77,
+    152-155) — and one vectorized pandas UDF resolves all three levels
+    per point. No join, no shuffle, no window: the 100 TB fact table
+    streams through map tasks once, and the operator is stateless, so
+    the SAME code path serves Structured Streaming (streaming.py).
+
+    First-match semantics (first R-tree hit wins, exposm/utils.py:43-48)
+    are pinned by insert_order inside the cover map.
     """
     sc = spark.sparkContext
     bc_polys = sc.broadcast(prepared.polys_by_id)
-    cover = F.broadcast(prepared.cover_df(spark))
+    bc_cover_map = sc.broadcast(prepared.cover_map())
 
     pts = points if "cell" in points.columns else with_cell(points)
-    carry = [c for c in pts.columns if c != point_key]
-    cand = pts.join(cover, "cell", "inner")
-    verdict = _pip_verdict_udf(bc_polys)
-    # FULL cells need no exact test; a pandas UDF inside a boolean OR is
-    # still evaluated for every row, so split the paths explicitly —
-    # the Python kernel only ever sees boundary-cell candidates
-    full_hits = cand.filter(F.col("full"))
-    partial_hits = cand.filter(~F.col("full")).filter(
-        verdict(F.col("lon"), F.col("lat"), F.col("osm_id"))
+    resolve = _resolve_udf(bc_cover_map, bc_polys)
+    jcell = cells.cell_column(F.col("lon"), F.col("lat"), prepared.cover_res)
+    r = pts.withColumn("_r", resolve(F.col("lon"), F.col("lat"), jcell))
+    out = r.select("*", "_r.osm_id_l0", "_r.osm_id_l1", "_r.osm_id_l2").drop("_r")
+    if keep_unmatched:
+        return out
+    return out.filter(
+        F.col("osm_id_l0").isNotNull() | F.col("osm_id_l1").isNotNull()
+        | F.col("osm_id_l2").isNotNull()
     )
-    matched = full_hits.unionByName(partial_hits)
-    # first-match per level == min over (insert_order, osm_id) structs;
-    # min is commutative -> Catalyst runs a map-side partial aggregate,
-    # so the hot-cell skew never concentrates on one reducer
-    level_aggs = [
-        F.min(
-            F.when(F.col("adminlevel") == lv,
-                   F.struct("insert_order", "osm_id"))
-        ).alias(f"_m{lv}")
-        for lv in (0, 1, 2)
-    ]
-    carry_aggs = [F.first(c).alias(c) for c in carry]
-    assigned = (
-        matched.groupBy(point_key)
-        .agg(*carry_aggs, *level_aggs)
-        .select(
-            point_key, *carry,
-            F.col("_m0.osm_id").alias("osm_id_l0"),
-            F.col("_m1.osm_id").alias("osm_id_l1"),
-            F.col("_m2.osm_id").alias("osm_id_l2"),
-        )
-    )
-    if not keep_unmatched:
-        return assigned
-    unmatched = pts.join(
-        assigned.select(point_key), point_key, "left_anti"
-    ).select(
-        point_key, *carry,
-        F.lit(None).cast("string").alias("osm_id_l0"),
-        F.lit(None).cast("string").alias("osm_id_l1"),
-        F.lit(None).cast("string").alias("osm_id_l2"),
-    )
-    return assigned.unionByName(unmatched)
 
 
 # ---------------------------------------------------------------------------
@@ -346,6 +412,10 @@ def knn_bruteforce(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
         )
     )
 
+    # precomputed site_id string rank for the (dist, site_id) tie-break;
+    # ties MUST be broken before cutting to k (co-located sites exist)
+    id_rank = np.argsort(np.argsort([str(s) for s in site_ids]))
+
     @pandas_udf(out_schema)
     def topk(lon: pd.Series, lat: pd.Series) -> pd.Series:
         ids, sx, sy = bc.value
@@ -353,17 +423,13 @@ def knn_bruteforce(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
         la = lat.to_numpy(dtype=np.float64)
         d = geom.haversine_m(lo[:, None], la[:, None], sx[None, :], sy[None, :])
         kk = min(k, len(ids))
-        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
         rows = []
         for r in range(len(lo)):
-            idx = part[r][np.argsort(d[r, part[r]], kind="stable")]
-            # deterministic tie-break on site_id
-            order = sorted(range(len(idx)),
-                           key=lambda t: (d[r, idx[t]], str(ids[idx[t]])))
+            idx = np.lexsort((id_rank, d[r]))[:kk]  # primary dist, then id
             rows.append(
                 [
-                    {"site_id": str(ids[idx[t]]), "dist_m": float(d[r, idx[t]])}
-                    for t in order
+                    {"site_id": str(ids[i]), "dist_m": float(d[r, i])}
+                    for i in idx
                 ]
             )
         return pd.Series(rows)
@@ -398,10 +464,14 @@ def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
         "qcell", cell_udf_at(res)(F.col("lon"), F.col("lat"))
     ).filter(F.col("qcell").isNotNull())
 
-    # cell edge length lower bound (meters) at this resolution for the guarantee
+    # cell edge length lower bound (meters) for the termination guarantee.
+    # Grid cells are 2x wider (deg) in lon than lat, so width_m =
+    # 2*height_m*cos(lat) >= height_m whenever |lat| <= 60 deg — within
+    # that band the lat spacing is the true minimum cell dimension. For
+    # polar data use a finer res or a smaller bound (documented limit).
     nf = float(2**res)
     cell_h_deg = 180.0 / nf
-    min_cell_m = cell_h_deg * 111_000.0 * 0.99  # lat spacing is the tight bound
+    min_cell_m = cell_h_deg * 111_000.0 * 0.99
 
     resolved = None
     unresolved = pts

