@@ -66,7 +66,10 @@ print(json.dumps({"cpus": cpus, "wall_s": round(best, 3),
 """
 
 
-def run_at(cpus: int, n_docs: int, pages_path: str, reps: int = 3) -> dict:
+def run_at(cpus: int, n_docs: int, pages_path: str,
+           reps: int | None = None) -> dict:
+    if reps is None:
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     code = CHILD % {"repo": REPO}
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), str(n_docs), pages_path,

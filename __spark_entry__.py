@@ -180,6 +180,32 @@ def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dissolve_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark import synth
+    from posmspark.dissolve import dissolve_by_parent
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    out = dissolve_by_parent(spark, prepared, child_level=2)
+    return out.select("parent_osm_id", "n_children", "n_polys", "n_rings",
+                      F.round("area", 6).alias("area"))
+
+
+def _q_residual_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posmspark import synth
+    from posmspark.dissolve import residual_by_parent
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    out = residual_by_parent(spark, prepared, parent_level=1, child_level=2)
+    return out.select("parent_osm_id", "status", "filler_id",
+                      F.round("residual_area", 6).alias("residual_area"))
+
+
 def _q_poly_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from posmspark import sinks, synth
     from posmspark.joins import prepare_boundaries
@@ -203,6 +229,8 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": _q_multimodal_features,
     "streaming_tile_counts": _q_streaming_tile_counts,
     "poly_export": _q_poly_export,
+    "dissolve_parents": _q_dissolve_parents,
+    "residual_holes": _q_residual_holes,
 }
 
 

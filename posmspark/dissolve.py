@@ -30,6 +30,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import numpy as np
+import pandas as pd
 
 from posmspark import geom
 
@@ -339,3 +340,104 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
             new_polys.append(new_rings)
         result[oid] = new_polys
     return result
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (applyInPandas over parent groups)
+
+
+def dissolve_by_parent(spark, prepared, child_level: int):
+    """O18: rebuild each parent's geometry from its level-`child_level`
+    children — st_buildarea(st_union(...)) GROUP BY is_in
+    (proc_functions.sql:289-333) as groupBy(parent).applyInPandas.
+
+    Output: (parent_osm_id, n_children, n_polys, n_rings, area,
+    geom_wkb). The parallelism axis is parents; each group's geometry
+    work is the numpy mesh union.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(prepared.polys_by_id)
+    kids = prepared.levels_pdf.query(f"adminlevel == {child_level}")[
+        ["osm_id", "is_in"]
+    ]
+    src = spark.createDataFrame(kids)
+
+    schema = T.StructType([
+        T.StructField("parent_osm_id", T.StringType()),
+        T.StructField("n_children", T.IntegerType()),
+        T.StructField("n_polys", T.IntegerType()),
+        T.StructField("n_rings", T.IntegerType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("geom_wkb", T.BinaryType()),
+    ])
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        polys_by_id = bc.value
+        mesh = {r.osm_id: polys_by_id[r.osm_id]
+                for r in pdf.itertuples(index=False)}
+        union = dissolve_union(mesh)
+        area = sum(
+            geom.ring_area(rings[0])
+            + sum(geom.ring_area(h) for h in rings[1:])
+            for rings in union
+        )
+        return pd.DataFrame([{
+            "parent_osm_id": key[0],
+            "n_children": len(pdf),
+            "n_polys": len(union),
+            "n_rings": sum(len(r) for r in union),
+            "area": float(area),
+            "geom_wkb": geom.multipolygon_to_wkb(union),
+        }])
+
+    return src.groupBy("is_in").applyInPandas(run, schema=schema)
+
+
+def residual_by_parent(spark, prepared, parent_level: int, child_level: int):
+    """O19: ST_Difference(parent, ST_Union(children)) classification per
+    parent (proc_functions.sql:104-197): complete / childless / filler
+    rows with synthetic 'xxx'-prefixed ids (T4) and residual area."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(prepared.polys_by_id)
+    parents = prepared.levels_pdf.query(f"adminlevel == {parent_level}")[
+        ["osm_id"]]
+    kids = prepared.levels_pdf.query(f"adminlevel == {child_level}")[
+        ["osm_id", "is_in"]]
+    joined = parents.rename(columns={"osm_id": "parent_id"}).merge(
+        kids, left_on="parent_id", right_on="is_in", how="left")
+    src = spark.createDataFrame(joined[["parent_id", "osm_id"]])
+
+    schema = T.StructType([
+        T.StructField("parent_osm_id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("filler_id", T.StringType()),
+        T.StructField("residual_area", T.DoubleType()),
+    ])
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        polys_by_id = bc.value
+        parent_id = key[0]
+        child_ids = [c for c in pdf["osm_id"].tolist() if isinstance(c, str)]
+        children = {c: polys_by_id[c] for c in child_ids}
+        status, residual = residual_classify(polys_by_id[parent_id], children)
+        if status != "filler":
+            return pd.DataFrame([{
+                "parent_osm_id": parent_id, "status": status,
+                "filler_id": None, "residual_area": 0.0,
+            }])
+        rows = []
+        for i, polys in enumerate(residual):
+            rows.append({
+                "parent_osm_id": parent_id,
+                "status": "filler",
+                # 'xxx' || id synthetic filler ids (proc_functions.sql:128)
+                "filler_id": f"xxx{parent_id}_{i}",
+                "residual_area": float(abs(geom.ring_area(polys[0]))),
+            })
+        return pd.DataFrame(rows)
+
+    return src.groupBy("parent_id").applyInPandas(run, schema=schema)

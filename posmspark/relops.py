@@ -588,6 +588,23 @@ FROM part
 """
 
 
+def q_snap_to_grid(spark, sf):
+    """G12: ST_SnapToGrid(geom, 0.00005) analog as column arithmetic
+    (POSMmanagement/process.py:85-102) — here snapping price values to a
+    0.05 grid; the geometry variant is geom.snap_to_grid (unit-tested)."""
+    p = _t(spark, sf, "part")
+    snapped = F.round(F.col("p_retailprice") / 0.05) * 0.05
+    return p.select(
+        "p_partkey", F.round(snapped, 2).alias("price_snapped")
+    )
+
+
+SQL_SNAP_TO_GRID = """
+SELECT p_partkey, round(round(p_retailprice / 0.05) * 0.05, 2) AS price_snapped
+FROM part
+"""
+
+
 def q_problem_url(spark, sf):
     """T6: problem-link URL building (exposm/utils.py:118-126 format)."""
     e = _t(spark, sf, "events")
@@ -911,6 +928,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk": (q_topk, SQL_TOPK),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "snap_to_grid": (q_snap_to_grid, SQL_SNAP_TO_GRID),
     "problem_url": (q_problem_url, SQL_PROBLEM_URL),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

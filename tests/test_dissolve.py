@@ -139,3 +139,50 @@ def test_shared_edge_simplify_fixture_mesh():
     u = dissolve.dissolve_union(simp)
     assert len(u) == 1
     assert geom.multipolygon_bbox(u) == (0.0, 0.0, 12.0, 10.0)
+
+
+def test_dissolve_by_parent_spark(spark):
+    """O18 as a distributed operator: every level-1 parent rebuilt from
+    its level-2 children equals the parent's own geometry (mesh fixtures
+    tile exactly)."""
+    from posmspark.dissolve import dissolve_by_parent
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    out = {r["parent_osm_id"]: r
+           for r in dissolve_by_parent(spark, prepared, child_level=2).collect()}
+    # R1100's two children tile the 4x10 strip
+    r = out["R1100"]
+    assert r["n_children"] == 2 and r["n_polys"] == 1
+    assert abs(r["area"] - 40.0) < 1e-9
+    back = geom.wkb_to_multipolygon(bytes(r["geom_wkb"]))
+    assert geom.multipolygon_bbox(back) == (0.0, 0.0, 4.0, 10.0)
+    # Gamma-West has 3 strip children tiling 5x10
+    assert abs(out["R3100"]["area"] - 50.0) < 1e-7
+
+
+def test_residual_by_parent_spark(spark):
+    """O19 as a distributed operator: complete parents, the holed parent
+    (children tile the rect but the parent excludes its hole -> filler),
+    and childless parents classified like proc_functions.sql:104-197."""
+    from posmspark.dissolve import residual_by_parent
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    rows = residual_by_parent(spark, prepared, parent_level=1,
+                              child_level=2).collect()
+    by_parent = {}
+    for r in rows:
+        by_parent.setdefault(r["parent_osm_id"], []).append(r)
+    assert by_parent["R1100"][0]["status"] == "complete"
+    # R1101 (duplicate-coverage twin) has no children of its own
+    assert by_parent["R1101"][0]["status"] == "childless"
+    # R2100 has a hole its children cover -> residual = the hole area
+    r2100 = by_parent["R2100"]
+    assert r2100[0]["status"] == "filler"
+    assert r2100[0]["filler_id"].startswith("xxx")
+    assert abs(sum(x["residual_area"] for x in r2100) - 1.0) < 1e-9
