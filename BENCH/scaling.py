@@ -112,10 +112,28 @@ def _burn(_):
 def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2400000"))
     pages_path = f"/tmp/bench_pages_{n_docs}"
+
+    # --level N: measure one parallelism level, dump JSON, exit (lets the
+    # orchestration give each level its own time window on a noisy box)
+    if "--level" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--level") + 1])
+        r = run_at(cpus, n_docs, pages_path)
+        with open(f"/tmp/scale_{cpus}.json", "w") as f:
+            json.dump(r, f)
+        print(json.dumps(r))
+        return
+
+    def level(cpus: int) -> dict:
+        p = f"/tmp/scale_{cpus}.json"
+        if "--finalize" in sys.argv and os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return run_at(cpus, n_docs, pages_path)
+
     cal = calibrate()
-    r2 = run_at(2, n_docs, pages_path)
-    r8 = run_at(8, n_docs, pages_path)
-    r32 = run_at(32, n_docs, pages_path)
+    r2 = level(2)
+    r8 = level(8)
+    r32 = level(32)
     assert r2["n_assigned"] == r8["n_assigned"] == r32["n_assigned"]
     assert r2["n_tiles"] == r8["n_tiles"] == r32["n_tiles"]
     eff_2_8 = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4

@@ -321,6 +321,34 @@ def validity_reason(polys: list[list[np.ndarray]]):
     return True, None, None, None
 
 
+def normalize_multipolygon(polys: list[list[np.ndarray]]
+                           ) -> list[list[np.ndarray]]:
+    """Best-effort cleanup — ST_MakeValid / st_multi /
+    st_collectionextract(...,3) analog (proc_functions.sql:107-110):
+    close unclosed rings, drop degenerate (<4-point or zero-area) rings,
+    fix winding (outer CCW, holes CW), drop emptied polygons (G9/G10/G14).
+    """
+    out = []
+    for rings in polys:
+        fixed = []
+        for i, ring in enumerate(rings):
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) >= 3 and not np.allclose(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            if len(r) < 4:
+                continue
+            a = ring_area(r)
+            if a == 0.0:
+                continue
+            want_ccw = i == 0
+            if (a > 0) != want_ccw:
+                r = r[::-1].copy()
+            fixed.append(r)
+        if fixed:
+            out.append(fixed)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # distance
 

@@ -88,6 +88,30 @@ class PreparedBoundaries:
         self.cover_pdf = cover_pdf        # cell,osm_id,adminlevel,full,insert_order
         self.cover_res = cover_res
 
+    def resolve_index(self):
+        """Vectorized resolution index (cached): sorted cell array +
+        per-level FULL-winner arrays + the (small) dict of boundary
+        cells that need exact-PIP candidates. Lookup is one
+        np.searchsorted over the whole Arrow batch — Python-per-row cost
+        is O(1); geometry work only on boundary-cell points."""
+        if getattr(self, "_resolve_index", None) is not None:
+            return self._resolve_index
+        cm = self.cover_map()
+        cells_sorted = np.array(sorted(cm.keys()), dtype=np.int64)
+        f = [np.empty(len(cells_sorted), dtype=object) for _ in range(3)]
+        partials: dict[int, tuple] = {}
+        for i, c in enumerate(cells_sorted):
+            ent = cm[int(c)]
+            has_partial = False
+            for lv in range(3):
+                f[lv][i] = ent[lv][0]
+                if ent[lv][1]:
+                    has_partial = True
+            if has_partial:
+                partials[int(c)] = ent
+        self._resolve_index = (cells_sorted, f, partials)
+        return self._resolve_index
+
     def cover_map(self) -> dict:
         """Per-cell resolution index (cached): cell -> 3-tuple per level
         (f_osm, partials) where f_osm is the first-match FULL entry (no
@@ -302,45 +326,61 @@ _RESOLVE_SCHEMA = T.StructType([
 ])
 
 
-def _resolve_udf(bc_cover_map, bc_polys):
-    """The whole assignment as one vectorized kernel: per Arrow batch,
-    group points by coarse cell; FULL-covered levels resolve by dict
-    lookup (no geometry work); only boundary-cell candidates run the
-    exact PIP, points-vectorized per candidate polygon, in first-match
-    (insert_order) order."""
+def _resolve_udf(bc_index, bc_polys, cover_res: int):
+    """The whole assignment as one vectorized kernel per Arrow batch:
+
+    1. the coarse cell is computed IN numpy from lon/lat (nullable int64
+       cells would degrade to float64 across Arrow and lose the high
+       res-tag bits), then np.searchsorted maps every point to its
+       cover-map row — no per-cell Python
+    2. per-level FULL winners fancy-index straight into the output
+    3. only points in BOUNDARY cells (the small partials dict) run the
+       exact PIP, grouped per cell, points-vectorized per candidate
+       polygon, in first-match (insert_order) order
+    """
 
     @pandas_udf(_RESOLVE_SCHEMA)
-    def resolve(lon: pd.Series, lat: pd.Series, jcell: pd.Series) -> pd.DataFrame:
-        cm = bc_cover_map.value
+    def resolve(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        cells_sorted, f_levels, partials = bc_index.value
         polys = bc_polys.value
         n = len(lon)
         out = np.full((n, 3), None, dtype=object)
-        lon_np = lon.to_numpy(dtype=np.float64)
-        lat_np = lat.to_numpy(dtype=np.float64)
-        for cell, idx in jcell.groupby(jcell, dropna=True).groups.items():
-            ent = cm.get(int(cell))
-            if ent is None:
-                continue
-            ix = np.asarray(idx)
-            for lv in (0, 1, 2):
-                f_osm, partials = ent[lv]
-                if not partials:
-                    if f_osm is not None:
-                        out[ix, lv] = f_osm
-                    continue
-                undecided = np.ones(len(ix), dtype=bool)
-                for _ord, osm in partials:  # already insert_order-sorted
-                    if not undecided.any():
-                        break
-                    sub = ix[undecided]
-                    inside = geom.points_in_multipolygon(
-                        lon_np[sub], lat_np[sub], polys[osm])
-                    if inside.any():
-                        out[sub[inside], lv] = osm
-                        rem = np.where(undecided)[0]
-                        undecided[rem[inside]] = False
-                if f_osm is not None and undecided.any():
-                    out[ix[undecided], lv] = f_osm
+        lon_f = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        lat_f = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        jci = cells.encode(lon_f, lat_f, cover_res)
+        ok = jci >= 0
+        pos = np.searchsorted(cells_sorted, jci)
+        pos_c = np.clip(pos, 0, len(cells_sorted) - 1)
+        hit = ok & (cells_sorted[pos_c] == jci)
+        for lv in range(3):
+            out[hit, lv] = f_levels[lv][pos_c[hit]]
+        if partials:
+            lon_np, lat_np = lon_f, lat_f
+            hit_idx = np.nonzero(hit)[0]
+            hit_cells = jci[hit_idx]
+            # restrict to boundary cells present in this batch
+            border_mask = np.fromiter(
+                (int(c) in partials for c in hit_cells), dtype=bool,
+                count=len(hit_cells))
+            for cell in np.unique(hit_cells[border_mask]):
+                ent = partials[int(cell)]
+                ix = hit_idx[hit_cells == cell]
+                for lv in range(3):
+                    f_osm, cand = ent[lv]
+                    if not cand:
+                        continue
+                    undecided = np.ones(len(ix), dtype=bool)
+                    for _ord, osm in cand:  # insert_order-sorted
+                        if not undecided.any():
+                            break
+                        sub = ix[undecided]
+                        inside = geom.points_in_multipolygon(
+                            lon_np[sub], lat_np[sub], polys[osm])
+                        if inside.any():
+                            out[sub[inside], lv] = osm
+                            rem = np.where(undecided)[0]
+                            undecided[rem[inside]] = False
+                    # losers keep the FULL winner already written (f_osm)
         return pd.DataFrame(
             {"osm_id_l0": out[:, 0], "osm_id_l1": out[:, 1],
              "osm_id_l2": out[:, 2]}
@@ -371,12 +411,11 @@ def pip_join(points: DataFrame, prepared: PreparedBoundaries,
     """
     sc = spark.sparkContext
     bc_polys = sc.broadcast(prepared.polys_by_id)
-    bc_cover_map = sc.broadcast(prepared.cover_map())
+    bc_index = sc.broadcast(prepared.resolve_index())
 
     pts = points if "cell" in points.columns else with_cell(points)
-    resolve = _resolve_udf(bc_cover_map, bc_polys)
-    jcell = cells.cell_column(F.col("lon"), F.col("lat"), prepared.cover_res)
-    r = pts.withColumn("_r", resolve(F.col("lon"), F.col("lat"), jcell))
+    resolve = _resolve_udf(bc_index, bc_polys, prepared.cover_res)
+    r = pts.withColumn("_r", resolve(F.col("lon"), F.col("lat")))
     out = r.select("*", "_r.osm_id_l0", "_r.osm_id_l1", "_r.osm_id_l2").drop("_r")
     if keep_unmatched:
         return out

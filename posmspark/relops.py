@@ -575,6 +575,7 @@ def q_string_funcs(spark, sf):
         F.format_string("%.2f", F.col("p_retailprice")).alias("price_fmt"),
         F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
         F.substring("p_type", 1, 4).alias("type4"),
+        F.lower("p_type").alias("type_lc"),
     )
 
 
@@ -583,7 +584,8 @@ SELECT p_partkey, upper(p_name) AS name_uc,
        printf('%.6E', p_retailprice) AS price_sci,
        printf('%.2f', p_retailprice) AS price_fmt,
        regexp_extract(p_brand, '(\\d+)', 1) AS brand_num,
-       substring(p_type, 1, 4) AS type4
+       substring(p_type, 1, 4) AS type4,
+       lower(p_type) AS type_lc
 FROM part
 """
 
@@ -626,6 +628,34 @@ FROM events WHERE event_type = 'error'
 
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / text stats / similarity (north-rule additions)
+
+
+def q_rand_indicators(spark, sf):
+    """O21/T11: demo indicator generation (create_demodata.py:12-43) as
+    seeded DETERMINISTIC pseudo-randoms (md5-derived uniforms) so the
+    oracle can reproduce them bit-for-bit."""
+    n = _t(spark, sf, "nation")
+
+    def u(col, salt):
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 12),
+                   16, 10).cast("long")
+        return F.round(h % 1000000 / 1000000.0, 6)
+
+    return n.select(
+        F.col("n_name").alias("name"),
+        u(F.col("n_name"), "a|").alias("factor_a"),
+        u(F.col("n_name"), "b|").alias("factor_b"),
+    )
+
+
+SQL_RAND_INDICATORS = """
+SELECT n_name AS name,
+       round(CAST('0x' || substring(md5('a|' || n_name), 1, 12) AS BIGINT)
+             % 1000000 / 1000000.0, 6) AS factor_a,
+       round(CAST('0x' || substring(md5('b|' || n_name), 1, 12) AS BIGINT)
+             % 1000000 / 1000000.0, 6) AS factor_b
+FROM nation
+"""
 
 
 def q_dedup_exact(spark, sf):
@@ -930,6 +960,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
     "snap_to_grid": (q_snap_to_grid, SQL_SNAP_TO_GRID),
     "problem_url": (q_problem_url, SQL_PROBLEM_URL),
+    "rand_indicators": (q_rand_indicators, SQL_RAND_INDICATORS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "lang_quality": (q_lang_quality, SQL_LANG_QUALITY),

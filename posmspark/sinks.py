@@ -133,6 +133,33 @@ def geojson_feature_df(spark: SparkSession, prepared) -> DataFrame:
     )
 
 
+def read_geojson_features(spark: SparkSession, df: DataFrame) -> "pd.DataFrame":
+    """GeoJSON source (S4, exposm/reader.py:95-97 analog): parse Feature
+    JSON rows back into the boundary input shape (osm_id, name, name_en,
+    adminlevel, is_in, rings) — round-trips geojson_feature_df."""
+    import json
+
+    rows = []
+    for r in df.select("feature_json").collect():
+        feat = json.loads(r["feature_json"])
+        props = feat["properties"]
+        polys = [
+            [np.asarray(ring, dtype=np.float64) for ring in poly]
+            for poly in feat["geometry"]["coordinates"]
+        ]
+        rows.append(
+            {
+                "osm_id": props["osm_id"],
+                "name": props.get("name"),
+                "name_en": props.get("name_en"),
+                "adminlevel": props.get("adminlevel"),
+                "is_in": props.get("is_in"),
+                "geom_wkb": geom.multipolygon_to_wkb(polys),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
     """S8/O10 level fan-out as ONE partitioned write (no 10 passes)."""
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)

@@ -144,3 +144,17 @@ def test_haversine_known_distance():
     d = geom.haversine_m(0.0, 0.0, 0.0, 1.0)
     assert 110_000 < float(d) < 112_500
     assert float(geom.haversine_m(12.0, 34.0, 12.0, 34.0)) == 0.0
+
+
+def test_normalize_multipolygon():
+    """G9/G10/G14: close rings, drop degenerates, fix winding."""
+    unclosed = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    cw_outer = SQUARE[::-1].copy()          # outer wound CW (wrong)
+    ccw_hole = HOLE[::-1].copy()            # hole wound CCW (wrong)
+    degenerate = np.array([[9.0, 9.0], [9.0, 9.0], [9.0, 9.0], [9.0, 9.0]])
+    out = geom.normalize_multipolygon(
+        [[unclosed], [cw_outer, ccw_hole], [degenerate]])
+    assert len(out) == 2  # degenerate polygon dropped entirely
+    np.testing.assert_array_equal(out[0][0][0], out[0][0][-1])  # closed
+    assert geom.ring_area(out[1][0]) > 0      # outer CCW
+    assert geom.ring_area(out[1][1]) < 0      # hole CW

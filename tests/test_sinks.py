@@ -98,3 +98,18 @@ def test_partitioned_fanout(spark, prepared, tmp_path):
     assert dirs == ["adminlevel=0", "adminlevel=1", "adminlevel=2"]
     back = spark.read.parquet(str(tmp_path / "levels"))
     assert back.count() == len(prepared.levels_pdf)
+
+
+def test_geojson_roundtrip_reader(spark, prepared):
+    """S4 GeoJSON source: features written by geojson_feature_df parse
+    back to the identical boundary rows (id/props/WKB)."""
+    df = sinks.geojson_feature_df(spark, prepared)
+    back = sinks.read_geojson_features(spark, df)
+    assert set(back.osm_id) == set(prepared.levels_pdf.osm_id)
+    for r in back.itertuples(index=False):
+        orig = prepared.polys_by_id[r.osm_id]
+        got = geom.wkb_to_multipolygon(r.geom_wkb)
+        assert len(got) == len(orig)
+        for a, b in zip(got, orig):
+            for ra, rb in zip(a, b):
+                np.testing.assert_allclose(ra, rb)
