@@ -386,7 +386,10 @@ def _resolve_udf(bc_index, bc_polys, cover_res: int):
              "osm_id_l2": out[:, 2]}
         )
 
-    return resolve
+    # non-deterministic marker (it IS deterministic): prevents Catalyst
+    # from duplicating the kernel into a pushed-down Filter + Project
+    # pair (two ArrowEvalPython nodes = the whole PIP runs twice)
+    return resolve.asNondeterministic()
 
 
 def pip_join(points: DataFrame, prepared: PreparedBoundaries,

@@ -76,12 +76,11 @@ def run_pipeline(
     )
 
     def build_ingest() -> DataFrame:
-        # fused Arrow kernel: byte-identity verify + geocode in one
-        # Python pass; violations are routed out (observable via lineage
-        # row counts), never silently fixed
+        # fused Arrow kernel: byte-identity verify + geocode + cell in
+        # one Python pass; violations are routed out (observable via
+        # lineage row counts), never silently fixed
         ing = textx.with_ingest(pages)
-        ok = ing.filter(F.col("text_ok")).drop("text_ok")
-        return with_cell(ok).drop("html")  # html no longer needed downstream
+        return ing.filter(F.col("text_ok")).drop("text_ok", "html")
 
     def build_assign() -> DataFrame:
         # keep_unmatched=False: matched-only fast path (single groupBy, no

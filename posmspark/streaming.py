@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from posmspark import textx
-from posmspark.joins import PreparedBoundaries, pip_join, with_cell
+from posmspark.joins import PreparedBoundaries, pip_join
 
 
 def transform_pages(pages: DataFrame, prepared: PreparedBoundaries,
@@ -29,7 +29,7 @@ def transform_pages(pages: DataFrame, prepared: PreparedBoundaries,
     Identical semantics to pipeline.run_pipeline's ingest+assign stages.
     """
     ok = textx.with_ingest(pages).filter(F.col("text_ok")).drop("text_ok")
-    pts = with_cell(ok).filter(F.col("lat").isNotNull()).select(
+    pts = ok.filter(F.col("lat").isNotNull()).select(
         "url", "warc_ts", "lang", "lon", "lat", "cell"
     )
     return pip_join(pts, prepared, spark, keep_unmatched=False)

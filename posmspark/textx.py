@@ -64,39 +64,56 @@ _INGEST_SCHEMA = T.StructType(
         T.StructField("text_ok", T.BooleanType()),
         T.StructField("lat", T.DoubleType()),
         T.StructField("lon", T.DoubleType()),
+        T.StructField("cell", T.LongType()),
     ]
 )
 
 
 @pandas_udf(_INGEST_SCHEMA)
 def ingest_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
-    """Fused ingest kernel: byte-identity verification + geocode parse in
-    ONE Arrow round-trip.
+    """Fused ingest kernel: byte-identity verification + geocode parse +
+    tile-cell encode in ONE Arrow round-trip.
 
     Chaining separate pandas UDFs costs one Python worker pass each per
     task (JVM->py->JVM->py), which oversubscribes cores at high
     parallelism; the fused kernel is the hot-path form (the standalone
-    extract_text_udf / geocode_udf remain the tested reference kernels
-    and feed the same assertions).
+    extract_text_udf / geocode_udf / cell_udf remain the tested
+    reference kernels and feed the same assertions).
     """
+    import numpy as np
+
+    from posmspark import cells
+
     extracted = html.str[_PRE_LEN:-_POST_LEN].str.decode("utf-8")
     ok = extracted.eq(text) & extracted.notna()
     ext = text.str.extract(GEO_RE)
+    lat = pd.to_numeric(ext[0], errors="coerce")
+    lon = pd.to_numeric(ext[1], errors="coerce")
+    cell = cells.encode(lon.to_numpy(dtype=np.float64, na_value=np.nan),
+                        lat.to_numpy(dtype=np.float64, na_value=np.nan))
     return pd.DataFrame(
         {
             "text_ok": ok,
-            "lat": pd.to_numeric(ext[0], errors="coerce"),
-            "lon": pd.to_numeric(ext[1], errors="coerce"),
+            "lat": lat,
+            "lon": lon,
+            "cell": pd.Series(cell).where(pd.Series(cell) >= 0).astype("Int64"),
         }
     )
 
 
+# Deliberately marked non-deterministic (it IS deterministic): this stops
+# Catalyst from (a) duplicating the UDF into both a pushed-down Filter and
+# the downstream Project (observed: two ArrowEvalPython nodes = the whole
+# kernel runs twice) and (b) re-ordering it below other operators.
+ingest_udf = ingest_udf.asNondeterministic()
+
+
 def with_ingest(df, html_col: str = "html", text_col: str = "text"):
-    """Hot-path ingest: adds text_ok/lat/lon via the fused kernel."""
+    """Hot-path ingest: adds text_ok/lat/lon/cell via the fused kernel."""
     g = ingest_udf(F.col(html_col), F.col(text_col))
     return (
         df.withColumn("_ing", g)
-        .select("*", "_ing.text_ok", "_ing.lat", "_ing.lon")
+        .select("*", "_ing.text_ok", "_ing.lat", "_ing.lon", "_ing.cell")
         .drop("_ing")
     )
 
