@@ -49,11 +49,14 @@ COVER_RES = 10
 
 @pandas_udf(T.LongType())
 def cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """Vectorized numpy cell encoder (null coords -> null cell)."""
+    """Vectorized numpy cell encoder (null coords -> null cell).
+
+    Nullability via masked IntegerArray — Series.where would cast to
+    float64 and silently destroy the id's low Morton bits (cell ids
+    exceed float64's 53-bit mantissa)."""
     out = cells.encode(lon.to_numpy(dtype=np.float64, na_value=np.nan),
                        lat.to_numpy(dtype=np.float64, na_value=np.nan))
-    s = pd.Series(out)
-    return s.where(s >= 0, other=pd.NA).astype("Int64")
+    return pd.Series(pd.arrays.IntegerArray(out, mask=(out < 0)))
 
 
 def with_cell(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
@@ -586,8 +589,8 @@ def cell_udf_at(res: int):
     def _u(lon: pd.Series, lat: pd.Series) -> pd.Series:
         out = cells.encode(lon.to_numpy(dtype=np.float64, na_value=np.nan),
                            lat.to_numpy(dtype=np.float64, na_value=np.nan), res)
-        s = pd.Series(out)
-        return s.where(s >= 0, other=pd.NA).astype("Int64")
+        # masked IntegerArray, never a float64 detour (mantissa too small)
+        return pd.Series(pd.arrays.IntegerArray(out, mask=(out < 0)))
 
     return _u
 

@@ -91,12 +91,15 @@ def ingest_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
     lon = pd.to_numeric(ext[1], errors="coerce")
     cell = cells.encode(lon.to_numpy(dtype=np.float64, na_value=np.nan),
                         lat.to_numpy(dtype=np.float64, na_value=np.nan))
+    # nullable Int64 WITHOUT a float64 detour: cell ids use the high
+    # mantissa bits, float64 would silently collapse distinct cells
+    cell_arr = pd.arrays.IntegerArray(cell, mask=(cell < 0))
     return pd.DataFrame(
         {
             "text_ok": ok,
             "lat": lat,
             "lon": lon,
-            "cell": pd.Series(cell).where(pd.Series(cell) >= 0).astype("Int64"),
+            "cell": cell_arr,
         }
     )
 

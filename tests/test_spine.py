@@ -106,11 +106,16 @@ def test_pip_join_plan_is_map_only(spark, pages, prepared):
 def test_fused_ingest_matches_reference_kernels(spark, pages):
     """with_ingest (fused hot path) must agree with the standalone
     extract_text_udf + geocode_udf reference kernels row-for-row."""
-    fused = textx.with_ingest(pages).select("url", "text_ok", "lat", "lon")
-    sep = textx.with_geocode(textx.with_extracted_text(pages)).select(
+    from posmspark.joins import cell_udf
+
+    fused = textx.with_ingest(pages).select("url", "text_ok", "lat", "lon",
+                                            "cell")
+    sep0 = textx.with_geocode(textx.with_extracted_text(pages))
+    sep = sep0.select(
         "url",
         F.col("text_extracted").eqNullSafe(F.col("text")).alias("text_ok"),
         "lat", "lon",
+        cell_udf(F.col("lon"), F.col("lat")).alias("cell"),
     )
     assert fused.exceptAll(sep).count() == 0
     assert sep.exceptAll(fused).count() == 0
