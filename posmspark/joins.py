@@ -96,23 +96,55 @@ class PreparedBoundaries:
         per-level FULL-winner arrays + the (small) dict of boundary
         cells that need exact-PIP candidates. Lookup is one
         np.searchsorted over the whole Arrow batch — Python-per-row cost
-        is O(1); geometry work only on boundary-cell points."""
+        is O(1); geometry work only on boundary-cell points.
+
+        Built with pure numpy (unique/searchsorted) — a per-cell pandas
+        groupby here was a 16-second serial driver stage per run.
+        """
         if getattr(self, "_resolve_index", None) is not None:
             return self._resolve_index
-        cm = self.cover_map()
-        cells_sorted = np.array(sorted(cm.keys()), dtype=np.int64)
-        f = [np.empty(len(cells_sorted), dtype=object) for _ in range(3)]
-        partials: dict[int, tuple] = {}
-        for i, c in enumerate(cells_sorted):
-            ent = cm[int(c)]
-            has_partial = False
-            for lv in range(3):
-                f[lv][i] = ent[lv][0]
-                if ent[lv][1]:
-                    has_partial = True
-            if has_partial:
-                partials[int(c)] = ent
-        self._resolve_index = (cells_sorted, f, partials)
+        cov = self.cover_pdf.sort_values(["cell", "insert_order"],
+                                         kind="stable")
+        c_arr = cov["cell"].to_numpy(dtype=np.int64)
+        lvl = cov["adminlevel"].to_numpy(dtype=np.int64)
+        full = cov["full"].to_numpy(dtype=bool)
+        order = cov["insert_order"].to_numpy(dtype=np.int64)
+        osm = cov["osm_id"].to_numpy(dtype=object)
+
+        cells_sorted = np.unique(c_arr)
+        n = len(cells_sorted)
+        f = [np.full(n, None, dtype=object) for _ in range(3)]
+        f_ord = [np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                 for _ in range(3)]
+        for lv in range(3):
+            m = (lvl == lv) & full
+            if m.any():
+                cs, first = np.unique(c_arr[m], return_index=True)
+                pos = np.searchsorted(cells_sorted, cs)
+                f[lv][pos] = osm[m][first]
+                f_ord[lv][pos] = order[m][first]
+
+        # boundary candidates: partial rows with insert_order below the
+        # FULL winner's (only those can override under first-match)
+        partials: dict[int, list] = {}
+        for lv in range(3):
+            m = (lvl == lv) & ~full
+            if not m.any():
+                continue
+            cs = c_arr[m]
+            pos = np.searchsorted(cells_sorted, cs)
+            keep = order[m] < f_ord[lv][pos]
+            for cell, od, oid in zip(cs[keep], order[m][keep], osm[m][keep]):
+                ent = partials.setdefault(int(cell), [[], [], []])
+                ent[lv].append((int(od), oid))
+        # final shape: cell -> 3-tuple of (f_osm, tuple(sorted partials))
+        pmap = {}
+        for cell, lists in partials.items():
+            i = int(np.searchsorted(cells_sorted, cell))
+            pmap[cell] = tuple(
+                (f[lv][i], tuple(sorted(lists[lv]))) for lv in range(3)
+            )
+        self._resolve_index = (cells_sorted, f, pmap)
         return self._resolve_index
 
     def cover_map(self) -> dict:
