@@ -1,0 +1,84 @@
+"""Physical-plan shape tests — the scale properties the engine promises
+(SURVEY.md §4): predicate pushdown reaches the parquet scan, dimension
+joins broadcast, the PIP assignment is shuffle-free, aggregations use
+map-side partial aggregation, and salted exact-distinct matches plain
+count-distinct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from posmspark import synth, tiles
+from posmspark.relops import q_hierarchy_join, q_scan_filter_project
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q_scan_filter_project(spark, SF)
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [" in scan
+    assert "l_quantity" in scan.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning(spark):
+    df = q_scan_filter_project(spark, SF)
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    # ReadSchema must not include unused wide columns
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    df = q_hierarchy_join(spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_prejoin_is_shuffle_free(spark):
+    """ingest -> PIP assignment: zero Exchange; the ONLY shuffle in the
+    whole flagship job is the tile aggregation."""
+    from posmspark.pipeline import default_prepared
+    from posmspark.joins import pip_join
+
+    pages = synth.pages_df(spark, 100)
+    from posmspark import textx
+
+    ok = textx.with_ingest(pages).filter(F.col("text_ok")).drop("text_ok", "html")
+    pts = ok.filter(F.col("lat").isNotNull()).select(
+        "url", "warc_ts", "lang", "lon", "lat", "cell")
+    assigned = pip_join(pts, default_prepared(), spark, keep_unmatched=False)
+    assert "Exchange" not in _plan(assigned)
+    tile_plan = _plan(tiles.cell_admin_tile_stats(assigned))
+    assert tile_plan.count("Exchange") <= 2  # AQE may stage the agg exchange
+
+
+def test_partial_aggregation_map_side(spark):
+    """groupBy aggregates must show partial_ functions before the
+    exchange (map-side combine)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _plan(agg)
+    assert "partial_sum" in plan
+
+
+def test_salted_exact_distinct_matches_plain(spark):
+    pages = synth.pages_df(spark, 5000)
+    from posmspark import textx
+    from posmspark.joins import pip_join
+    from posmspark.pipeline import default_prepared
+
+    ok = textx.with_ingest(pages).filter(
+        F.col("text_ok") & F.col("lat").isNotNull()
+    ).select("url", "lon", "lat", "cell")
+    assigned = pip_join(ok, default_prepared(), spark, keep_unmatched=False)
+    salted = tiles.salted_exact_distinct(
+        assigned, "osm_id_l0", "url").collect()
+    plain = assigned.groupBy("osm_id_l0").agg(
+        F.countDistinct("url").alias("distinct_count")).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
