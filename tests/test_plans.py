@@ -82,3 +82,30 @@ def test_salted_exact_distinct_matches_plain(spark):
     plain = assigned.groupBy("osm_id_l0").agg(
         F.countDistinct("url").alias("distinct_count")).collect()
     assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key sort-merge-join with ZERO
+    Exchange — the layout for repeatedly-joined 100 TB fact tables."""
+    from posmspark import sinks
+
+    # warehouse.dir is a static conf; the default spark-warehouse/ under
+    # the session's working dir is fine for a managed-table round trip
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        sinks.write_bucketed(orders, "orders_b", "o_orderkey", 8)
+        sinks.write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b", "o_orderkey", 8)
+        j = spark.table("orders_b").join(spark.table("lineitem_b"),
+                                         "o_orderkey")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
