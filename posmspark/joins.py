@@ -1,26 +1,27 @@
-"""Spatial joins: broadcast point-in-polygon and cell-ring kNN.
+"""Spatial joins: map-only broadcast point-in-polygon and cell-ring kNN.
 
 Re-expresses the reference's three sequential full-input passes
 (/root/reference/extractor/extract.py:92,180,274 — countries, states,
 counties, each rebuilding an R-tree + prepared-geometry dict) as ONE
-scan of the fact table plus broadcast joins:
+scan of the fact table with a broadcast prepared index:
 
-  pages --geocode--> (lon,lat) --cell encode--> cell
-        --broadcast equi-join on cell vs polygon cover-->
-        --exact numpy PIP only on PARTIAL (boundary) cells-->
-        --first-match tie-break (row_number over insert_order)-->
+  pages --fused ingest (byte-identity + geocode + cell)-->
+        --resolve kernel: searchsorted cell lookup, FULL cells decide
+          instantly, boundary cells run exact numpy PIP in
+          first-match (insert_order) order--> (osm_id_l0, l1, l2)
 
-The build side (admin polygons) is a small dimension: prepared edge
-arrays are broadcast once (sc.broadcast) exactly like the reference's
-in-process `prep(geom)` dict (extract.py:152-155), but shared by every
-executor instead of one Python loop. The probe side never shuffles:
-broadcast-hash-join + pandas UDF means the 100 TB fact table streams
-through map tasks only.
+The build side (admin polygons) is a small dimension: the per-cell
+cover map (FULL winner + ordered boundary candidates per level) and the
+prepared ring arrays ship via sc.broadcast — the Spark-native form of
+the reference's in-process R-tree + prep(geom) dict
+(extract.py:75-77,152-155). Assignment is STATELESS and shuffle-free:
+the 100 TB fact table streams through map tasks only, and the identical
+code path serves Structured Streaming.
 
 First-match semantics: the reference returns the FIRST R-tree candidate
 that contains the point (exposm/utils.py:43-48), which depends on
-insertion order; we pin that with an explicit `insert_order` priority
-column and row_number() == 1.
+insertion order; we pin that with an explicit insert_order priority
+inside the cover map.
 """
 
 from __future__ import annotations
@@ -146,39 +147,6 @@ class PreparedBoundaries:
             )
         self._resolve_index = (cells_sorted, f, pmap)
         return self._resolve_index
-
-    def cover_map(self) -> dict:
-        """Per-cell resolution index (cached): cell -> 3-tuple per level
-        (f_osm, partials) where f_osm is the first-match FULL entry (no
-        exact test needed) and partials lists (insert_order, osm_id) of
-        boundary-cell candidates with insert_order BELOW f_osm's — the
-        only ones that can override it under first-match semantics."""
-        if getattr(self, "_cover_map", None) is not None:
-            return self._cover_map
-        cm: dict = {}
-        cov = self.cover_pdf.sort_values("insert_order")
-        for cell, g in cov.groupby("cell"):
-            ent = []
-            for lv in (0, 1, 2):
-                gl = g[g.adminlevel == lv]
-                if len(gl) == 0:
-                    ent.append((None, ()))
-                    continue
-                full = gl[gl.full]
-                if len(full):
-                    f_row = full.iloc[0]
-                    f_osm, f_ord = f_row.osm_id, f_row.insert_order
-                else:
-                    f_osm, f_ord = None, np.inf
-                partials = tuple(
-                    (int(r.insert_order), r.osm_id)
-                    for r in gl[~gl.full].itertuples(index=False)
-                    if r.insert_order < f_ord
-                )
-                ent.append((f_osm, partials))
-            cm[int(cell)] = tuple(ent)
-        self._cover_map = cm
-        return cm
 
     def levels_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.levels_pdf)
@@ -328,30 +296,6 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
 
 # ---------------------------------------------------------------------------
 # point-in-polygon join (fact side, fully distributed)
-
-
-def _pip_verdict_udf(bc_polys):
-    """Exact PIP verdict for (lon, lat, osm_id) candidate rows.
-
-    bc_polys: sc.broadcast({osm_id: ring-array multipolygon}). Grouped
-    by osm_id inside each Arrow batch so each polygon's edge arrays are
-    applied to all its points vectorized.
-    """
-
-    @pandas_udf(T.BooleanType())
-    def verdict(lon: pd.Series, lat: pd.Series, osm_id: pd.Series) -> pd.Series:
-        polys = bc_polys.value
-        out = np.zeros(len(lon), dtype=bool)
-        lon_np = lon.to_numpy(dtype=np.float64)
-        lat_np = lat.to_numpy(dtype=np.float64)
-        for oid, idx in osm_id.groupby(osm_id).groups.items():
-            ix = np.asarray(idx)
-            out[ix] = geom.points_in_multipolygon(
-                lon_np[ix], lat_np[ix], polys[oid]
-            )
-        return pd.Series(out)
-
-    return verdict
 
 
 _RESOLVE_SCHEMA = T.StructType([

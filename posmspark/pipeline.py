@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from posmspark import lineage, synth, textx, tiles
-from posmspark.joins import pip_join, prepare_boundaries, with_cell
+from posmspark.joins import pip_join, prepare_boundaries
 from posmspark.synth import HTML_POST, HTML_PRE
 
 

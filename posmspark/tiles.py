@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 DEFAULT_SALT = 16
 
 
-def cell_tile_stats(assigned: DataFrame, salt: int = DEFAULT_SALT) -> DataFrame:
+def cell_tile_stats(assigned: DataFrame) -> DataFrame:
     """Per-cell doc_count + exact distinct_urls, skew-safe.
 
     Two-phase: (cell, url) dedup is salted implicitly by the url hash
