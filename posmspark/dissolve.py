@@ -409,7 +409,12 @@ def residual_by_parent(spark, prepared, parent_level: int, child_level: int):
         ["osm_id", "is_in"]]
     joined = parents.rename(columns={"osm_id": "parent_id"}).merge(
         kids, left_on="parent_id", right_on="is_in", how="left")
-    src = spark.createDataFrame(joined[["parent_id", "osm_id"]])
+    # Childless parents carry NaN in osm_id after the left merge. Under a
+    # non-Arrow session createDataFrame stringifies NaN to 'nan', which
+    # would survive the isinstance(str) guard below — sanitize to None.
+    joined = joined[["parent_id", "osm_id"]].astype(object).where(
+        pd.notna(joined[["parent_id", "osm_id"]]), None)
+    src = spark.createDataFrame(joined)
 
     schema = T.StructType([
         T.StructField("parent_osm_id", T.StringType()),
@@ -421,7 +426,10 @@ def residual_by_parent(spark, prepared, parent_level: int, child_level: int):
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         polys_by_id = bc.value
         parent_id = key[0]
-        child_ids = [c for c in pdf["osm_id"].tolist() if isinstance(c, str)]
+        child_ids = [
+            c for c in pdf["osm_id"].tolist()
+            if isinstance(c, str) and c in polys_by_id
+        ]
         children = {c: polys_by_id[c] for c in child_ids}
         status, residual = residual_classify(polys_by_id[parent_id], children)
         if status != "filler":

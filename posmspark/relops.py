@@ -410,9 +410,9 @@ def q_pivot_status(spark, sf):
 
 SQL_PIVOT_STATUS = """
 SELECT n_name,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -478,7 +478,8 @@ def q_json_extract(spark, sf):
 
 
 SQL_JSON_EXTRACT = """
-SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum,
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -555,7 +556,7 @@ WITH g AS (
                    ts) > 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """
 

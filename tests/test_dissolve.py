@@ -186,3 +186,26 @@ def test_residual_by_parent_spark(spark):
     assert r2100[0]["status"] == "filler"
     assert r2100[0]["filler_id"].startswith("xxx")
     assert abs(sum(x["residual_area"] for x in r2100) - 1.0) < 1e-9
+
+
+def test_residual_by_parent_no_arrow(spark):
+    """Driver regression: under a vanilla (Arrow-disabled) session,
+    createDataFrame stringifies the left-merge NaN of childless parents
+    to 'nan' unless sanitized to None first (CORRECTNESS_r01 KeyError)."""
+    from posmspark.dissolve import residual_by_parent
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        rows = residual_by_parent(spark, prepared, parent_level=1,
+                                  child_level=2).collect()
+    finally:
+        spark.conf.set(key, prev)
+    by_parent = {r["parent_osm_id"]: r for r in rows}
+    assert by_parent["R1101"]["status"] == "childless"
+    assert by_parent["R1100"]["status"] == "complete"

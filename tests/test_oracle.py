@@ -39,6 +39,17 @@ def _rows_to_sorted(rows, colnames):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def _kind(dtype):
+    # Collapse numpy dtype kinds the way the driver's hasher distinguishes
+    # stringified cells: ints render "180", floats "180.0".
+    k = dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    return "other"
+
+
 @pytest.mark.parametrize("name", [n for n, (_, sql) in QUERIES.items() if sql])
 def test_query_matches_oracle(spark, ddb, name):
     fn, sql = QUERIES[name]
@@ -49,6 +60,19 @@ def test_query_matches_oracle(spark, ddb, name):
     rel = ddb.sql(sql)
     duck_cols = [c.lower() for c in rel.columns]
     duck_rows = rel.fetchall()
+
+    # The driver compares via pandas, where DuckDB HUGEINT (sum of INT)
+    # becomes float64 while Spark's BIGINT stays int64 — stringified cells
+    # then hash-mismatch ("180.0" vs "180") even when values are equal.
+    # Mirror that: dtype *kind* must agree per column through pandas.
+    spdf = sdf.toPandas()
+    dpdf = rel.df()
+    for c in spdf.columns:
+        cl = c.lower()
+        dc = next(d for d in dpdf.columns if d.lower() == cl)
+        assert _kind(spdf[c].dtype) == _kind(dpdf[dc].dtype), (
+            f"{name}.{c}: pandas dtype kind {spdf[c].dtype} (spark) vs "
+            f"{dpdf[dc].dtype} (oracle) — driver hasher would mismatch")
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}")
