@@ -168,7 +168,13 @@ def k_ring(cell: int, k: int) -> np.ndarray:
     ii = np.mod(ii.ravel(), n)  # lon wraps
     jj = jj.ravel()
     keep = (jj >= 0) & (jj < n)  # lat clips at poles
-    return ij_to_cell(ii[keep].astype(np.uint64), jj[keep].astype(np.uint64), res)
+    # when 2k+1 >= n the lon wrap revisits columns — dedupe on packed
+    # (i,j) or duplicate shell rows would let one site fill several
+    # top-k slots downstream (ADVICE r01).
+    packed = np.unique(
+        ii[keep].astype(np.uint64) * np.uint64(n) + jj[keep].astype(np.uint64)
+    )
+    return ij_to_cell(packed // np.uint64(n), packed % np.uint64(n), res)
 
 
 def hollow_ring(cell: int, k: int) -> np.ndarray:

@@ -26,6 +26,8 @@ inside the cover map.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -472,8 +474,13 @@ def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
     still-unresolved points), so total work is O(points x small-candidate
     sets), never a cross join.
 
+    The termination bound is computed per point from its latitude, so
+    the exactness guarantee holds at all latitudes (polar included);
+    each ring's aggregate is localCheckpoint'ed so later rings and the
+    final collect never replay the upstream lineage.
+
     Returns (point_key, knn array<struct<site_id,dist_m>>) exact-equal
-    to knn_bruteforce (tested).
+    to knn_bruteforce (tested, incl. polar sites and low-res lon wrap).
     """
     # Build shells: for each site, cells at Chebyshev ring r around its cell.
     site_ids = sites_pdf["site_id"].astype(str).to_numpy()
@@ -485,14 +492,15 @@ def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
         "qcell", cell_udf_at(res)(F.col("lon"), F.col("lat"))
     ).filter(F.col("qcell").isNotNull())
 
-    # cell edge length lower bound (meters) for the termination guarantee.
-    # Grid cells are 2x wider (deg) in lon than lat, so width_m =
-    # 2*height_m*cos(lat) >= height_m whenever |lat| <= 60 deg — within
-    # that band the lat spacing is the true minimum cell dimension. For
-    # polar data use a finer res or a smaller bound (documented limit).
-    nf = float(2**res)
-    cell_h_deg = 180.0 / nf
-    min_cell_m = cell_h_deg * 111_000.0 * 0.99
+    # Cell dimensions (degrees/meters) for the termination guarantee.
+    # Lat rows are a constant cell_h_m tall; lon columns are
+    # 2*cell_h_m*cos(lat) wide, shrinking toward the poles — the bound
+    # below is computed PER POINT from its latitude (ADVICE r01: the old
+    # constant bound was only valid for |lat| <= 60 deg).
+    n_cols = 1 << res
+    cell_h_deg = 180.0 / float(2**res)
+    cell_h_m = cell_h_deg * 111_000.0 * 0.99
+    earth_r = 6_371_008.8
 
     resolved = None
     unresolved = pts
@@ -521,9 +529,6 @@ def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
             F.col("dist_m").asc_nulls_last(), F.col("site_id")
         )
         ranked = cand.withColumn("rn", F.row_number().over(w))
-        # guarantee radius: ring (r_next-1) fully explored -> any unexplored
-        # site is at least (r_next-1) * min_cell_m away
-        guarantee_m = (r_next - 1) * min_cell_m
         agg = ranked.groupBy(point_key).agg(
             F.sum(F.when(F.col("dist_m").isNotNull(), 1).otherwise(0)).alias("ncand"),
             F.max(F.when(F.col("rn") == k, F.col("dist_m"))).alias("kth"),
@@ -534,9 +539,34 @@ def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
                        F.struct(F.col("rn"), F.col("site_id"), F.col("dist_m")))
             ).alias("cands"),
         )
+        # Guarantee radius for an unexplored site S with Chebyshev cell
+        # distance >= r_next from the query point Q:
+        #  - lat branch (|dj| >= r_next): lat separation >= (r_next-1)
+        #    rows -> dist >= (r_next-1) * cell_h_m (exact: d >= R*dPhi).
+        #  - lon branch (|di| >= r_next, |dj| < r_next): S sits within
+        #    |lat_Q| + r_next*cell_h_deg of the equator band of Q; lon
+        #    separation >= (r_next-1) columns; haversine gives
+        #    d >= (2/pi) * dLambda * R * cos(band) (sin x >= 2x/pi).
+        #  - once 2*r_next-1 >= n_cols every lon column is explored, so
+        #    only the lat branch remains and the cos term drops out.
+        r_explored = r_next - 1
+        lat_bound = F.lit(float(r_explored) * cell_h_m)
+        if 2 * r_explored + 1 >= n_cols:
+            guarantee_m = lat_bound
+        else:
+            band = F.radians(
+                F.least(F.lit(90.0),
+                        F.abs(F.col("lat")) + F.lit(r_next * cell_h_deg)))
+            lon_col_m = (
+                F.lit(2.0 * (2.0 / math.pi) * earth_r
+                      * math.radians(cell_h_deg) * 0.99)
+                * F.cos(band)
+            )
+            guarantee_m = F.least(lat_bound,
+                                  F.lit(float(r_explored)) * lon_col_m)
         done_cond = F.coalesce(
             (F.col("ncand") >= min(k, len(site_ids)))
-            & (F.col("kth") <= F.lit(guarantee_m)),
+            & (F.col("kth") <= guarantee_m),
             F.lit(False),
         )
         last = r_next - 1 >= max_ring
@@ -549,10 +579,20 @@ def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
                 ),
             ).alias("knn"),
         )
+        # Materialize this round ONCE and cut lineage: without this,
+        # every later ring (and the final collect) replays the whole
+        # upstream DAG — ingest UDF included — once per iteration
+        # (VERDICT r01 item 4). localCheckpoint is eager, so `done` and
+        # `unresolved` below are cheap reads of stored blocks.
+        agg = agg.persist()
+        done = done.localCheckpoint()
         resolved = done if resolved is None else resolved.unionByName(done)
         if last:
+            agg.unpersist()
             break
-        unresolved = agg.filter(~done_cond).select(point_key, "lon", "lat", "qcell")
+        unresolved = agg.filter(~done_cond).select(
+            point_key, "lon", "lat", "qcell").localCheckpoint()
+        agg.unpersist()
         # cheap emptiness check drives the loop (driver-side, tiny)
         if unresolved.limit(1).count() == 0:
             break

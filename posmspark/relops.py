@@ -734,11 +734,23 @@ FROM documents GROUP BY 1, 2
 """
 
 
+#: doc-frequency above which a shingle counts as boilerplate and is
+#: excluded from CANDIDATE generation (never from the exact Jaccard).
+NGRAM_MAX_SHINGLE_FREQ = 50
+
+
 def q_ngram_jaccard_pairs(spark, sf):
-    """near-dup detection: word-3-gram Jaccard >= 0.8 pairs (shingle
-    explode -> equi-join on shingle -> intersection counts -> Jaccard).
-    The scalable shape: no cross join, candidates only via shared
-    shingles."""
+    """near-dup detection: word-3-gram Jaccard >= 0.8 pairs.
+
+    Scale shape (the 100-TB guard): candidate pairs come from an
+    equi-join on *cold* shingles only — shingles shared by more than
+    NGRAM_MAX_SHINGLE_FREQ docs are boilerplate and excluded from
+    candidate generation, so a hot shingle can never emit M^2/2 join
+    rows (dedup.minhash_signatures applies the same cap). The exact
+    Jaccard is then computed over the FULL shingle sets of candidate
+    pairs only, so emitted values are unchanged; a pair whose shared
+    shingles are ALL boilerplate is the one class deliberately skipped.
+    """
     d = _t(spark, sf, "documents")
     sh = d.select(
         "doc_id",
@@ -751,14 +763,26 @@ def q_ngram_jaccard_pairs(spark, sf):
             )
         ).alias("shingle"),
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    hot = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_SHINGLE_FREQ).select("shingle")
+    )
+    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -785,10 +809,17 @@ sh AS (
              generate_series(1, greatest(len(t) - 2, 0)),
              i -> array_to_string(t[i:i+2], ' '))) AS shingle
     FROM toks)),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+cold AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
 counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT doc_a, doc_b, count(*) AS n_inter
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.doc_a
+  JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard

@@ -91,3 +91,15 @@ def test_cover_polygon_with_hole():
     # the hole's center cell must not be FULL (it's outside the polygon)
     hc = int(cells.encode(np.array([2.0]), np.array([2.0]), res=10)[0])
     assert hc not in full_set
+
+
+def test_k_ring_dedupes_on_lon_wrap():
+    """ADVICE r01: when 2k+1 >= 2^res the lon wrap revisits columns;
+    k_ring must return each cell once."""
+    from posmspark import cells
+
+    c = int(cells.encode(np.array([10.0]), np.array([20.0]), 7)[0])
+    ring = cells.k_ring(c, 127)  # 2k+1 = 255 >= 128 columns
+    assert len(ring) == len(np.unique(ring))
+    n = 1 << 7
+    assert len(ring) == n * min(n, 255)  # full lon circle x clipped lat rows

@@ -103,3 +103,31 @@ def test_hot_shingle_cap(spark):
     # without the boilerplate shingles, distinct docs shouldn't collide
     # on every band; candidate count must be far below all-pairs (1225)
     assert cand.count() < 300
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark, tmp_path):
+    """VERDICT r01 item 3: a boilerplate shingle shared by 1k docs must
+    not explode the candidate join quadratically. With the frequency
+    cap, 1k otherwise-unique docs sharing one hot 3-gram produce ZERO
+    candidate pairs (uncapped: ~500k join rows)."""
+    from posmspark.relops import q_ngram_jaccard_pairs
+
+    boiler = "all rights reserved"
+    rows = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e", "en", "synth", 40)
+        for i in range(1000)
+    ]
+    # two planted near-dups sharing plenty of cold shingles
+    common = " ".join(f"c{j}" for j in range(30))
+    rows.append((2000, common + " endA", "en", "synth", 120))
+    rows.append((2001, common + " endB", "en", "synth", 120))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = q_ngram_jaccard_pairs(spark, sf).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (2000, 2001) in pairs
+    # boilerplate-only overlaps emit nothing
+    assert all(a >= 2000 for a, _ in pairs)

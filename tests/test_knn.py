@@ -65,3 +65,82 @@ def test_knn_k_larger_than_sites(spark, points, sites):
     out = knn_bruteforce(points.limit(10), sites, k, spark).collect()
     for r in out:
         assert len(r["knn"]) == len(sites)
+
+
+def test_cellring_polar_sites_exact(spark):
+    """ADVICE r01: the termination bound must stay valid above 60 deg
+    latitude (lon columns shrink with cos(lat)). High-latitude sites +
+    points at res=6 must still match brute force exactly."""
+    rng = np.random.default_rng(7)
+    sites = pd.DataFrame({
+        "site_id": [f"s{i}" for i in range(12)],
+        "lon": rng.uniform(-180, 180, 12),
+        "lat": rng.uniform(70, 89.5, 12),
+    })
+    pts = pd.DataFrame({
+        "url": [f"u{i}" for i in range(200)],
+        "lon": rng.uniform(-180, 180, 200),
+        "lat": rng.uniform(65, 89.9, 200),
+    })
+    points = spark.createDataFrame(pts)
+    brute = knn_bruteforce(points, sites, 3, spark)
+    ring = knn_cellring(points, sites, 3, spark, res=6, max_ring=64)
+    b = {r["url"]: [(e["site_id"], round(e["dist_m"], 6)) for e in r["knn"]]
+         for r in brute.collect()}
+    g = {r["url"]: [(e["site_id"], round(e["dist_m"], 6)) for e in r["knn"]]
+         for r in ring.collect()}
+    assert b == g
+
+
+def test_cellring_low_res_wrap_exact(spark):
+    """ADVICE r01 (medium): at res=7, max_ring=64 the lon wrap used to
+    emit duplicate shell cells (k_ring 2k+1 >= 2^res), letting one site
+    fill several top-k slots. Must equal brute force after the dedupe."""
+    rng = np.random.default_rng(11)
+    sites = pd.DataFrame({
+        "site_id": [f"s{i}" for i in range(6)],
+        "lon": rng.uniform(-30, 30, 6),
+        "lat": rng.uniform(-30, 30, 6),
+    })
+    pts = pd.DataFrame({
+        "url": [f"u{i}" for i in range(150)],
+        "lon": rng.uniform(-180, 180, 150),
+        "lat": rng.uniform(-60, 60, 150),
+    })
+    points = spark.createDataFrame(pts)
+    brute = knn_bruteforce(points, sites, 3, spark)
+    ring = knn_cellring(points, sites, 3, spark, res=7, max_ring=64)
+    b = {r["url"]: [(e["site_id"], round(e["dist_m"], 6)) for e in r["knn"]]
+         for r in brute.collect()}
+    g = {r["url"]: [(e["site_id"], round(e["dist_m"], 6)) for e in r["knn"]]
+         for r in ring.collect()}
+    assert b == g
+
+
+def test_cellring_upstream_runs_once(spark, sites):
+    """VERDICT r01 item 4: the ring loop must not replay its upstream
+    lineage per iteration. An accumulator counts upstream kernel rows;
+    after full evaluation it must equal the input size exactly once."""
+    from pyspark.sql import types as T
+
+    acc = spark.sparkContext.accumulator(0)
+    rng = np.random.default_rng(3)
+    pts = pd.DataFrame({
+        "url": [f"u{i}" for i in range(300)],
+        "lon": rng.uniform(-10, 25, 300),
+        "lat": rng.uniform(-5, 30, 300),
+    })
+    base = spark.createDataFrame(pts)
+
+    def counting_kernel(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = base.mapInPandas(counting_kernel, schema=base.schema)
+    out = knn_cellring(counted, sites, 3, spark)
+    n = out.count()
+    assert n == 300
+    # collect again: checkpointed rounds must NOT replay the kernel
+    out.collect()
+    assert acc.value == 300, f"upstream kernel ran {acc.value/300:.1f}x"
