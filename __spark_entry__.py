@@ -115,7 +115,11 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     fps = dedup.simhash(docs)
-    return dedup.simhash_near_pairs(fps, max_hamming=8, n_blocks=16)
+    # standard config: k=3 with 4x16-bit blocks. 16-bit blocks keep the
+    # per-block random-collision rate at 2^-16, so candidate volume
+    # stays near-linear; the old k=8/16-blocks setting (4-bit blocks,
+    # collision ~1/16 per block) was a cross join in disguise at scale.
+    return dedup.simhash_near_pairs(fps, max_hamming=3, n_blocks=4)
 
 
 def _q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,14 +150,30 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3,
-                       id_col: str = "doc_id", n_blocks: int = 4) -> DataFrame:
+                       id_col: str = "doc_id", n_blocks: int = 4,
+                       allow_narrow_blocks: bool = False) -> DataFrame:
     """Near-dup pairs within Hamming distance k via block bucketing.
 
     Pigeonhole: split 64 bits into n_blocks (> max_hamming) blocks; two
     fingerprints within distance k agree on at least one block -> equi-
     join on (block_idx, block_value), verify with bit_count(xor).
+
+    Scale guard: narrow blocks collide randomly at rate 2^-block_bits
+    per block, so e.g. 4-bit blocks (~1/16) make the candidate join
+    near-quadratic — refuse configs whose expected random candidate
+    volume isn't vanishing unless the caller opts in with
+    allow_narrow_blocks=True (bounded corpora / wide-radius audits).
     """
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs n_blocks > max_hamming "
+            f"({n_blocks} <= {max_hamming})")
     block_bits = 64 // n_blocks
+    if block_bits < 8 and not allow_narrow_blocks:
+        raise ValueError(
+            f"{block_bits}-bit blocks collide at 2^-{block_bits} per "
+            f"block — candidate generation degenerates toward all-pairs "
+            f"at scale; use n_blocks <= 8 (>=8-bit blocks)")
     blocks = F.explode(
         F.expr(
             f"transform(sequence(0, {n_blocks - 1}), b -> struct(b as blk,"

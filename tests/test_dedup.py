@@ -75,8 +75,8 @@ def test_simhash_near_pairs_matches_bruteforce(spark, docs):
     k = 10
     got = {
         (r["id_a"], r["id_b"])
-        for r in dedup.simhash_near_pairs(fps, max_hamming=k,
-                                          n_blocks=16).collect()
+        for r in dedup.simhash_near_pairs(fps, max_hamming=k, n_blocks=16,
+                                          allow_narrow_blocks=True).collect()
     }
     rows = fps.collect()
     brute = set()
@@ -131,3 +131,12 @@ def test_ngram_jaccard_hot_shingle_guard(spark, tmp_path):
     assert (2000, 2001) in pairs
     # boilerplate-only overlaps emit nothing
     assert all(a >= 2000 for a, _ in pairs)
+
+
+def test_simhash_narrow_blocks_refused():
+    """Scale guard: sub-8-bit block configs (near-quadratic candidate
+    volume) must be refused unless explicitly opted into."""
+    with pytest.raises(ValueError, match="blocks collide"):
+        dedup.simhash_near_pairs(None, max_hamming=8, n_blocks=16)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(None, max_hamming=4, n_blocks=4)
