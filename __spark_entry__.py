@@ -220,7 +220,42 @@ def _q_poly_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.poly_export_df(spark, prepared, level=0)
 
 
+def _q_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: partition-level incremental recompute (osmdata.py:87-134
+    analog). Runs a per-lang stage twice — full build, then a rerun
+    after mutating one document — and surfaces the manifest: exactly
+    the mutated doc's lang partition shows recomputed_last_run=true."""
+    import os
+    import shutil
+    import tempfile
+
+    from posmspark import lineage
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wd = os.path.join(tempfile.gettempdir(), f"posmspark_incq_{tag}")
+    shutil.rmtree(wd, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def build(df):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    lineage.run_stage_incremental(spark, "docs_by_lang", docs, wd, build,
+                                  "lang")
+    mutated = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 7, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars")),
+    )
+    lineage.run_stage_incremental(spark, "docs_by_lang", mutated, wd, build,
+                                  "lang")
+    return lineage.manifest_df(spark, wd).orderBy("partition_key")
+
+
 _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "incremental_manifest": _q_incremental_manifest,
     "pip_tile_rollup": _q_pip_tile_rollup,
     "pip_assignment": _q_pip_assignment,
     "cell_tile_stats": _q_cell_tile_stats,

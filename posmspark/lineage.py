@@ -90,15 +90,171 @@ def run_stage(
     return out
 
 
-def fingerprint_df(df: DataFrame, sample_cols: list[str] | None = None) -> str:
-    """Cheap content fingerprint: row count + xor of value hashes.
+def _fingerprint_aggs():
+    """Order-insensitive multiset combiner over row hashes.
 
-    Used to decide stage-reuse; the xor aggregate is order-insensitive
-    and distributes as one map-side-combinable aggregation.
+    xor alone pair-cancels (A xor A = 0: swapping two copies of row A
+    for two copies of row B goes undetected — ADVICE r01), so combine
+    count + xor + an overflow-free decimal SUM of the hashes; a multiset
+    change must now shift the sum.
     """
-    cols = sample_cols or df.columns
-    h = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("h")).agg(
+    return [
         F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(h)").alias("s"),  # order-insensitive, overflow-free
-    ).collect()[0]
-    return f"{h['n']}:{h['s']}"
+        F.expr("bit_xor(h)").alias("x"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+    ]
+
+
+def fingerprint_df(df: DataFrame, sample_cols: list[str] | None = None) -> str:
+    """Cheap content fingerprint: count + xor + decimal-sum of row
+    hashes; one map-side-combinable aggregation, order-insensitive."""
+    cols = sample_cols or df.columns
+    h = (
+        df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
+        .agg(*_fingerprint_aggs())
+        .collect()[0]
+    )
+    return f"{h['n']}:{h['x']}:{h['s']}"
+
+
+def fingerprint_partitions(
+    df: DataFrame, partition_col: str,
+    sample_cols: list[str] | None = None,
+) -> dict[str, str]:
+    """Per-partition-key content fingerprints in ONE aggregation pass
+    (map-side combinable groupBy, no per-key jobs)."""
+    cols = [c for c in (sample_cols or df.columns) if c != partition_col]
+    rows = (
+        df.select(
+            F.col(partition_col).cast("string").alias("_pk"),
+            F.xxhash64(*[F.col(c) for c in cols]).alias("h"),
+        )
+        .groupBy("_pk")
+        .agg(*_fingerprint_aggs())
+        .collect()
+    )
+    return {r["_pk"]: f"{r['n']}:{r['x']}:{r['s']}" for r in rows}
+
+
+def run_stage_incremental(
+    spark: SparkSession,
+    stage: str,
+    input_df: DataFrame,
+    out_dir: str,
+    build: "callable",
+    partition_col: str,
+    force: bool = False,
+) -> DataFrame:
+    """Partition-level incremental recompute (SURVEY.md §3.2; the Spark
+    restatement of the reference's diff-driven re-extraction,
+    POSMmanagement/osmdata.py:87-134 — apply a change set, reprocess
+    only affected areas).
+
+    The stage's transform must be PARTITION-LOCAL in `partition_col`
+    (an output row for key K depends only on input rows with key K —
+    true for per-country extraction, per-tile aggregation, per-level
+    exports). The manifest stores one fingerprint per input key; a
+    rerun fingerprints the new input (one aggregation pass), recomputes
+    only changed/new keys through build(changed_subset), and rewrites
+    ONLY those output partitions via dynamic partition overwrite.
+    Removed input keys drop their output partitions. Unchanged
+    partitions are never read, rebuilt, or rewritten.
+
+    Manifest v2 adds {partition_col, input_partitions: {key: fp},
+    last_recomputed: [keys], runs}; per-output-partition row counts
+    stay the lineage metric.
+    """
+    import shutil
+
+    man = read_manifest(out_dir)
+    in_fps = fingerprint_partitions(input_df, partition_col)
+
+    prev_fps = (man or {}).get("input_partitions")
+    compatible = (
+        man is not None
+        and not force
+        and man.get("stage") == stage
+        and man.get("partition_col") == partition_col
+        and prev_fps is not None
+    )
+    t0 = time.monotonic()
+    if not compatible:
+        changed = sorted(in_fps)
+        removed: list[str] = []
+        df = build(input_df)
+        (df.write.mode("overwrite").partitionBy(partition_col)
+           .parquet(out_dir))
+    else:
+        changed = sorted(
+            k for k, fp in in_fps.items() if prev_fps.get(k) != fp)
+        removed = sorted(k for k in prev_fps if k not in in_fps)
+        for k in removed:
+            shutil.rmtree(
+                os.path.join(out_dir, f"{partition_col}={k}"),
+                ignore_errors=True)
+        if changed:
+            subset = input_df.filter(
+                F.col(partition_col).cast("string").isin(changed))
+            out_sub = build(subset)
+            (out_sub.write.mode("overwrite")
+               .option("partitionOverwriteMode", "dynamic")
+               .partitionBy(partition_col).parquet(out_dir))
+            # dynamic overwrite only touches keys present in the new
+            # result — a changed key whose rebuild emits 0 rows must
+            # still drop its stale output partition.
+            emitted = {
+                str(r["_pk"]) for r in out_sub.select(
+                    F.col(partition_col).cast("string").alias("_pk")
+                ).distinct().collect()
+            }
+            for k in changed:
+                if k not in emitted:
+                    shutil.rmtree(
+                        os.path.join(out_dir, f"{partition_col}={k}"),
+                        ignore_errors=True)
+
+    out = spark.read.parquet(out_dir)
+    lineage = (
+        out.groupBy(F.col(partition_col).cast("string").alias("_pk"))
+        .count().orderBy("_pk").collect()
+    )
+    manifest = {
+        "stage": stage,
+        "partition_col": partition_col,
+        "input_partitions": in_fps,
+        "last_recomputed": changed,
+        "last_removed": removed,
+        "runs": (man or {}).get("runs", 0) + 1,
+        "n_rows": sum(int(r["count"]) for r in lineage),
+        "n_partitions": len(lineage),
+        "partitions": [
+            {"partition_key": r["_pk"], "rows": int(r["count"])}
+            for r in lineage
+        ],
+        "wall_ms": int((time.monotonic() - t0) * 1000),
+    }
+    with open(_manifest_path(out_dir), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out
+
+
+def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Surface a stage manifest's per-partition lineage as a DataFrame
+    (partition_key, rows, recomputed_last_run, input_fingerprint)."""
+    man = read_manifest(out_dir) or {}
+    recomputed = set(man.get("last_recomputed", []))
+    fps = man.get("input_partitions", {})
+    rows = [
+        (
+            p.get("partition_key", str(p.get("partition_id"))),
+            int(p["rows"]),
+            p.get("partition_key") in recomputed,
+            fps.get(p.get("partition_key"), ""),
+        )
+        for p in man.get("partitions", [])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition_key string, rows long, recomputed_last_run boolean,"
+        " input_fingerprint string",
+    )

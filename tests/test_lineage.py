@@ -90,3 +90,128 @@ def test_fingerprint_df_order_insensitive(spark):
     assert a == b
     c = lineage.fingerprint_df(df.withColumn("v", F.col("id") * 4))
     assert a != c
+
+
+def test_fingerprint_no_pair_cancellation(spark):
+    """ADVICE r01: xor alone pair-cancels (A^A=0); swapping two copies
+    of row A for two copies of row B must change the fingerprint."""
+    a = spark.createDataFrame([(1,), (1,), (3,)], "v int")
+    b = spark.createDataFrame([(2,), (2,), (3,)], "v int")
+    assert lineage.fingerprint_df(a) != lineage.fingerprint_df(b)
+
+
+def _mk_input(spark, n_keys=16, rows_per_key=20, mutate_key=None):
+    df = (
+        spark.range(n_keys * rows_per_key)
+        .withColumn("country", F.concat(F.lit("C"),
+                                        (F.col("id") % n_keys).cast("string")))
+        .withColumn("v", F.col("id") * 7)
+    )
+    if mutate_key is not None:
+        df = df.withColumn(
+            "v",
+            F.when(F.col("country") == mutate_key, F.col("v") + 1)
+            .otherwise(F.col("v")),
+        )
+    return df
+
+
+def _part_files(out_dir, key):
+    d = os.path.join(out_dir, f"country={key}")
+    if not os.path.isdir(d):
+        return {}
+    return {f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")}
+
+
+def test_incremental_recomputes_only_changed_partition(spark, tmp_path):
+    """VERDICT r01 item 5: mutate 1 of 16 input partitions -> exactly
+    that output partition recomputes; the other 15 keep their files."""
+    out_dir = str(tmp_path / "inc")
+    builds = []
+
+    def build(df):
+        builds.append(df)
+        return df.groupBy("country").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+
+    lineage.run_stage_incremental(
+        spark, "inc", _mk_input(spark), out_dir, build, "country")
+    man1 = lineage.read_manifest(out_dir)
+    assert man1["n_partitions"] == 16 and len(man1["last_recomputed"]) == 16
+
+    before = {f"C{i}": _part_files(out_dir, f"C{i}") for i in range(16)}
+
+    out = lineage.run_stage_incremental(
+        spark, "inc", _mk_input(spark, mutate_key="C5"), out_dir, build,
+        "country")
+    man2 = lineage.read_manifest(out_dir)
+    assert man2["last_recomputed"] == ["C5"]
+    assert man2["runs"] == 2
+    # the rebuild saw ONLY the changed key's rows
+    assert builds[-1].select("country").distinct().collect()[0][0] == "C5"
+    # untouched partitions keep their exact files; C5 was rewritten
+    after = {f"C{i}": _part_files(out_dir, f"C{i}") for i in range(16)}
+    for i in range(16):
+        k = f"C{i}"
+        if k == "C5":
+            assert after[k] != before[k]
+        else:
+            assert after[k] == before[k], f"{k} was rewritten"
+    # output values correct end-to-end
+    row = {r["country"]: r["sv"] for r in out.collect()}
+    assert row["C5"] == sum(i * 7 + 1 for i in range(5, 320, 16))
+    assert row["C0"] == sum(i * 7 for i in range(0, 320, 16))
+
+
+def test_incremental_removed_and_empty_keys(spark, tmp_path):
+    """Removed input keys drop their output partition; a changed key
+    whose rebuild emits 0 rows also drops it."""
+    out_dir = str(tmp_path / "inc2")
+
+    def build(df):
+        return df.filter(F.col("v") >= 0).groupBy("country").agg(
+            F.count(F.lit(1)).alias("n"))
+
+    lineage.run_stage_incremental(
+        spark, "inc2", _mk_input(spark, n_keys=4), out_dir, build, "country")
+    assert lineage.read_manifest(out_dir)["n_partitions"] == 4
+
+    # drop key C3 entirely from the input
+    smaller = _mk_input(spark, n_keys=4).filter(F.col("country") != "C3")
+    out = lineage.run_stage_incremental(
+        spark, "inc2", smaller, out_dir, build, "country")
+    man = lineage.read_manifest(out_dir)
+    assert man["last_removed"] == ["C3"]
+    assert not os.path.isdir(os.path.join(out_dir, "country=C3"))
+    assert {r["country"] for r in out.collect()} == {"C0", "C1", "C2"}
+
+    # mutate C2 so its rows all fail the build filter -> 0 output rows
+    poisoned = smaller.withColumn(
+        "v", F.when(F.col("country") == "C2", F.lit(-1)).otherwise(F.col("v")))
+    out = lineage.run_stage_incremental(
+        spark, "inc2", poisoned, out_dir, build, "country")
+    man = lineage.read_manifest(out_dir)
+    assert man["last_recomputed"] == ["C2"]
+    assert not os.path.isdir(os.path.join(out_dir, "country=C2"))
+    assert {r["country"] for r in out.collect()} == {"C0", "C1"}
+
+
+def test_manifest_df_surface(spark, tmp_path):
+    out_dir = str(tmp_path / "inc3")
+
+    def build(df):
+        return df.groupBy("country").agg(F.count(F.lit(1)).alias("n"))
+
+    lineage.run_stage_incremental(
+        spark, "inc3", _mk_input(spark, n_keys=4), out_dir, build, "country")
+    lineage.run_stage_incremental(
+        spark, "inc3", _mk_input(spark, n_keys=4, mutate_key="C1"), out_dir,
+        build, "country")
+    rows = {r["partition_key"]: r
+            for r in lineage.manifest_df(spark, out_dir).collect()}
+    assert set(rows) == {"C0", "C1", "C2", "C3"}
+    assert rows["C1"]["recomputed_last_run"] is True
+    assert rows["C0"]["recomputed_last_run"] is False
+    assert all(r["rows"] == 1 for r in rows.values())
+    assert all(r["input_fingerprint"] for r in rows.values())
