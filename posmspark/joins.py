@@ -87,12 +87,13 @@ class PreparedBoundaries:
     """
 
     def __init__(self, levels_pdf, problems_pdf, polys_by_id, cover_pdf,
-                 cover_res: int = COVER_RES):
+                 cover_res: int = COVER_RES, n_levels: int = 3):
         self.levels_pdf = levels_pdf      # osm_id,name,name_en,adminlevel,iso3166,is_in,insert_order
         self.problems_pdf = problems_pdf  # osm_id,reason,lon,lat
         self.polys_by_id = polys_by_id    # osm_id -> list[list[ndarray]] ring arrays
         self.cover_pdf = cover_pdf        # cell,osm_id,adminlevel,full,insert_order
         self.cover_res = cover_res
+        self.n_levels = n_levels          # hierarchy depth (reference: 1..10)
 
     def resolve_index(self):
         """Vectorized resolution index (cached): sorted cell array +
@@ -114,12 +115,13 @@ class PreparedBoundaries:
         order = cov["insert_order"].to_numpy(dtype=np.int64)
         osm = cov["osm_id"].to_numpy(dtype=object)
 
+        nl = self.n_levels
         cells_sorted = np.unique(c_arr)
         n = len(cells_sorted)
-        f = [np.full(n, None, dtype=object) for _ in range(3)]
+        f = [np.full(n, None, dtype=object) for _ in range(nl)]
         f_ord = [np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-                 for _ in range(3)]
-        for lv in range(3):
+                 for _ in range(nl)]
+        for lv in range(nl):
             m = (lvl == lv) & full
             if m.any():
                 cs, first = np.unique(c_arr[m], return_index=True)
@@ -130,7 +132,7 @@ class PreparedBoundaries:
         # boundary candidates: partial rows with insert_order below the
         # FULL winner's (only those can override under first-match)
         partials: dict[int, list] = {}
-        for lv in range(3):
+        for lv in range(nl):
             m = (lvl == lv) & ~full
             if not m.any():
                 continue
@@ -138,14 +140,14 @@ class PreparedBoundaries:
             pos = np.searchsorted(cells_sorted, cs)
             keep = order[m] < f_ord[lv][pos]
             for cell, od, oid in zip(cs[keep], order[m][keep], osm[m][keep]):
-                ent = partials.setdefault(int(cell), [[], [], []])
+                ent = partials.setdefault(int(cell), [[] for _ in range(nl)])
                 ent[lv].append((int(od), oid))
-        # final shape: cell -> 3-tuple of (f_osm, tuple(sorted partials))
+        # final shape: cell -> n_levels-tuple of (f_osm, sorted partials)
         pmap = {}
         for cell, lists in partials.items():
             i = int(np.searchsorted(cells_sorted, cell))
             pmap[cell] = tuple(
-                (f[lv][i], tuple(sorted(lists[lv]))) for lv in range(3)
+                (f[lv][i], tuple(sorted(lists[lv]))) for lv in range(nl)
             )
         self._resolve_index = (cells_sorted, f, pmap)
         return self._resolve_index
@@ -163,7 +165,8 @@ class PreparedBoundaries:
 
 def prepare_boundaries(boundaries_pdf: pd.DataFrame,
                        mapping_pdf: pd.DataFrame,
-                       cover_res: int = COVER_RES) -> PreparedBoundaries:
+                       cover_res: int = COVER_RES,
+                       n_levels: int = 3) -> PreparedBoundaries:
     """Build the admin hierarchy from raw boundary rows.
 
     Reproduces extract.py pass semantics exactly, as one pass over the
@@ -174,10 +177,12 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
       - name_en coalesce + drop-if-nameless (extract.py:100-108)
       - iso3166 uppercase (extract.py:110-112)
       - level 0: raw admin_level=='2' (extract.py:142)
-      - level 1/2: representative-point PIP into the parent level with
-        first-match tie-break, then the per-country raw-tag mapping
-        (admin_mapping.yaml; extract.py:218-247) — rows whose country/
-        state is missing are dropped (extract.py:241-243, O14)
+      - levels 1..n_levels-1: representative-point PIP into the parent
+        level with first-match tie-break, then the per-country raw-tag
+        mapping (admin_mapping.yaml; extract.py:218-247) — rows whose
+        country/parent is missing are dropped (extract.py:241-243, O14).
+        The reference fans out levels 1..10 (extract_all.py:92-121);
+        n_levels parameterizes the same chain here.
     """
     problems = []
     polys_by_id: dict[str, list] = {}
@@ -196,8 +201,11 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
         polys_by_id[r.osm_id] = polys
         rows.append(
             {
+                # the reference writes name_en into BOTH columns
+                # (extract.py feature_data: ('name', name_en)); raw
+                # local names survive only in problems rows
                 "osm_id": r.osm_id,
-                "name": r.name,
+                "name": name_en,
                 "name_en": name_en,
                 "raw_level": str(r.admin_level),
                 "iso3166": r.iso3166.upper() if isinstance(r.iso3166, str) else None,
@@ -206,15 +214,13 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
         )
     feats = pd.DataFrame(rows)
 
-    overrides = {
-        row.country_osm_id: {
-            "admin_level_1": int(row.admin_level_1)
-            if pd.notna(row.admin_level_1) else ADMIN_DEFAULTS["admin_level_1"],
-            "admin_level_2": int(row.admin_level_2)
-            if pd.notna(row.admin_level_2) else ADMIN_DEFAULTS["admin_level_2"],
+    overrides: dict[str, dict[str, int]] = {}
+    for row in mapping_pdf.itertuples(index=False):
+        d = row._asdict()
+        overrides[row.country_osm_id] = {
+            key: int(d[key]) if key in d and pd.notna(d[key]) else default
+            for key, default in ADMIN_DEFAULTS.items()
         }
-        for row in mapping_pdf.itertuples(index=False)
-    }
 
     def tag_for(country_id: str, level: int) -> str:
         key = f"admin_level_{level}"
@@ -234,34 +240,36 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
                 return p.osm_id
         return None
 
-    # level 1 (states): rep-point PIP into countries, then tag filter
-    cand1 = feats[~feats.osm_id.isin(l0.osm_id)]
-    rows1 = []
-    for r in cand1.itertuples(index=False):
-        lon, lat = geom.representative_point(polys_by_id[r.osm_id])
-        country = first_match(lon, lat, l0)
-        if country is None:
-            continue  # missing country -> dropped (extract.py:241-243)
-        if r.raw_level != tag_for(country, 1):
-            continue
-        rows1.append({**r._asdict(), "adminlevel": 1, "is_in": country})
-    l1 = pd.DataFrame(rows1)
+    # levels 1..n-1: rep-point PIP into country (tag lookup) + direct
+    # parent at level-1 below; a missing country or parent drops the
+    # feature (extract.py:241-243, 312-341 — the containment-chain O14)
+    level_frames = [l0]
+    assigned = set(l0.osm_id)
+    for lv in range(1, n_levels):
+        cand = feats[~feats.osm_id.isin(assigned)]
+        parent_frame = level_frames[lv - 1]
+        rows_lv = []
+        for r in cand.itertuples(index=False):
+            lon, lat = geom.representative_point(polys_by_id[r.osm_id])
+            country = first_match(lon, lat, l0)
+            if country is None or r.raw_level != tag_for(country, lv):
+                continue
+            if lv == 1:
+                parent = country
+            else:
+                parent = (first_match(lon, lat, parent_frame)
+                          if len(parent_frame) else None)
+            if parent is None:
+                continue
+            rows_lv.append({**r._asdict(), "adminlevel": lv, "is_in": parent})
+        frame = pd.DataFrame(rows_lv)
+        level_frames.append(frame)
+        if len(frame):
+            assigned |= set(frame.osm_id)
 
-    # level 2 (counties): PIP into country AND state (both required, O14)
-    cand2 = feats[~feats.osm_id.isin(l0.osm_id) & ~feats.osm_id.isin(l1.osm_id)]
-    rows2 = []
-    for r in cand2.itertuples(index=False):
-        lon, lat = geom.representative_point(polys_by_id[r.osm_id])
-        country = first_match(lon, lat, l0)
-        if country is None or r.raw_level != tag_for(country, 2):
-            continue
-        state = first_match(lon, lat, l1) if len(l1) else None
-        if state is None:
-            continue  # missing state -> dropped (extract.py:312-341)
-        rows2.append({**r._asdict(), "adminlevel": 2, "is_in": state})
-    l2 = pd.DataFrame(rows2)
-
-    levels = pd.concat([l0, l1, l2], ignore_index=True)[
+    levels = pd.concat(
+        [f for f in level_frames if len(f)], ignore_index=True
+    )[
         ["osm_id", "name", "name_en", "adminlevel", "iso3166", "is_in",
          "insert_order"]
     ]
@@ -293,21 +301,21 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
     keep_polys = {k: v for k, v in polys_by_id.items()
                   if k in set(levels.osm_id)}
     return PreparedBoundaries(levels, problems_pdf, keep_polys, cover,
-                              cover_res)
+                              cover_res, n_levels=n_levels)
 
 
 # ---------------------------------------------------------------------------
 # point-in-polygon join (fact side, fully distributed)
 
 
-_RESOLVE_SCHEMA = T.StructType([
-    T.StructField("osm_id_l0", T.StringType()),
-    T.StructField("osm_id_l1", T.StringType()),
-    T.StructField("osm_id_l2", T.StringType()),
-])
+def _resolve_schema(n_levels: int) -> T.StructType:
+    return T.StructType([
+        T.StructField(f"osm_id_l{lv}", T.StringType())
+        for lv in range(n_levels)
+    ])
 
 
-def _resolve_udf(bc_index, bc_polys, cover_res: int):
+def _resolve_udf(bc_index, bc_polys, cover_res: int, n_levels: int = 3):
     """The whole assignment as one vectorized kernel per Arrow batch:
 
     1. the coarse cell is computed IN numpy from lon/lat (nullable int64
@@ -320,12 +328,12 @@ def _resolve_udf(bc_index, bc_polys, cover_res: int):
        polygon, in first-match (insert_order) order
     """
 
-    @pandas_udf(_RESOLVE_SCHEMA)
+    @pandas_udf(_resolve_schema(n_levels))
     def resolve(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
         cells_sorted, f_levels, partials = bc_index.value
         polys = bc_polys.value
         n = len(lon)
-        out = np.full((n, 3), None, dtype=object)
+        out = np.full((n, n_levels), None, dtype=object)
         lon_f = lon.to_numpy(dtype=np.float64, na_value=np.nan)
         lat_f = lat.to_numpy(dtype=np.float64, na_value=np.nan)
         jci = cells.encode(lon_f, lat_f, cover_res)
@@ -333,7 +341,7 @@ def _resolve_udf(bc_index, bc_polys, cover_res: int):
         pos = np.searchsorted(cells_sorted, jci)
         pos_c = np.clip(pos, 0, len(cells_sorted) - 1)
         hit = ok & (cells_sorted[pos_c] == jci)
-        for lv in range(3):
+        for lv in range(n_levels):
             out[hit, lv] = f_levels[lv][pos_c[hit]]
         if partials:
             lon_np, lat_np = lon_f, lat_f
@@ -346,7 +354,7 @@ def _resolve_udf(bc_index, bc_polys, cover_res: int):
             for cell in np.unique(hit_cells[border_mask]):
                 ent = partials[int(cell)]
                 ix = hit_idx[hit_cells == cell]
-                for lv in range(3):
+                for lv in range(n_levels):
                     f_osm, cand = ent[lv]
                     if not cand:
                         continue
@@ -363,8 +371,7 @@ def _resolve_udf(bc_index, bc_polys, cover_res: int):
                             undecided[rem[inside]] = False
                     # losers keep the FULL winner already written (f_osm)
         return pd.DataFrame(
-            {"osm_id_l0": out[:, 0], "osm_id_l1": out[:, 1],
-             "osm_id_l2": out[:, 2]}
+            {f"osm_id_l{lv}": out[:, lv] for lv in range(n_levels)}
         )
 
     # non-deterministic marker (it IS deterministic): prevents Catalyst
@@ -397,16 +404,18 @@ def pip_join(points: DataFrame, prepared: PreparedBoundaries,
     bc_polys = sc.broadcast(prepared.polys_by_id)
     bc_index = sc.broadcast(prepared.resolve_index())
 
+    lcols = [f"osm_id_l{lv}" for lv in range(prepared.n_levels)]
     pts = points if "cell" in points.columns else with_cell(points)
-    resolve = _resolve_udf(bc_index, bc_polys, prepared.cover_res)
+    resolve = _resolve_udf(bc_index, bc_polys, prepared.cover_res,
+                           prepared.n_levels)
     r = pts.withColumn("_r", resolve(F.col("lon"), F.col("lat")))
-    out = r.select("*", "_r.osm_id_l0", "_r.osm_id_l1", "_r.osm_id_l2").drop("_r")
+    out = r.select("*", *[f"_r.{c}" for c in lcols]).drop("_r")
     if keep_unmatched:
         return out
-    return out.filter(
-        F.col("osm_id_l0").isNotNull() | F.col("osm_id_l1").isNotNull()
-        | F.col("osm_id_l2").isNotNull()
-    )
+    matched = F.col(lcols[0]).isNotNull()
+    for c in lcols[1:]:
+        matched = matched | F.col(c).isNotNull()
+    return out.filter(matched)
 
 
 # ---------------------------------------------------------------------------

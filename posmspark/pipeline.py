@@ -33,7 +33,8 @@ def default_prepared():
     """
     if "default" not in _PREPARED_CACHE:
         _PREPARED_CACHE["default"] = prepare_boundaries(
-            synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+            synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+            n_levels=4,
         )
     return _PREPARED_CACHE["default"]
 

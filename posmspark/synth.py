@@ -115,6 +115,13 @@ def gen_boundaries_pdf() -> pd.DataFrame:
                      "administrative", [[rect(25, 0, 30, 5)]], next(o)))
     rows.append(_row("R2220", "Beta-East-N", "Beta-East-N", "5", None,
                      "administrative", [[rect(25, 5, 30, 10)]], next(o)))
+    # level-3 of Alphaland (default raw tag '8'): Alpha-1-S split at lon 2.
+    # Only used when prepare_boundaries(n_levels>=4); under the default
+    # 3-level build these rows fail every tag filter and drop out.
+    rows.append(_row("R1111", "Alpha-1-S-W", "Alpha-1-S-West", "8", None,
+                     "administrative", [[rect(0, 0, 2, 5)]], next(o)))
+    rows.append(_row("R1112", "Alpha-1-S-E", None, "8", None,
+                     "administrative", [[rect(2, 0, 4, 5)]], next(o)))
     # level-1 + level-2 of Gammaria
     rows.append(_row("R3100", "Gamma-West", "Gamma-West", "4", None,
                      "administrative", [[rect(40, -10, 45, 0)]], next(o)))
@@ -147,7 +154,7 @@ def gen_admin_mapping_pdf() -> pd.DataFrame:
     )
 
 
-ADMIN_DEFAULTS = {"admin_level_1": 4, "admin_level_2": 6}
+ADMIN_DEFAULTS = {"admin_level_1": 4, "admin_level_2": 6, "admin_level_3": 8}
 
 
 def boundaries_df(spark: SparkSession) -> DataFrame:

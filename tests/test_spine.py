@@ -54,13 +54,10 @@ def test_geocode_parse(spark, pages):
     assert bad == 0
 
 
-def test_pip_join_matches_numpy_oracle(spark, pages, prepared):
-    """Join assignments must equal a brute-force numpy oracle exactly
-    (the reference-semantics golden: first insert_order match wins)."""
+def _assert_matches_numpy_oracle(spark, pages, prepared):
+    lcols = [f"osm_id_l{lv}" for lv in range(prepared.n_levels)]
     geo = with_cell(textx.with_geocode(pages)).filter(F.col("lat").isNotNull())
-    out = pip_join(geo, prepared, spark).select(
-        "url", "lon", "lat", "osm_id_l0", "osm_id_l1", "osm_id_l2"
-    )
+    out = pip_join(geo, prepared, spark).select("url", "lon", "lat", *lcols)
     got = out.toPandas().set_index("url").sort_index()
 
     levels = prepared.levels_pdf
@@ -76,10 +73,30 @@ def test_pip_join_matches_numpy_oracle(spark, pages, prepared):
 
     sample = got.sample(n=300, random_state=42) if len(got) > 300 else got
     for url, row in sample.iterrows():
-        for lv, col in [(0, "osm_id_l0"), (1, "osm_id_l1"), (2, "osm_id_l2")]:
+        for lv, col in enumerate(lcols):
             exp = oracle(row.lon, row.lat, lv)
             assert row[col] == exp or (exp is None and pd.isna(row[col])), (
                 url, lv, row[col], exp)
+
+
+def test_pip_join_matches_numpy_oracle(spark, pages, prepared):
+    """Join assignments must equal a brute-force numpy oracle exactly
+    (the reference-semantics golden: first insert_order match wins)."""
+    _assert_matches_numpy_oracle(spark, pages, prepared)
+
+
+def test_pip_join_matches_numpy_oracle_4_levels(spark, pages):
+    """Same golden with a 4-deep hierarchy (reference levels 1..10,
+    extract_all.py:92-121): the generalized resolve index + schema must
+    assign osm_id_l3 exactly."""
+    prepared4 = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(), n_levels=4
+    )
+    assert prepared4.n_levels == 4
+    l3 = prepared4.levels_pdf.query("adminlevel == 3")
+    assert set(l3.osm_id) == {"R1111", "R1112"}
+    assert set(l3.is_in) == {"R1110"}
+    _assert_matches_numpy_oracle(spark, pages, prepared4)
 
 
 def test_pip_join_counts_stable_across_parallelism(spark, pages, prepared):
