@@ -254,8 +254,27 @@ def _q_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineage.manifest_df(spark, wd).orderBy("partition_key")
 
 
+def _q_dual_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/O10: natural + simplified geometry per boundary feature
+    (generate_geojson.py:203-221 dual emit), simplified via the
+    watertight shared-edge chain machinery."""
+    from posmspark import sinks, synth
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(), n_levels=4
+    )
+    return (
+        sinks.dual_geojson_feature_df(spark, prepared, tol=0.05)
+        .select("osm_id", "adminlevel", "variant", "n_points",
+                F.round("area", 9).alias("area"))
+        .orderBy("adminlevel", "osm_id", "variant")
+    )
+
+
 _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_manifest": _q_incremental_manifest,
+    "dual_export": _q_dual_export,
     "pip_tile_rollup": _q_pip_tile_rollup,
     "pip_assignment": _q_pip_assignment,
     "cell_tile_stats": _q_cell_tile_stats,

@@ -291,9 +291,13 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
         a, b = _key(path[0]), _key(path[-1])
         canonical = (a, b) if a <= b else (b, a)
         flip = canonical != (a, b)
-        ck = (canonical, len(path), _key(path[len(path) // 2]))
+        # cache key = EVERY snapped point of the canonical-direction
+        # chain (injective). Endpoints+length+midpoint alone could let
+        # two distinct borders collide and silently swap polylines
+        # (ADVICE r01).
+        p = path[::-1] if flip else path
+        ck = tuple(_key(q) for q in p)
         if ck not in chain_cache:
-            p = path[::-1] if flip else path
             chain_cache[ck] = geom.douglas_peucker(p, tol)
         out = chain_cache[ck]
         return out[::-1] if flip else out

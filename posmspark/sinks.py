@@ -133,6 +133,70 @@ def geojson_feature_df(spark: SparkSession, prepared) -> DataFrame:
     )
 
 
+def dual_geojson_feature_df(spark: SparkSession, prepared,
+                            tol: float = 0.05) -> DataFrame:
+    """Natural + simplified geometry variant per boundary feature —
+    the reference emits both per level (generate_geojson.py:203-221,
+    8 files per country). The simplified variant comes from
+    shared-edge-consistent simplification run over each level's mesh,
+    so shared borders remain IDENTICAL polylines on both owners
+    (watertight, like toTopoGeom + ST_Simplify(topo),
+    proc_functions.sql:27-82,219).
+
+    Output: (osm_id, adminlevel, variant, n_points, area, feature_json).
+    """
+    import json
+
+    from posmspark import dissolve
+
+    props_by_id = {
+        r.osm_id: r for r in prepared.levels_pdf.itertuples(index=False)
+    }
+    rows = []
+    for lv in sorted(prepared.levels_pdf.adminlevel.unique()):
+        ids = list(
+            prepared.levels_pdf.query("adminlevel == @lv")
+            .sort_values("insert_order").osm_id
+        )
+        mesh = {oid: prepared.polys_by_id[oid] for oid in ids}
+        simplified = dissolve.shared_edge_simplify(mesh, tol=tol)
+        for variant, geoms in (("natural", mesh), ("simplified", simplified)):
+            for oid in ids:
+                polys = geoms[oid]
+                r = props_by_id[oid]
+                coords = [[ring.tolist() for ring in rings]
+                          for rings in polys]
+                feat = {
+                    "type": "Feature",
+                    "properties": {
+                        "osm_id": oid,
+                        "name": r.name,
+                        "name_en": r.name_en,
+                        "adminlevel": int(r.adminlevel),
+                        "is_in": r.is_in,
+                        "variant": variant,
+                    },
+                    "geometry": {"type": "MultiPolygon",
+                                 "coordinates": coords},
+                }
+                area = sum(
+                    geom.ring_area(rings[0])
+                    + sum(geom.ring_area(h) for h in rings[1:])
+                    for rings in polys
+                )
+                rows.append((
+                    oid, int(r.adminlevel), variant,
+                    int(sum(len(ring) for rings in polys for ring in rings)),
+                    float(area),
+                    json.dumps(feat, ensure_ascii=False, sort_keys=True),
+                ))
+    return spark.createDataFrame(
+        rows,
+        "osm_id string, adminlevel int, variant string, n_points long,"
+        " area double, feature_json string",
+    )
+
+
 def read_geojson_features(spark: SparkSession, df: DataFrame) -> "pd.DataFrame":
     """GeoJSON source (S4, exposm/reader.py:95-97 analog): parse Feature
     JSON rows back into the boundary input shape (osm_id, name, name_en,

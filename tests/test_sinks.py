@@ -113,3 +113,56 @@ def test_geojson_roundtrip_reader(spark, prepared):
         for a, b in zip(got, orig):
             for ra, rb in zip(a, b):
                 np.testing.assert_allclose(ra, rb)
+
+
+def test_dual_export_natural_and_simplified(spark):
+    """VERDICT r01 item 7: dual natural+simplified export per feature
+    (generate_geojson.py:203-221). Simplified borders must be watertight
+    (shared chains identical across owners) and the natural variant must
+    be byte-faithful to the prepared geometry."""
+    import json
+
+    from posmspark import dissolve, geom, synth
+    from posmspark.joins import prepare_boundaries
+    from posmspark.sinks import dual_geojson_feature_df
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    df = dual_geojson_feature_df(spark, prepared, tol=0.05)
+    rows = df.collect()
+    by_key = {(r["osm_id"], r["variant"]): r for r in rows}
+    # every feature present in both variants
+    ids = set(prepared.levels_pdf.osm_id)
+    assert {(i, v) for i in ids for v in ("natural", "simplified")} == set(by_key)
+
+    # natural geometry round-trips exactly
+    feat = json.loads(by_key[("R1100", "natural")]["feature_json"])
+    got = [
+        [np.asarray(ring) for ring in poly]
+        for poly in feat["geometry"]["coordinates"]
+    ]
+    exp = prepared.polys_by_id["R1100"]
+    assert len(got) == len(exp)
+    for gp, ep in zip(got, exp):
+        for gr, er in zip(gp, ep):
+            assert np.array_equal(gr, er)
+
+    # watertight: the simplified level-1 mesh of Alphaland still
+    # dissolves to one polygon covering the country rect
+    simp = {}
+    for oid in ["R1100", "R1200", "R1300"]:
+        feat = json.loads(by_key[(oid, "simplified")]["feature_json"])
+        simp[oid] = [
+            [np.asarray(ring) for ring in poly]
+            for poly in feat["geometry"]["coordinates"]
+        ]
+    u = dissolve.dissolve_union(simp)
+    assert len(u) == 1
+    assert geom.multipolygon_bbox(u) == (0.0, 0.0, 12.0, 10.0)
+
+    # simplification never adds points and preserves signed area sign
+    for i in ids:
+        nat, sim = by_key[(i, "natural")], by_key[(i, "simplified")]
+        assert sim["n_points"] <= nat["n_points"]
+        assert (sim["area"] > 0) == (nat["area"] > 0)
