@@ -163,6 +163,93 @@ class PreparedBoundaries:
         return spark.createDataFrame(self.cover_pdf)
 
 
+def _first_match_index(frame: pd.DataFrame, covers_for, cover_res=COVER_RES):
+    """Cell-cover first-match index over one level's polygons.
+
+    Returns (cells_sorted, win, partials, cover_res):
+      win[i]        — osm_id of the lowest-insert_order polygon whose
+                      FULL cells include cells_sorted[i] (None if none)
+      partials[c]   — insert_order-sorted (order, osm_id) candidates
+                      whose BOUNDARY crosses cell c with order below the
+                      FULL winner's (only those can beat it first-match)
+    """
+    rows_cells, rows_osm, rows_order, rows_full = [], [], [], []
+    for r in frame.itertuples(index=False):
+        for cc, full in covers_for(r.osm_id):
+            rows_cells.append(cc)
+            rows_osm.append(np.repeat(r.osm_id, len(cc)))
+            rows_order.append(np.full(len(cc), r.insert_order,
+                                      dtype=np.int64))
+            rows_full.append(full)
+    if not rows_cells:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object),
+                {}, cover_res)
+    c_arr = np.concatenate(rows_cells)
+    osm = np.concatenate(rows_osm)
+    order = np.concatenate(rows_order)
+    full = np.concatenate(rows_full)
+    sort = np.lexsort((order, c_arr))
+    c_arr, osm, order, full = c_arr[sort], osm[sort], order[sort], full[sort]
+
+    cells_sorted = np.unique(c_arr)
+    n = len(cells_sorted)
+    win = np.full(n, None, dtype=object)
+    win_ord = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    m = full
+    if m.any():
+        cs, first = np.unique(c_arr[m], return_index=True)
+        pos = np.searchsorted(cells_sorted, cs)
+        win[pos] = osm[m][first]
+        win_ord[pos] = order[m][first]
+    partials: dict[int, list] = {}
+    m = ~full
+    if m.any():
+        pos = np.searchsorted(cells_sorted, c_arr[m])
+        keep = order[m] < win_ord[pos]
+        for cell, od, oid in zip(c_arr[m][keep], order[m][keep],
+                                 osm[m][keep]):
+            partials.setdefault(int(cell), []).append((int(od), oid))
+    for cell in partials:
+        partials[cell].sort()
+    return cells_sorted, win, partials, cover_res
+
+
+def _first_match_batch(lon: np.ndarray, lat: np.ndarray, index,
+                       polys_by_id) -> np.ndarray:
+    """Vectorized first-match (lowest insert_order containing polygon)
+    for arrays of points — the same FULL-winner/boundary-candidate
+    resolution the PIP join kernel uses, driver-side."""
+    cells_sorted, win, partials, cover_res = index
+    out = np.full(len(lon), None, dtype=object)
+    if not len(cells_sorted):
+        return out
+    jc = cells.encode(np.asarray(lon, dtype=np.float64),
+                      np.asarray(lat, dtype=np.float64), cover_res)
+    pos = np.searchsorted(cells_sorted, jc)
+    pos_c = np.clip(pos, 0, len(cells_sorted) - 1)
+    hit = (jc >= 0) & (cells_sorted[pos_c] == jc)
+    out[hit] = win[pos_c[hit]]
+    hit_idx = np.nonzero(hit)[0]
+    hcells = jc[hit_idx]
+    bmask = np.fromiter((int(c) in partials for c in hcells), dtype=bool,
+                        count=len(hcells))
+    for cell in np.unique(hcells[bmask]):
+        cand = partials[int(cell)]
+        ix = hit_idx[hcells == cell]
+        undecided = np.ones(len(ix), dtype=bool)
+        for _ord, oid in cand:
+            if not undecided.any():
+                break
+            sub = ix[undecided]
+            inside = geom.points_in_multipolygon(
+                lon[sub], lat[sub], polys_by_id[oid])
+            if inside.any():
+                out[sub[inside]] = oid
+                rem = np.where(undecided)[0]
+                undecided[rem[inside]] = False
+    return out
+
+
 def prepare_boundaries(boundaries_pdf: pd.DataFrame,
                        mapping_pdf: pd.DataFrame,
                        cover_res: int = COVER_RES,
@@ -231,39 +318,61 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
     l0["adminlevel"] = 0
     l0["is_in"] = None
 
-    def first_match(lon: float, lat: float, parents: pd.DataFrame):
-        """First parent polygon (by insert_order) containing the point."""
-        for p in parents.sort_values("insert_order").itertuples(index=False):
-            if geom.points_in_multipolygon(
-                np.array([lon]), np.array([lat]), polys_by_id[p.osm_id]
-            )[0]:
-                return p.osm_id
-        return None
+    # Cell covers are computed once per feature and reused for both the
+    # per-level first-match index and the final cover table.
+    cover_cache: dict[str, list] = {}
+
+    def covers_for(oid: str) -> list:
+        if oid not in cover_cache:
+            cover_cache[oid] = [
+                cells.cover_polygon(rings, cover_res)
+                for rings in polys_by_id[oid]
+            ]
+        return cover_cache[oid]
 
     # levels 1..n-1: rep-point PIP into country (tag lookup) + direct
-    # parent at level-1 below; a missing country or parent drops the
-    # feature (extract.py:241-243, 312-341 — the containment-chain O14)
+    # parent at the level below; a missing country or parent drops the
+    # feature (extract.py:241-243, 312-341 — the containment-chain O14).
+    # Parents are probed through a cell-cover index (FULL-cell winner +
+    # insert-order boundary candidates, the engine's own resolve-map
+    # trick), NOT a linear scan over every parent polygon — the planet
+    # has ~100k admin features and the linear scan was the build's
+    # quadratic term (VERDICT r01 item 8).
+    l0_index = _first_match_index(l0, covers_for)
     level_frames = [l0]
+    level_indexes = [l0_index]
     assigned = set(l0.osm_id)
     for lv in range(1, n_levels):
         cand = feats[~feats.osm_id.isin(assigned)]
-        parent_frame = level_frames[lv - 1]
+        if not len(cand):
+            level_frames.append(pd.DataFrame())
+            level_indexes.append(None)
+            continue
+        reps = np.array([
+            geom.representative_point(polys_by_id[oid])
+            for oid in cand.osm_id
+        ], dtype=np.float64)
+        country = _first_match_batch(
+            reps[:, 0], reps[:, 1], l0_index, polys_by_id)
+        if lv == 1:
+            parent = country
+        elif level_indexes[lv - 1] is None:
+            parent = np.full(len(cand), None, dtype=object)
+        else:
+            parent = _first_match_batch(
+                reps[:, 0], reps[:, 1], level_indexes[lv - 1], polys_by_id)
         rows_lv = []
-        for r in cand.itertuples(index=False):
-            lon, lat = geom.representative_point(polys_by_id[r.osm_id])
-            country = first_match(lon, lat, l0)
-            if country is None or r.raw_level != tag_for(country, lv):
+        for i, r in enumerate(cand.itertuples(index=False)):
+            if country[i] is None or r.raw_level != tag_for(country[i], lv):
                 continue
-            if lv == 1:
-                parent = country
-            else:
-                parent = (first_match(lon, lat, parent_frame)
-                          if len(parent_frame) else None)
-            if parent is None:
+            if parent[i] is None:
                 continue
-            rows_lv.append({**r._asdict(), "adminlevel": lv, "is_in": parent})
+            rows_lv.append(
+                {**r._asdict(), "adminlevel": lv, "is_in": parent[i]})
         frame = pd.DataFrame(rows_lv)
         level_frames.append(frame)
+        level_indexes.append(
+            _first_match_index(frame, covers_for) if len(frame) else None)
         if len(frame):
             assigned |= set(frame.osm_id)
 
@@ -278,8 +387,7 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
     cov_rows = {"cell": [], "osm_id": [], "adminlevel": [], "full": [],
                 "insert_order": []}
     for r in levels.itertuples(index=False):
-        for rings in polys_by_id[r.osm_id]:
-            cc, full = cells.cover_polygon(rings, cover_res)
+        for cc, full in covers_for(r.osm_id):
             cov_rows["cell"].append(cc)
             cov_rows["osm_id"].append(np.repeat(r.osm_id, len(cc)))
             cov_rows["adminlevel"].append(np.full(len(cc), r.adminlevel))
@@ -298,8 +406,8 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
     problems_pdf = pd.DataFrame(
         problems, columns=["osm_id", "name", "reason", "lon", "lat"]
     )
-    keep_polys = {k: v for k, v in polys_by_id.items()
-                  if k in set(levels.osm_id)}
+    retained = set(levels.osm_id)
+    keep_polys = {k: v for k, v in polys_by_id.items() if k in retained}
     return PreparedBoundaries(levels, problems_pdf, keep_polys, cover,
                               cover_res, n_levels=n_levels)
 

@@ -158,3 +158,36 @@ def test_normalize_multipolygon():
     np.testing.assert_array_equal(out[0][0][0], out[0][0][-1])  # closed
     assert geom.ring_area(out[1][0]) > 0      # outer CCW
     assert geom.ring_area(out[1][1]) < 0      # hole CW
+
+
+def test_pip_matrix_and_loop_paths_agree():
+    """The two PIP regimes (edge-matrix for few points, edge-loop for
+    many) must agree exactly on a jagged 5k-vertex ring, including on
+    boundary-grazing horizontal edges."""
+    t = np.linspace(0, 2 * np.pi, 5001)
+    r = 1.0 + 0.1 * np.sin(50 * t)
+    ring = np.column_stack([r * np.cos(t), r * np.sin(t)])
+    ring[-1] = ring[0]
+    rng = np.random.default_rng(0)
+    px = rng.uniform(-1.2, 1.2, 1000)
+    py = rng.uniform(-1.2, 1.2, 1000)
+    a = geom._pir_edge_matrix(px, py, [ring])
+    b = geom._pir_edge_loop(px, py, [ring])
+    assert np.array_equal(a, b)
+    # dispatch respects both regimes
+    few = geom.points_in_rings(px[:3], py[:3], [ring])
+    assert np.array_equal(few, b[:3])
+    many = geom.points_in_rings(px, py, [ring])
+    assert np.array_equal(many, b)
+
+
+def test_pip_horizontal_edges_consistent():
+    """Rect with horizontal edges: the matrix path's divide-by-zero
+    masking must match the loop path."""
+    rect = np.array([[0., 0.], [4., 0.], [4., 2.], [0., 2.], [0., 0.]])
+    px = np.array([1.0, 5.0, 2.0, -1.0])
+    py = np.array([1.0, 1.0, 2.5, 1.0])
+    a = geom._pir_edge_matrix(px, py, [rect])
+    b = geom._pir_edge_loop(px, py, [rect])
+    assert np.array_equal(a, b)
+    assert list(a) == [True, False, False, False]
