@@ -272,9 +272,42 @@ def _q_dual_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shapefile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: GADM shapefile-zip boundary source (extract_gadm.py:32-40
+    parity) — write the fixture as .shp+.dbf in a zip, read it back
+    with the from-scratch parser, build the hierarchy, and surface the
+    levels table."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from posmspark import geom, shp, synth
+    from posmspark.joins import prepare_boundaries
+
+    zp = os.path.join(tempfile.gettempdir(), "posmspark_fixture_shp.zip")
+    bpdf = synth.gen_boundaries_pdf()
+    polys_list = [geom.wkb_to_multipolygon(b) for b in bpdf.geom_wkb]
+    attrs = pd.DataFrame({
+        "OSM_ID": bpdf.osm_id, "NAME": bpdf.name, "NAME_EN": bpdf.name_en,
+        "ADMIN_LVL": bpdf.admin_level, "ISO3166": bpdf.iso3166,
+        "BOUNDARY": bpdf.boundary,
+    })
+    shp.write_shapefile_zip(zp, polys_list, attrs)
+    back = shp.boundaries_from_shapefile_zip(zp)
+    prepared = prepare_boundaries(back, synth.gen_admin_mapping_pdf(),
+                                  n_levels=4)
+    return (
+        prepared.levels_df(spark)
+        .select("osm_id", "name_en", "adminlevel", "iso3166", "is_in")
+        .orderBy("adminlevel", "osm_id")
+    )
+
+
 _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_manifest": _q_incremental_manifest,
     "dual_export": _q_dual_export,
+    "shapefile_source": _q_shapefile_source,
     "pip_tile_rollup": _q_pip_tile_rollup,
     "pip_assignment": _q_pip_assignment,
     "cell_tile_stats": _q_cell_tile_stats,
