@@ -304,10 +304,36 @@ def _q_shapefile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: quantized shared-arc topology artifact
+    (prepare_topojson.py:87-162 parity): one arc per border, referenced
+    by both owners; per-object arc stats surfaced as rows."""
+    from posmspark import synth, topo
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(), n_levels=4
+    )
+    rows = []
+    for lv in sorted(prepared.levels_pdf.adminlevel.unique()):
+        ids = prepared.levels_pdf.query("adminlevel == @lv").osm_id
+        mesh = {oid: prepared.polys_by_id[oid] for oid in ids}
+        t = topo.topology(mesh)
+        for r in topo.arc_stats(t):
+            rows.append((r["osm_id"], int(lv), r["n_arc_refs"],
+                         r["n_shared_arcs"], r["n_quantized_points"]))
+    return spark.createDataFrame(
+        rows,
+        "osm_id string, adminlevel int, n_arc_refs long,"
+        " n_shared_arcs long, n_quantized_points long",
+    ).orderBy("adminlevel", "osm_id")
+
+
 _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_manifest": _q_incremental_manifest,
     "dual_export": _q_dual_export,
     "shapefile_source": _q_shapefile_source,
+    "topojson_export": _q_topojson_export,
     "pip_tile_rollup": _q_pip_tile_rollup,
     "pip_assignment": _q_pip_assignment,
     "cell_tile_stats": _q_cell_tile_stats,

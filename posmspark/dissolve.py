@@ -308,33 +308,8 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
         for rings in polys:
             new_rings = []
             for ring in rings:
-                # owner-set per segment along the ring
-                osets = []
-                for k in range(len(ring) - 1):
-                    a, b = _key(ring[k]), _key(ring[k + 1])
-                    sk = (a, b) if a < b else (b, a)
-                    osets.append(frozenset(seg_owners[sk]))
-                # split the ring into chains at owner-set changes; also
-                # rotate so position 0 is a chain boundary
-                n = len(osets)
-                start = 0
-                for k in range(n):
-                    if osets[k] != osets[k - 1]:
-                        start = k
-                        break
-                idx = list(range(start, n)) + list(range(0, start))
-                pieces = []
-                cur = [ring[idx[0]]]
-                cur_set = osets[idx[0]]
-                for k in idx:
-                    if osets[k] != cur_set:
-                        pieces.append((cur_set, np.array(cur)))
-                        cur = [cur[-1]]
-                        cur_set = osets[k]
-                    cur.append(ring[k + 1] if k + 1 < len(ring) else ring[0])
-                pieces.append((cur_set, np.array(cur)))
                 rebuilt = []
-                for _oset, path in pieces:
+                for _oset, path in ring_chain_pieces(ring, seg_owners):
                     simp = simplify_chain(path)
                     rebuilt.extend(simp[:-1])
                 rebuilt.append(rebuilt[0])
@@ -344,6 +319,36 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
             new_polys.append(new_rings)
         result[oid] = new_polys
     return result
+
+
+def ring_chain_pieces(ring: np.ndarray, seg_owners: dict
+                      ) -> list[tuple[frozenset, np.ndarray]]:
+    """Split one mesh-resampled closed ring into maximal chains of
+    constant owner-set, rotated so position 0 is a chain boundary.
+    Shared by the watertight simplifier and the TopoJSON arc builder."""
+    osets = []
+    for k in range(len(ring) - 1):
+        a, b = _key(ring[k]), _key(ring[k + 1])
+        sk = (a, b) if a < b else (b, a)
+        osets.append(frozenset(seg_owners[sk]))
+    n = len(osets)
+    start = 0
+    for k in range(n):
+        if osets[k] != osets[k - 1]:
+            start = k
+            break
+    idx = list(range(start, n)) + list(range(0, start))
+    pieces = []
+    cur = [ring[idx[0]]]
+    cur_set = osets[idx[0]]
+    for k in idx:
+        if osets[k] != cur_set:
+            pieces.append((cur_set, np.array(cur)))
+            cur = [cur[-1]]
+            cur_set = osets[k]
+        cur.append(ring[k + 1] if k + 1 < len(ring) else ring[0])
+    pieces.append((cur_set, np.array(cur)))
+    return pieces
 
 
 # ---------------------------------------------------------------------------

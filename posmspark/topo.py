@@ -1,0 +1,145 @@
+"""TopoJSON-style quantized topology output (S11).
+
+The reference builds per-country TopoJSON tile trees with the topojson
+CLI (prepare_topojson.py:87-162: quantized arcs, shared borders stored
+once). This re-expresses that artifact from scratch on top of the
+engine's shared-edge chain machinery (dissolve._mesh_segments /
+ring_chain_pieces):
+
+- every border polyline between the same owner pair becomes ONE arc,
+  referenced by both owners (negative/~i reference = reversed walk,
+  the TopoJSON convention), so the artifact is watertight by structure
+- arcs are quantized to an integer grid via a transform
+  {scale, translate} and delta-encoded, exactly the TopoJSON wire form
+
+A decoder is included so tests can verify the round trip: decoded
+borders are bit-identical across owners (same arc), and every point is
+within one quantization step of the source geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from posmspark.dissolve import _key, _mesh_segments, ring_chain_pieces
+
+
+def topology(polys_by_id: dict[str, list[list[np.ndarray]]],
+             quantization: int = 100_000,
+             object_name: str = "boundaries") -> dict:
+    """Build a quantized shared-arc topology dict (TopoJSON shape)."""
+    _, seg_owners, rings_split = _mesh_segments(polys_by_id)
+
+    pts = np.vstack([
+        ring for polys in polys_by_id.values()
+        for rings in polys for ring in rings
+    ])
+    x0, y0 = float(pts[:, 0].min()), float(pts[:, 1].min())
+    x1, y1 = float(pts[:, 0].max()), float(pts[:, 1].max())
+    q = max(int(quantization), 2)
+    kx = (x1 - x0) / (q - 1) or 1.0
+    ky = (y1 - y0) / (q - 1) or 1.0
+
+    def quantize(path: np.ndarray) -> np.ndarray:
+        gx = np.round((path[:, 0] - x0) / kx).astype(np.int64)
+        gy = np.round((path[:, 1] - y0) / ky).astype(np.int64)
+        g = np.column_stack([gx, gy])
+        # collapse consecutive duplicates (spec) but keep >= 2 points
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (np.diff(g, axis=0) != 0).any(axis=1)
+        g = g[keep]
+        if len(g) == 1:
+            g = np.vstack([g, g])
+        out = g.copy()
+        out[1:] -= g[:-1]  # delta encoding
+        return out
+
+    arcs: list[np.ndarray] = []
+    arc_index: dict[tuple, int] = {}
+    geometries = []
+    for oid in sorted(rings_split):
+        poly_arcs = []
+        for rings in rings_split[oid]:
+            ring_refs_list = []
+            for ring in rings:
+                refs = []
+                for _oset, path in ring_chain_pieces(ring, seg_owners):
+                    a, b = _key(path[0]), _key(path[-1])
+                    flip = not (a <= b)
+                    p = path[::-1] if flip else path
+                    ck = tuple(_key(v) for v in p)
+                    if ck not in arc_index:
+                        arc_index[ck] = len(arcs)
+                        arcs.append(quantize(p))
+                    i = arc_index[ck]
+                    refs.append(~i if flip else i)
+                ring_refs_list.append(refs)
+            poly_arcs.append(ring_refs_list)
+        geometries.append(
+            {"type": "MultiPolygon", "id": oid, "arcs": poly_arcs})
+
+    return {
+        "type": "Topology",
+        "transform": {"scale": [kx, ky], "translate": [x0, y0]},
+        "arcs": [a.tolist() for a in arcs],
+        "objects": {
+            object_name: {"type": "GeometryCollection",
+                          "geometries": geometries}
+        },
+    }
+
+
+def decode(topo: dict, object_name: str = "boundaries"
+           ) -> dict[str, list[list[np.ndarray]]]:
+    """Inverse of topology(): expand delta-encoded quantized arcs back
+    to lon/lat rings per object id."""
+    kx, ky = topo["transform"]["scale"]
+    x0, y0 = topo["transform"]["translate"]
+    abs_arcs = []
+    for deltas in topo["arcs"]:
+        g = np.cumsum(np.asarray(deltas, dtype=np.int64), axis=0)
+        abs_arcs.append(
+            np.column_stack([g[:, 0] * kx + x0, g[:, 1] * ky + y0]))
+
+    out: dict[str, list[list[np.ndarray]]] = {}
+    for geo in topo["objects"][object_name]["geometries"]:
+        polys = []
+        for ring_refs_list in geo["arcs"]:
+            rings = []
+            for refs in ring_refs_list:
+                parts = []
+                for ref in refs:
+                    arc = abs_arcs[~ref][::-1] if ref < 0 else abs_arcs[ref]
+                    parts.append(arc[:-1])
+                ring = np.vstack(parts + [parts[0][:1]])
+                rings.append(ring)
+            polys.append(rings)
+        out[geo["id"]] = polys
+    return out
+
+
+def arc_stats(topo: dict, object_name: str = "boundaries") -> list[dict]:
+    """Per-object summary rows for the driver query: arcs referenced,
+    shared arcs (referenced by >1 object), quantized points."""
+    ref_count: dict[int, int] = {}
+    per_obj: dict[str, list[int]] = {}
+    for geo in topo["objects"][object_name]["geometries"]:
+        ids = []
+        for ring_refs_list in geo["arcs"]:
+            for refs in ring_refs_list:
+                for ref in refs:
+                    i = ~ref if ref < 0 else ref
+                    ids.append(i)
+                    ref_count[i] = ref_count.get(i, 0) + 1
+        per_obj[geo["id"]] = ids
+    rows = []
+    for oid in sorted(per_obj):
+        ids = per_obj[oid]
+        rows.append({
+            "osm_id": oid,
+            "n_arc_refs": len(ids),
+            "n_shared_arcs": sum(1 for i in set(ids) if ref_count[i] > 1),
+            "n_quantized_points": int(
+                sum(len(topo["arcs"][i]) for i in set(ids))),
+        })
+    return rows

@@ -1,0 +1,100 @@
+"""TopoJSON-style quantized topology tests (S11): shared arcs stored
+once, watertight by structure, quantization-bounded round trip."""
+
+import numpy as np
+
+from posmspark import dissolve, geom, synth, topo
+from posmspark.joins import prepare_boundaries
+
+
+def _mesh(level):
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    ids = prepared.levels_pdf.query("adminlevel == @level").osm_id
+    return {oid: prepared.polys_by_id[oid] for oid in ids}
+
+
+def test_topology_shared_arcs_stored_once():
+    # drop the duplicate-coverage twin: it overlays R1100 exactly, so it
+    # references the same arcs in the same direction (tested separately)
+    mesh = {k: v for k, v in _mesh(1).items() if k != "R1101"}
+    t = topo.topology(mesh)
+    # R1100|R1200 share the x=4 border, R1200|R1300 share x=8 -> those
+    # arcs are each referenced by exactly two objects
+    stats = {r["osm_id"]: r for r in topo.arc_stats(t)}
+    for oid in ["R1100", "R1200", "R1300"]:
+        assert stats[oid]["n_shared_arcs"] >= 1, stats[oid]
+    # arc-reference signs: every shared arc appears once forward and
+    # once reversed (watertight winding)
+    ref_signs: dict[int, list[int]] = {}
+    for g in t["objects"]["boundaries"]["geometries"]:
+        for rings in g["arcs"]:
+            for refs in rings:
+                for ref in refs:
+                    i = ~ref if ref < 0 else ref
+                    ref_signs.setdefault(i, []).append(
+                        -1 if ref < 0 else 1)
+    shared = {i: s for i, s in ref_signs.items() if len(s) == 2}
+    assert shared
+    assert all(sorted(s) == [-1, 1] for s in shared.values())
+
+
+def test_topology_duplicate_polygon_shares_all_arcs():
+    """R1101 duplicates R1100 exactly: both reference identical arc ids
+    (same direction) — the artifact stores the shared outline once."""
+    mesh = {k: v for k, v in _mesh(1).items() if k in ("R1100", "R1101")}
+    t = topo.topology(mesh)
+    refs = {
+        g["id"]: [ref for rings in g["arcs"] for rr in rings for ref in rr]
+        for g in t["objects"]["boundaries"]["geometries"]
+    }
+    assert refs["R1100"] == refs["R1101"]
+
+
+def test_topology_roundtrip_within_quantum():
+    mesh = _mesh(2)
+    q = 100_000
+    t = topo.topology(mesh, quantization=q)
+    back = topo.decode(t)
+    assert set(back) == set(mesh)
+    kx, ky = t["transform"]["scale"]
+    for oid, polys in mesh.items():
+        got = back[oid]
+        assert len(got) == len(polys)
+        for gp, ep in zip(got, polys):
+            # every original vertex is within one quantization step of
+            # some decoded vertex of the same ring
+            for gr, er in zip(gp, ep):
+                for pt in er[:-1]:
+                    d = np.abs(gr[:-1] - pt[None, :])
+                    assert (d[:, 0].min() <= kx * 0.51) and (
+                        np.abs(gr[:-1] - pt[None, :]).sum(axis=1).min()
+                        <= (kx + ky) * 0.51), (oid, pt)
+
+
+def test_topology_decoded_mesh_watertight():
+    """Decoded borders are the SAME arc on both owners, so the decoded
+    level-1 mesh of Alphaland still dissolves to one polygon."""
+    mesh = {k: v for k, v in _mesh(1).items()
+            if k in ("R1100", "R1200", "R1300")}
+    t = topo.topology(mesh, quantization=1_000_000)
+    back = topo.decode(t)
+    u = dissolve.dissolve_union(back)
+    assert len(u) == 1
+    x0, y0, x1, y1 = geom.multipolygon_bbox(u)
+    assert abs(x0 - 0) < 1e-4 and abs(y0 - 0) < 1e-4
+    assert abs(x1 - 12) < 1e-4 and abs(y1 - 10) < 1e-4
+
+
+def test_topology_holes_preserved():
+    """R2100 carries a hole: ring counts and hole area survive."""
+    mesh = _mesh(1)
+    t = topo.topology(mesh, quantization=1_000_000)
+    back = topo.decode(t)
+    exp = mesh["R2100"]
+    got = back["R2100"]
+    assert [len(rings) for rings in got] == [len(rings) for rings in exp]
+    a_exp = sum(geom.ring_area(r) for rings in exp for r in rings)
+    a_got = sum(geom.ring_area(r) for rings in got for r in rings)
+    assert abs(a_exp - a_got) < 1e-3
