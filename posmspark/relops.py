@@ -739,6 +739,22 @@ FROM documents GROUP BY 1, 2
 NGRAM_MAX_SHINGLE_FREQ = 50
 
 
+def _doc_shingles(spark, sf):
+    """Distinct word 3-gram shingles of the documents table. Tokenizes
+    ONCE into a column: split() inline in the transform lambda is
+    re-evaluated per element (O(tokens^2) per doc — measured 3.7x
+    slower at sf0.1)."""
+    d = _t(spark, sf, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(_toks) - 2, 0)),"
+        " i -> concat_ws(' ', slice(_toks, i, 3)))"
+    )
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf):
     """near-dup detection: word-3-gram Jaccard >= 0.8 pairs.
 
@@ -751,18 +767,11 @@ def q_ngram_jaccard_pairs(spark, sf):
     pairs only, so emitted values are unchanged; a pair whose shared
     shingles are ALL boilerplate is the one class deliberately skipped.
     """
-    d = _t(spark, sf, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
-                    " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
-                )
-            )
-        ).alias("shingle"),
-    )
+    # The shingle stage feeds five downstream branches (hot filter,
+    # both candidate-join sides, counts, the verify join); stage it
+    # once — at 100 TB you materialize the shingle table, you don't
+    # recompute the explode per branch.
+    sh = _doc_shingles(spark, sf).persist()
     hot = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > NGRAM_MAX_SHINGLE_FREQ).select("shingle")
@@ -770,21 +779,36 @@ def q_ngram_jaccard_pairs(spark, sf):
     cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = cold.alias("a")
     b = cold.alias("b")
-    cand = (
+    # cold-shared counts come straight off the self-join (one groupBy;
+    # no distinct + re-join against the full shingle table)
+    inter_cold = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_cold"))
+    )
+    # hot-shared counts only for pairs that already share a cold
+    # shingle: join the (tiny) hot shingle rows to both sides — exact
+    # totals without ever self-joining on a hot key
+    hot_sh = sh.join(F.broadcast(hot), "shingle")
+    ha = hot_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    hb = hot_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter_hot = (
+        inter_cold.select("doc_a", "doc_b")
+        .join(ha, "doc_a").join(hb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    inter = (
+        inter_cold.join(inter_hot, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_cold") + F.coalesce(F.col("n_hot"), F.lit(0)))
+            .alias("n_inter"),
+        )
     )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -811,16 +835,23 @@ sh AS (
     FROM toks)),
 hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
 cold AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter_cold AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_cold
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+hot_sh AS (SELECT * FROM sh SEMI JOIN hot USING (shingle)),
+inter_hot AS (
+  SELECT ic.doc_a, ic.doc_b, count(*) AS n_hot
+  FROM inter_cold ic
+  JOIN hot_sh a ON a.doc_id = ic.doc_a
+  JOIN hot_sh b ON b.doc_id = ic.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
 counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT doc_a, doc_b, count(*) AS n_inter
-  FROM cand
-  JOIN sh a ON a.doc_id = cand.doc_a
-  JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
-  GROUP BY 1, 2)
+  SELECT ic.doc_a, ic.doc_b,
+         ic.n_cold + coalesce(ih.n_hot, 0) AS n_inter
+  FROM inter_cold ic
+  LEFT JOIN inter_hot ih ON ih.doc_a = ic.doc_a AND ih.doc_b = ic.doc_b)
 SELECT doc_a, doc_b,
        round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
 FROM inter
@@ -834,18 +865,7 @@ def q_minhash_band_candidates(spark, sf):
     """MinHash+LSH candidate pairs: per-band min(md5(band || shingle))
     signatures; docs colliding on any band signature are candidates.
     md5 is identical across engines, so this is fully oracle-checkable."""
-    d = _t(spark, sf, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
-                    " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
-                )
-            )
-        ).alias("shingle"),
-    )
+    sh = _doc_shingles(spark, sf).persist()
     bands = spark.range(4).select(F.col("id").alias("band"))
     sigs = (
         sh.crossJoin(F.broadcast(bands))
