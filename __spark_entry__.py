@@ -184,6 +184,36 @@ def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): first-seen
+    content dedup over a real availableNow stream with a fresh
+    checkpoint; returns the deduped rows (stateful plumbing + cross-run
+    state retention tested in tests/test_streaming.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from posmspark import streaming
+    from posmspark.pipeline import pages_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wd = os.path.join(tempfile.gettempdir(), f"posmspark_sdq_{tag}")
+    shutil.rmtree(wd, ignore_errors=True)
+    pages_dir = os.path.join(wd, "in")
+    pages = pages_from_documents(spark, sf_dir).select(
+        "url", "warc_ts", "text")
+    pages.write.mode("overwrite").parquet(pages_dir)
+    schema = spark.read.parquet(pages_dir).schema
+    streaming.run_dedup_stream_once(
+        pages_dir, os.path.join(wd, "out"), os.path.join(wd, "ckpt"),
+        spark, schema)
+    return (
+        spark.read.parquet(os.path.join(wd, "out"))
+        .select("content_hash", "url")
+        .orderBy("content_hash", "url")
+    )
+
+
 def _q_dissolve_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from posmspark import synth
     from posmspark.dissolve import dissolve_by_parent
@@ -329,11 +359,29 @@ def _q_topojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("adminlevel", "osm_id")
 
 
+def _q_zip_package_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: per-country ZIP packaging of the GeoJSON exports
+    (generate_geojson.py:117-141) — surfaces the packaging manifest."""
+    import os
+    import tempfile
+
+    from posmspark import synth
+    from posmspark.joins import prepare_boundaries
+    from posmspark.sinks import package_boundary_zips
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(), n_levels=4
+    )
+    out = os.path.join(tempfile.gettempdir(), "posmspark_zips")
+    return package_boundary_zips(spark, prepared, out)
+
+
 _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_manifest": _q_incremental_manifest,
     "dual_export": _q_dual_export,
     "shapefile_source": _q_shapefile_source,
     "topojson_export": _q_topojson_export,
+    "zip_package_manifest": _q_zip_package_manifest,
     "pip_tile_rollup": _q_pip_tile_rollup,
     "pip_assignment": _q_pip_assignment,
     "cell_tile_stats": _q_cell_tile_stats,
@@ -345,6 +393,7 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "multimodal_features": _q_multimodal_features,
     "streaming_tile_counts": _q_streaming_tile_counts,
+    "streaming_dedup": _q_streaming_dedup,
     "poly_export": _q_poly_export,
     "dissolve_parents": _q_dissolve_parents,
     "residual_holes": _q_residual_holes,

@@ -197,6 +197,65 @@ def dual_geojson_feature_df(spark: SparkSession, prepared,
     )
 
 
+def package_boundary_zips(spark: SparkSession, prepared, out_dir: str,
+                          tol: float = 0.05) -> DataFrame:
+    """S12: per-country ZIP packaging of the exported GeoJSON artifacts
+    (generate_geojson.py:117-141 runs `zip -j -r` over the per-country
+    export dir; same artifact here without shelling out).
+
+    Each country zip carries one FeatureCollection per (level, variant)
+    — admin_level_<N>_<variant>.geojson, natural + simplified — holding
+    the country's own feature at level 0 and its descendants below.
+    Returns a manifest DataFrame (country, file_name, n_features,
+    n_bytes) for lineage accounting.
+    """
+    import json
+    import os
+    import zipfile
+
+    feats = dual_geojson_feature_df(spark, prepared, tol=tol).collect()
+    by_id = {}
+    for r in feats:
+        by_id.setdefault(r["osm_id"], {})[r["variant"]] = r
+
+    lv = prepared.levels_pdf
+    country_of = {}
+    for r in lv.itertuples(index=False):
+        cur = r
+        seen = set()
+        while cur.is_in is not None and cur.osm_id not in seen:
+            seen.add(cur.osm_id)
+            parents = lv[lv.osm_id == cur.is_in]
+            if not len(parents):
+                break
+            cur = next(parents.itertuples(index=False))
+        country_of[r.osm_id] = cur.osm_id
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for country in sorted(lv.query("adminlevel == 0").osm_id):
+        members = {}
+        for r in lv.itertuples(index=False):
+            if country_of[r.osm_id] != country:
+                continue
+            for variant in ("natural", "simplified"):
+                name = f"admin_level_{int(r.adminlevel)}_{variant}.geojson"
+                members.setdefault(name, []).append(
+                    json.loads(by_id[r.osm_id][variant]["feature_json"]))
+        zpath = os.path.join(out_dir, f"{country}.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for name in sorted(members):
+                fc = {"type": "FeatureCollection", "features": members[name]}
+                payload = json.dumps(fc, ensure_ascii=False, sort_keys=True)
+                zf.writestr(name, payload)
+                rows.append((country, name, len(members[name]),
+                             len(payload.encode("utf-8"))))
+    return spark.createDataFrame(
+        rows, "country string, file_name string, n_features long,"
+              " n_bytes long",
+    ).orderBy("country", "file_name")
+
+
 def read_geojson_features(spark: SparkSession, df: DataFrame) -> "pd.DataFrame":
     """GeoJSON source (S4, exposm/reader.py:95-97 analog): parse Feature
     JSON rows back into the boundary input shape (osm_id, name, name_en,

@@ -62,6 +62,72 @@ def streaming_tile_counts(pages_stream: DataFrame,
     )
 
 
+DEDUP_OUT_SCHEMA = ("content_hash string, url string,"
+                    " warc_ts timestamp, text string")
+
+
+def dedup_stream(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: first-seen content dedup.
+
+    A crawl stream re-delivers identical page content under refetches;
+    this keeps exactly the FIRST occurrence of each content hash across
+    the whole stream lifetime, implemented with applyInPandasWithState
+    (GroupState per content_hash). State per key is one marker row, so
+    the state store stays O(distinct contents) — the streaming analog
+    of the batch exact-dedup groupBy.
+
+    Within a batch, "first" is deterministic: min (warc_ts, url).
+    """
+    keyed = pages_stream.withColumn(
+        "content_hash", F.sha2(F.col("text").cast("binary"), 256)
+    ).select("content_hash", "url", "warc_ts", "text")
+
+    def first_seen(key, pdf_iter, state):
+        if state.exists:
+            for _ in pdf_iter:  # drain: all rows are re-deliveries
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            cand = pdf.sort_values(["warc_ts", "url"]).head(1)
+            if best is None or (
+                tuple(cand.iloc[0][["warc_ts", "url"]])
+                < tuple(best.iloc[0][["warc_ts", "url"]])
+            ):
+                best = cand
+        state.update((1,))
+        yield best
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_stream_once(pages_dir: str, out_dir: str,
+                          checkpoint_dir: str, spark: SparkSession,
+                          schema) -> None:
+    """Drain-and-stop runner for dedup_stream; rerunning with the same
+    checkpoint continues the SAME state store, so a content hash first
+    seen in run 1 stays deduped in run 2 (tested)."""
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_once(pages_dir: str, out_dir: str, checkpoint_dir: str,
                     prepared: PreparedBoundaries, spark: SparkSession,
                     schema) -> None:

@@ -166,3 +166,40 @@ def test_dual_export_natural_and_simplified(spark):
         nat, sim = by_key[(i, "natural")], by_key[(i, "simplified")]
         assert sim["n_points"] <= nat["n_points"]
         assert (sim["area"] > 0) == (nat["area"] > 0)
+
+
+def test_package_boundary_zips(spark, tmp_path):
+    """S12: per-country zip packaging (generate_geojson.py:117-141
+    analog) — one FeatureCollection per (level, variant), descendants
+    resolved through the is_in chain."""
+    import json
+    import zipfile
+
+    from posmspark import synth
+    from posmspark.joins import prepare_boundaries
+    from posmspark.sinks import package_boundary_zips
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(), n_levels=4
+    )
+    out = str(tmp_path / "zips")
+    manifest = {(r["country"], r["file_name"]): r
+                for r in package_boundary_zips(spark, prepared, out).collect()}
+
+    import os
+    assert sorted(os.listdir(out)) == ["R1000.zip", "R2000.zip", "R3000.zip"]
+    with zipfile.ZipFile(os.path.join(out, "R1000.zip")) as zf:
+        names = sorted(zf.namelist())
+        # Alphaland has levels 0..3 -> 8 files (natural+simplified each)
+        assert names == sorted(
+            f"admin_level_{lv}_{v}.geojson"
+            for lv in range(4) for v in ("natural", "simplified"))
+        fc = json.loads(zf.read("admin_level_3_natural.geojson"))
+        ids = {f["properties"]["osm_id"] for f in fc["features"]}
+        assert ids == {"R1111", "R1112"}
+        fc1 = json.loads(zf.read("admin_level_1_natural.geojson"))
+        ids1 = {f["properties"]["osm_id"] for f in fc1["features"]}
+        assert ids1 == {"R1100", "R1101", "R1200", "R1300"}
+    # manifest rows agree with the zip contents
+    assert manifest[("R1000", "admin_level_3_natural.geojson")]["n_features"] == 2
+    assert all(r["n_bytes"] > 0 for r in manifest.values())

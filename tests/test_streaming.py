@@ -59,3 +59,41 @@ def test_windowed_schema(spark, prepared, tmp_path):
     assert tiles.isStreaming
     assert set(tiles.columns) == {
         "window_start", "window_end", "cell", "osm_id_l0", "doc_count"}
+
+
+def test_dedup_stream_first_seen_across_batches(spark, tmp_path):
+    """Custom stateful op (applyInPandasWithState): first-seen content
+    dedup. In-batch dups collapse to the earliest (warc_ts, url);
+    re-deliveries in LATER runs stay deduped because the checkpoint
+    carries the state store."""
+    import pandas as pd
+
+    pages_dir = str(tmp_path / "dd_in")
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    os.makedirs(pages_dir)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True)
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append").parquet(pages_dir)
+
+    write_batch("b1", [
+        ("https://a/1", "2025-01-01T00:00:01Z", "alpha content"),
+        ("https://a/2", "2025-01-01T00:00:02Z", "alpha content"),  # in-batch dup
+        ("https://b/1", "2025-01-01T00:00:03Z", "beta content"),
+    ])
+    schema = spark.read.parquet(pages_dir).schema
+    streaming.run_dedup_stream_once(pages_dir, out_dir, ckpt, spark, schema)
+    out1 = {r["url"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(out1) == {"https://a/1", "https://b/1"}
+
+    # run 2: re-delivery of alpha + one genuinely new content
+    write_batch("b2", [
+        ("https://a/3", "2025-01-02T00:00:01Z", "alpha content"),
+        ("https://c/1", "2025-01-02T00:00:02Z", "gamma content"),
+    ])
+    streaming.run_dedup_stream_once(pages_dir, out_dir, ckpt, spark, schema)
+    out2 = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert out2 == {"https://a/1", "https://b/1", "https://c/1"}
