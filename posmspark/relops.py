@@ -866,9 +866,11 @@ def q_minhash_band_candidates(spark, sf):
     signatures; docs colliding on any band signature are candidates.
     md5 is identical across engines, so this is fully oracle-checkable."""
     sh = _doc_shingles(spark, sf).persist()
-    bands = spark.range(4).select(F.col("id").alias("band"))
     sigs = (
-        sh.crossJoin(F.broadcast(bands))
+        sh.select(
+            "doc_id", "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        )
         .groupBy("doc_id", "band")
         .agg(F.min(F.md5(F.concat(F.col("band").cast("string"),
                                   F.lit("|"), F.col("shingle")))).alias("sig"))
@@ -981,6 +983,71 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_knn_topk_flat(spark, sf):
+    """O16 under the ORACLE gate: cell-ring-expansion kNN, flattened to
+    (point, rank, site_id, dist_m) rows. Points and sites derive from
+    parquet tables with exact integer-modular arithmetic both engines
+    reproduce bit-identically, so DuckDB can brute-force the same kNN
+    with the same haversine formula. knn_cellring's exactness vs brute
+    force is additionally pinned by tests/test_knn.py; this entry
+    proves the full distributed chain against an independent engine.
+    """
+    import pandas as pd
+
+    from posmspark.joins import knn_cellring
+
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") % 10 == 0)
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 11 % 700) / 10.0 - 10.0).alias("lon"),
+        ((F.col("c_custkey") * 29 % 500) / 10.0 - 25.0).alias("lat"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("site_id"),
+        ((F.col("s_suppkey") * 37 % 720) / 10.0 - 18.0).alias("lon"),
+        ((F.col("s_suppkey") * 53 % 400) / 10.0 - 20.0).alias("lat"),
+    )
+    sites_pdf: pd.DataFrame = s.toPandas()  # bounded dimension table
+    out = knn_cellring(pts, sites_pdf, k=3, spark=spark,
+                       point_key="c_custkey")
+    return out.select(
+        "c_custkey",
+        F.posexplode("knn").alias("pos", "nn"),
+    ).select(
+        "c_custkey",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("nn.site_id").alias("site_id"),
+        F.round(F.col("nn.dist_m"), 4).alias("dist_m"),
+    )
+
+
+SQL_KNN_TOPK_FLAT = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 11 % 700) / 10.0 - 10.0 AS plon,
+         (c_custkey * 29 % 500) / 10.0 - 25.0 AS plat
+  FROM customer WHERE c_custkey % 10 = 0),
+sites AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS site_id,
+         (s_suppkey * 37 % 720) / 10.0 - 18.0 AS slon,
+         (s_suppkey * 53 % 400) / 10.0 - 20.0 AS slat
+  FROM supplier),
+d AS (
+  SELECT c_custkey, site_id,
+         2 * 6371008.8 * asin(sqrt(least(1.0,
+             pow(sin(radians(slat - plat) / 2), 2)
+             + cos(radians(plat)) * cos(radians(slat))
+               * pow(sin(radians(slon - plon) / 2), 2)))) AS dist_m
+  FROM pts CROSS JOIN sites),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_custkey ORDER BY dist_m, site_id) AS rank
+  FROM d)
+SELECT c_custkey, rank, site_id, round(dist_m, 4) AS dist_m
+FROM r WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1022,4 +1089,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_label_centroids": (q_embedding_label_centroids,
                                   SQL_EMBEDDING_LABEL_CENTROIDS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "knn_topk_flat": (q_knn_topk_flat, SQL_KNN_TOPK_FLAT),
 }

@@ -109,3 +109,42 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_dedup_queries_never_cartesian(spark):
+    """The dedup/similarity candidate generators must plan as equi-joins
+    (hash/sort-merge on shingle/signature/band keys) — never a cartesian
+    or broadcast-nested-loop product, at any optimizer whim."""
+    from posmspark.relops import QUERIES
+
+    for name in ["ngram_jaccard_pairs", "minhash_band_candidates",
+                 "knn_topk_flat"]:
+        fn, _ = QUERIES[name]
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ngram_hot_filter_broadcasts(spark):
+    """The hot-shingle anti-join must broadcast its (tiny) hot side —
+    shipping the fact-side shingles to a shuffle for it would defeat
+    the point."""
+    from posmspark.relops import QUERIES
+
+    fn, _ = QUERIES["ngram_jaccard_pairs"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the anti join specifically
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan
+
+
+def test_simhash_block_join_is_equi(spark):
+    from posmspark import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} filler words here") for i in range(40)],
+        "doc_id long, text string")
+    out = dedup.simhash_near_pairs(dedup.simhash(df))
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
