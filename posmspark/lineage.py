@@ -136,10 +136,41 @@ def fingerprint_partitions(
     return {r["_pk"]: f"{r['n']}:{r['x']}:{r['s']}" for r in rows}
 
 
+def fingerprint_partition_dir(in_dir: str, partition_col: str
+                              ) -> dict[str, str]:
+    """Per-partition fingerprints from FILE METADATA of a hive-layout
+    directory (<partition_col>=<key>/...) — zero data scan.
+
+    Content fingerprints (fingerprint_partitions) re-read the whole
+    input on every rerun, which at 100 TB costs a full scan even when
+    nothing changed; immutable-file stores (parquet/Iceberg snapshots)
+    make (name, size, mtime) per file a sound change signal, which is
+    what production incremental systems key on.
+    """
+    import hashlib
+
+    out: dict[str, str] = {}
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(in_dir)):
+        if not entry.startswith(prefix):
+            continue
+        d = os.path.join(in_dir, entry)
+        if not os.path.isdir(d):
+            continue
+        h = hashlib.sha256()
+        for fn in sorted(os.listdir(d)):
+            if fn.startswith((".", "_")):
+                continue
+            st = os.stat(os.path.join(d, fn))
+            h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        out[entry[len(prefix):]] = h.hexdigest()[:32]
+    return out
+
+
 def run_stage_incremental(
     spark: SparkSession,
     stage: str,
-    input_df: DataFrame,
+    input_df: "DataFrame | str",
     out_dir: str,
     build: "callable",
     partition_col: str,
@@ -163,11 +194,19 @@ def run_stage_incremental(
     Manifest v2 adds {partition_col, input_partitions: {key: fp},
     last_recomputed: [keys], runs}; per-output-partition row counts
     stay the lineage metric.
+
+    input_df may be a DataFrame (content fingerprints — one aggregation
+    scan) or a PATH to a hive-partitioned parquet dir (file-metadata
+    fingerprints — ZERO data scan on reruns; the 100-TB mode).
     """
     import shutil
 
     man = read_manifest(out_dir)
-    in_fps = fingerprint_partitions(input_df, partition_col)
+    if isinstance(input_df, str):
+        in_fps = fingerprint_partition_dir(input_df, partition_col)
+        input_df = spark.read.parquet(input_df)
+    else:
+        in_fps = fingerprint_partitions(input_df, partition_col)
 
     prev_fps = (man or {}).get("input_partitions")
     compatible = (

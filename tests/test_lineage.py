@@ -215,3 +215,58 @@ def test_manifest_df_surface(spark, tmp_path):
     assert rows["C0"]["recomputed_last_run"] is False
     assert all(r["rows"] == 1 for r in rows.values())
     assert all(r["input_fingerprint"] for r in rows.values())
+
+
+def test_incremental_path_input_file_fingerprints(spark, tmp_path):
+    """Directory input mode: fingerprints come from file metadata (no
+    data scan); rewriting one partition's files recomputes only it."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _mk_input(spark, n_keys=4).write.partitionBy("country").parquet(in_dir)
+
+    def build(df):
+        return df.groupBy("country").agg(F.sum("v").alias("sv"))
+
+    lineage.run_stage_incremental(
+        spark, "pinc", in_dir, out_dir, build, "country")
+    man1 = lineage.read_manifest(out_dir)
+    assert len(man1["last_recomputed"]) == 4
+
+    # no-op rerun: nothing recomputes
+    lineage.run_stage_incremental(
+        spark, "pinc", in_dir, out_dir, build, "country")
+    assert lineage.read_manifest(out_dir)["last_recomputed"] == []
+
+    # rewrite ONLY partition C2's files (same values -> metadata change
+    # is the signal, like an Iceberg snapshot replacing files)
+    (_mk_input(spark, n_keys=4).filter(F.col("country") == "C2")
+     .write.mode("overwrite").parquet(in_dir + "/country=C2"))
+    lineage.run_stage_incremental(
+        spark, "pinc", in_dir, out_dir, build, "country")
+    man3 = lineage.read_manifest(out_dir)
+    assert man3["last_recomputed"] == ["C2"]
+
+
+def test_incremental_rebuild_scan_is_partition_pruned(spark, tmp_path):
+    """The changed-keys rebuild must reach the scan as a partition
+    filter (only changed input partitions are READ, not just rebuilt)."""
+    in_dir = str(tmp_path / "in2")
+    out_dir = str(tmp_path / "out2")
+    _mk_input(spark, n_keys=4).write.partitionBy("country").parquet(in_dir)
+
+    plans = []
+
+    def build(df):
+        plans.append(df._jdf.queryExecution().sparkPlan().toString())
+        return df.groupBy("country").agg(F.sum("v").alias("sv"))
+
+    lineage.run_stage_incremental(
+        spark, "pp", in_dir, out_dir, build, "country")
+    (_mk_input(spark, n_keys=4).filter(F.col("country") == "C1")
+     .write.mode("overwrite").parquet(in_dir + "/country=C1"))
+    lineage.run_stage_incremental(
+        spark, "pp", in_dir, out_dir, build, "country")
+    scan = plans[-1]
+    assert "PartitionFilters" in scan
+    seg = scan.split("PartitionFilters")[1][:200]
+    assert "C1" in seg, seg
