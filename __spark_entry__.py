@@ -149,6 +149,27 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cos_sim", 6).alias("cos_sim"), "rn")
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path next to LSH:
+    spherical-kmeans coarse quantizer, probe-n cells, exact re-rank."""
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import ann
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = vecs.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = pd.DataFrame({
+        "query_id": [str(r["vec_id"]) for r in qrows],
+        "embedding": [np.array(r["embedding"], dtype=np.float64)
+                      for r in qrows],
+    })
+    out = ann.ivf_topk(vecs, queries, k=5, spark=spark,
+                       n_centroids=16, n_probe=4)
+    return out.select("query_id", "vec_id",
+                      F.round("cos_sim", 6).alias("cos_sim"), "rn")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from posmspark import multimodal
 
@@ -391,6 +412,7 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": _q_simhash_near_pairs,
     "minhash_verified_dups": _q_minhash_verified_dups,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "ann_ivf_topk": _q_ann_ivf_topk,
     "multimodal_features": _q_multimodal_features,
     "streaming_tile_counts": _q_streaming_tile_counts,
     "streaming_dedup": _q_streaming_dedup,

@@ -111,6 +111,112 @@ def with_lsh_signature(vectors: DataFrame, spark: SparkSession, dim: int,
     return vectors.withColumn(out_col, arr)
 
 
+def train_ivf_centroids(vectors: DataFrame, n_centroids: int,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        sample_mod: int = 4, n_iter: int = 10,
+                        seed: int = SEED) -> np.ndarray:
+    """Spherical k-means coarse quantizer on a DETERMINISTIC hash
+    sample of the vectors (pmod(xxhash64(id)) — pushdown-able, no full
+    collect). Lloyd's in numpy on the driver: the sample is bounded,
+    the codebook is tiny, and the result broadcasts. Deterministic
+    init: first n_centroids sample rows by id."""
+    sample = (
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod))
+                       == 0)
+        .orderBy(id_col)
+        .select(id_col, emb_col)
+        .toPandas()
+    )
+    m = _normalize(np.vstack(sample[emb_col].to_numpy()).astype(np.float64))
+    if len(m) < n_centroids:
+        raise ValueError(f"sample ({len(m)}) smaller than n_centroids")
+    cents = m[:n_centroids].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def with_ivf_cell(vectors: DataFrame, centroids: np.ndarray,
+                  spark: SparkSession, emb_col: str = "embedding",
+                  out_col: str = "ivf_cell") -> DataFrame:
+    """Assign each vector its nearest-centroid cell id (one numpy
+    matmul per Arrow batch against the broadcast codebook). At cluster
+    scale the vectors table is written partitioned/bucketed by this
+    column, so probes prune to n_probe cells at scan time."""
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf(T.IntegerType())
+    def cell(emb: pd.Series) -> pd.Series:
+        cents = bc.value
+        m = _normalize(np.vstack(emb.to_numpy()).astype(np.float64))
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+    return vectors.withColumn(out_col, cell(F.col(emb_col)))
+
+
+def ivf_topk(vectors: DataFrame, queries_pdf: pd.DataFrame, k: int,
+             spark: SparkSession, n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             centroids: np.ndarray | None = None,
+             seed: int = SEED) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) coarse quantizer.
+
+    The second scale path next to LSH: vectors land in n_centroids
+    inverted lists; each query probes its n_probe nearest centroids;
+    candidates come from an equi-join on the cell id (broadcast probe
+    rows), then exact cosine re-rank -> top-k. Candidate volume is
+    ~ n_probe/n_centroids of the table per query — never a cross join,
+    and the cell column doubles as the partition/bucket key on disk.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_centroids, id_col, emb_col, seed=seed)
+    vecs = with_ivf_cell(vectors, centroids, spark, emb_col)
+
+    qm = _normalize(
+        np.vstack(queries_pdf["embedding"].to_numpy()).astype(np.float64))
+    sims = qm @ centroids.T
+    probe_rows = []
+    for qi in range(len(queries_pdf)):
+        q = queries_pdf.iloc[qi]
+        cells = np.argsort(-sims[qi])[:n_probe]
+        for c in cells:
+            probe_rows.append({
+                "query_id": str(q["query_id"]), "ivf_cell": int(c),
+                "q_emb": [float(x) for x in q["embedding"]],
+            })
+    probes = spark.createDataFrame(pd.DataFrame(probe_rows))
+
+    cand = vecs.join(F.broadcast(probes), ["ivf_cell"], "inner")
+    dot = F.expr(
+        f"aggregate(zip_with({emb_col}, q_emb,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v)"
+    )
+    nv = F.expr(
+        f"sqrt(aggregate({emb_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v * v))"
+    )
+    scored = cand.withColumn("cos_sim", dot / (nv * nq))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cos_sim", "rn")
+    )
+
+
 def lsh_topk(vectors: DataFrame, queries_pdf: pd.DataFrame, k: int,
              spark: SparkSession, dim: int, n_planes: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",

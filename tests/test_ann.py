@@ -99,3 +99,60 @@ def test_lsh_candidates_bounded(spark, vectors, queries_pdf):
     sig_counts = vecs.groupBy("lsh_sig").count()
     biggest = sig_counts.agg(F.max("count")).collect()[0][0]
     assert biggest < n * 0.25
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF coarse quantizer: same clustered-data recall gate as LSH —
+    probing the top n_probe cells must recall the true top-k."""
+    rng = np.random.default_rng(13)
+    centers = ann._normalize(rng.standard_normal((10, DIM)))
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        v = c + 0.05 * rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v]))
+    vectors = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").cache()
+    queries = pd.DataFrame({
+        "query_id": [str(i) for i in range(5)],
+        "embedding": [np.array(rows[i][1], dtype=np.float64)
+                      for i in range(5)],
+    })
+    k = 10
+    out = ann.ivf_topk(vectors, queries, k=k, spark=spark,
+                       n_centroids=16, n_probe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    ids = np.array([r[0] for r in rows])
+    m = ann._normalize(np.vstack([r[1] for r in rows]).astype(np.float64))
+    qm = ann._normalize(np.vstack(queries["embedding"].to_numpy()))
+    recalls = []
+    for qi, qid in enumerate(queries["query_id"]):
+        sims = m @ qm[qi]
+        top = set(ids[np.argsort(-sims)[:k]].tolist())
+        recalls.append(len(got.get(qid, set()) & top) / k)
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ivf_deterministic_and_bounded(spark, vectors, queries_pdf):
+    """Codebook training is deterministic (hash sample + fixed init)
+    and candidate volume is ~ n_probe/n_centroids of N x Q."""
+    c1 = ann.train_ivf_centroids(vectors, 8)
+    c2 = ann.train_ivf_centroids(vectors, 8)
+    assert np.array_equal(c1, c2)
+
+    n = vectors.count()
+    vecs = ann.with_ivf_cell(vectors, c1, spark)
+    biggest = vecs.groupBy("ivf_cell").count().agg(
+        F.max("count")).collect()[0][0]
+    assert biggest < 0.6 * n  # spread across cells, no degenerate bucket
+
+    out1 = sorted(map(tuple, ann.ivf_topk(
+        vectors, queries_pdf, 5, spark, n_centroids=8, n_probe=3,
+        centroids=c1).collect()))
+    out2 = sorted(map(tuple, ann.ivf_topk(
+        vectors, queries_pdf, 5, spark, n_centroids=8, n_probe=3,
+        centroids=c2).collect()))
+    assert out1 == out2
