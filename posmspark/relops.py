@@ -1048,6 +1048,106 @@ FROM r WHERE rank <= 3
 """
 
 
+#: (class, token, weight) scoring profiles for n-gram language/domain ID.
+#: In production these come from per-language trigram frequency tables;
+#: the operator is profile-agnostic — fixtures use corpus-appropriate
+#: word-grams so the classifier has signal on the synthetic documents.
+LANGID_PROFILES = [
+    ("query-ish", "query", 3), ("query-ish", "scan", 2),
+    ("query-ish", "hash", 1),
+    ("stream-ish", "stream", 3), ("stream-ish", "window", 2),
+    ("stream-ish", "batch", 1),
+    ("table-ish", "table", 3), ("table-ish", "row", 2),
+    ("table-ish", "line", 1),
+]
+
+
+def q_langid_ngram(spark, sf):
+    """n-gram language-ID (task-brief text-analysis op): score each doc
+    against weighted n-gram profiles via occurrence counting — all
+    JVM-side (length/replace arithmetic), no UDF — argmax class with a
+    deterministic (score desc, class asc) tie-break, then the corpus
+    distribution per true lang label."""
+    d = _t(spark, sf, "documents")
+    profs = spark.createDataFrame(
+        LANGID_PROFILES, "cls string, gram string, w int")
+    occ = (
+        (F.length("text") - F.length(F.expr("replace(text, gram, '')")))
+        / F.length("gram")
+    )
+    scores = (
+        d.select("doc_id", "lang", "text")
+        .join(F.broadcast(profs))
+        .groupBy("doc_id", "lang", "cls")
+        .agg(F.sum(occ * F.col("w")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cls"))
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1)
+    return (
+        best.groupBy("lang", F.col("cls").alias("lang_guess"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_LANGID_NGRAM = """
+WITH profs(cls, gram, w) AS (VALUES
+  ('query-ish', 'query', 3), ('query-ish', 'scan', 2),
+  ('query-ish', 'hash', 1),
+  ('stream-ish', 'stream', 3), ('stream-ish', 'window', 2),
+  ('stream-ish', 'batch', 1),
+  ('table-ish', 'table', 3), ('table-ish', 'row', 2),
+  ('table-ish', 'line', 1)),
+scores AS (
+  SELECT doc_id, lang, cls,
+         sum((length(text) - length(replace(text, gram, '')))
+             / length(gram) * w) AS score
+  FROM documents CROSS JOIN profs
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+  FROM scores)
+SELECT lang, cls AS lang_guess, count(*) AS n_docs
+FROM best WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    """Document fingerprinting (task-brief op): minimum window-hash
+    fingerprint — hash every 16-char window, keep the minimum (the
+    winnowing/Rabin-Karp selection rule; md5 stands in for the
+    polynomial so DuckDB reproduces it bit-for-bit; the O(n) polynomial
+    rolling kernel lives in textx.rolling_fingerprint, unit-tested).
+    Near-identical docs share fingerprints; output is the distinct
+    fingerprint census."""
+    d = _t(spark, sf, "documents")
+    fp = F.expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 15, 1)),"
+        " i -> md5(substring(text, i, 16))))"
+    )
+    per_doc = d.select("doc_id", fp.alias("fingerprint"))
+    return (
+        per_doc.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+WITH per_doc AS (
+  SELECT doc_id,
+         list_min(list_transform(
+             generate_series(1, greatest(length(text) - 15, 1)),
+             i -> md5(substring(text, i, 16)))) AS fingerprint
+  FROM documents)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM per_doc GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1090,4 +1190,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
                                   SQL_EMBEDDING_LABEL_CENTROIDS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "knn_topk_flat": (q_knn_topk_flat, SQL_KNN_TOPK_FLAT),
+    "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
 }

@@ -13,6 +13,7 @@ vectorized regex over Arrow batches.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -129,3 +130,48 @@ def with_geocode(df, text_col: str = "text"):
     """Add lat/lon columns parsed from the text column."""
     g = geocode_udf(F.col(text_col))
     return df.withColumn("_geo", g).select("*", "_geo.lat", "_geo.lon").drop("_geo")
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting: O(n) polynomial rolling hash (Rabin-Karp)
+
+FP_BASE = np.uint64(1099511628211)   # FNV prime as the rolling base
+FP_WINDOW = 16
+
+
+def rolling_window_hashes(data: bytes, window: int = FP_WINDOW) -> np.ndarray:
+    """All window hashes of `data` in ONE vectorized O(n) pass:
+    h[i] = sum_{j<window} base^(window-1-j) * data[i+j]  (mod 2^64).
+
+    Vectorized Rabin-Karp: prefix = cumsum(base^{-i}·x_i) doesn't work
+    in modular 2^64 without inverses, so use the sliding recurrence on
+    cumulative products instead: compute p[i] = base^i (wrapping), then
+    h over windows via a strided dot — numpy uint64 wraps mod 2^64 by
+    construction, giving the classic rolling-hash semantics exactly.
+    """
+    x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(x)
+    if n < window:
+        x = np.pad(x, (0, window - n))
+        n = window
+    powers = np.empty(window, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    for j in range(1, window):
+        powers[j] = powers[j - 1] * FP_BASE
+    weights = powers[::-1].copy()  # base^(window-1) .. base^0
+    strided = np.lib.stride_tricks.sliding_window_view(x, window)
+    return (strided * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+@pandas_udf(T.LongType())
+def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
+    """Min rolling-window hash per document (winnowing selection rule)
+    — the O(n) production kernel behind relops.q_doc_fingerprint's
+    engine-parity md5 variant."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if t is None:
+            continue
+        h = rolling_window_hashes(t.encode("utf-8"))
+        out[i] = np.int64(h.min().astype(np.int64))
+    return pd.Series(out)
