@@ -248,6 +248,24 @@ def _q_dissolve_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("area", 6).alias("area"))
 
 
+def _q_simplify_mesh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 distributed: per-parent watertight shared-edge simplify as
+    applyInPandas (parallelism axis = parents)."""
+    from posmspark import synth
+    from posmspark.dissolve import simplify_mesh_by_parent
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    return (
+        simplify_mesh_by_parent(spark, prepared, child_level=2, tol=0.05)
+        .select("osm_id", "parent_osm_id", "n_points_before",
+                "n_points_after")
+        .orderBy("osm_id")
+    )
+
+
 def _q_residual_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from posmspark import synth
     from posmspark.dissolve import residual_by_parent
@@ -418,6 +436,7 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": _q_streaming_dedup,
     "poly_export": _q_poly_export,
     "dissolve_parents": _q_dissolve_parents,
+    "simplify_mesh_stats": _q_simplify_mesh_stats,
     "residual_holes": _q_residual_holes,
 }
 

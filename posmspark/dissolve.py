@@ -404,6 +404,54 @@ def dissolve_by_parent(spark, prepared, child_level: int):
     return src.groupBy("is_in").applyInPandas(run, schema=schema)
 
 
+def simplify_mesh_by_parent(spark, prepared, child_level: int,
+                            tol: float = 0.05):
+    """Distributed watertight simplification: each parent's child mesh
+    is shared-edge-simplified in ONE applyInPandas task (parallelism
+    axis = parents, the same grouping the reference's per-country
+    topology build uses, proc_functions.sql:27-82). Borders BETWEEN
+    children of one parent stay watertight by construction; borders
+    between parents are exterior to each group and keep their original
+    (un-dropped junction) endpoints, so parent-level meshes remain
+    consistent too.
+
+    Output: (osm_id, parent_osm_id, n_points_before, n_points_after,
+    geom_wkb) — one row per simplified child.
+    """
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(prepared.polys_by_id)
+    kids = prepared.levels_pdf.query(f"adminlevel == {child_level}")[
+        ["osm_id", "is_in"]]
+    src = spark.createDataFrame(kids)
+
+    schema = T.StructType([
+        T.StructField("osm_id", T.StringType()),
+        T.StructField("parent_osm_id", T.StringType()),
+        T.StructField("n_points_before", T.LongType()),
+        T.StructField("n_points_after", T.LongType()),
+        T.StructField("geom_wkb", T.BinaryType()),
+    ])
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        polys_by_id = bc.value
+        mesh = {oid: polys_by_id[oid] for oid in pdf["osm_id"]
+                if oid in polys_by_id}
+        simp = shared_edge_simplify(mesh, tol=tol)
+        rows = []
+        for oid, polys in simp.items():
+            before = sum(len(r) for rings in mesh[oid] for r in rings)
+            after = sum(len(r) for rings in polys for r in rings)
+            rows.append({
+                "osm_id": oid, "parent_osm_id": key[0],
+                "n_points_before": before, "n_points_after": after,
+                "geom_wkb": geom.multipolygon_to_wkb(polys),
+            })
+        return pd.DataFrame(rows)
+
+    return src.groupBy("is_in").applyInPandas(run, schema=schema)
+
+
 def residual_by_parent(spark, prepared, parent_level: int, child_level: int):
     """O19: ST_Difference(parent, ST_Union(children)) classification per
     parent (proc_functions.sql:104-197): complete / childless / filler
