@@ -70,7 +70,14 @@ def ij_to_cell(i: np.ndarray, j: np.ndarray, res: int = DEFAULT_RES) -> np.ndarr
 
 
 def encode(lon: np.ndarray, lat: np.ndarray, res: int = DEFAULT_RES) -> np.ndarray:
-    """lon/lat arrays -> int64 cell ids. NaN coords -> -1 (no cell)."""
+    """lon/lat arrays -> int64 cell ids. NaN coords -> -1 (no cell).
+
+    Float caveat (hypothesis-found): (lon+180)/360 rounds, so a point
+    within ~1 ULP of a grid line (~1.5 nm on the equator) can land in
+    the adjacent cell. The JVM encoder (cell_column) performs the SAME
+    arithmetic bit-for-bit, so assignments stay self-consistent across
+    every engine path; the property test pins the tolerance.
+    """
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     bad = ~(np.isfinite(lon) & np.isfinite(lat))

@@ -154,13 +154,14 @@ def rolling_window_hashes(data: bytes, window: int = FP_WINDOW) -> np.ndarray:
     if n < window:
         x = np.pad(x, (0, window - n))
         n = window
-    powers = np.empty(window, dtype=np.uint64)
-    powers[0] = np.uint64(1)
-    for j in range(1, window):
-        powers[j] = powers[j - 1] * FP_BASE
-    weights = powers[::-1].copy()  # base^(window-1) .. base^0
-    strided = np.lib.stride_tricks.sliding_window_view(x, window)
-    return (strided * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash
+        powers = np.empty(window, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for j in range(1, window):
+            powers[j] = powers[j - 1] * FP_BASE
+        weights = powers[::-1].copy()  # base^(window-1) .. base^0
+        strided = np.lib.stride_tricks.sliding_window_view(x, window)
+        return (strided * weights[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 @pandas_udf(T.LongType())
