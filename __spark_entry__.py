@@ -398,6 +398,35 @@ def _q_topojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("adminlevel", "osm_id")
 
 
+def _q_table_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table format (Iceberg-style): overwrite -> append ->
+    overwrite-partitions over the documents table, then the snapshot
+    history with row counts (footer metadata, no scan)."""
+    import os
+    import shutil
+    import tempfile
+
+    from posmspark import tablefmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    t = os.path.join(tempfile.gettempdir(), f"posmspark_tbl_{tag}")
+    shutil.rmtree(t, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tablefmt.commit_overwrite(docs, t, partition_by=["lang"])
+    tablefmt.commit_append(
+        docs.filter(F.col("doc_id") < 10).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000), t,
+        partition_by=["lang"])
+    tablefmt.commit_overwrite_partitions(
+        docs.filter(F.col("lang") == "de"), t, ["lang"])
+    rows = [
+        (s["snapshot_id"], s["operation"], s["n_rows"])
+        for s in tablefmt.snapshots(t)
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot_id int, operation string, n_rows long")
+
+
 def _q_zip_package_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12: per-country ZIP packaging of the GeoJSON exports
     (generate_geojson.py:117-141) — surfaces the packaging manifest."""
@@ -421,6 +450,7 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shapefile_source": _q_shapefile_source,
     "topojson_export": _q_topojson_export,
     "zip_package_manifest": _q_zip_package_manifest,
+    "table_snapshots": _q_table_snapshots,
     "pip_tile_rollup": _q_pip_tile_rollup,
     "pip_assignment": _q_pip_assignment,
     "cell_tile_stats": _q_cell_tile_stats,

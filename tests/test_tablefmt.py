@@ -1,0 +1,95 @@
+"""Snapshot table-format tests: commit/append/overwrite-partitions,
+time travel, rollback, optimistic-concurrency conflict, per-file
+lineage row counts."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from posmspark import tablefmt
+
+
+def _df(spark, lo, hi, key_mod=4):
+    return (
+        spark.range(lo, hi)
+        .withColumn("country", F.concat(F.lit("C"),
+                                        (F.col("id") % key_mod).cast("string")))
+        .withColumn("v", F.col("id") * 3)
+    )
+
+
+def test_commit_append_time_travel_rollback(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = tablefmt.commit_overwrite(_df(spark, 0, 100), t,
+                                   partition_by=["country"])
+    assert s1 == 1
+    s2 = tablefmt.commit_append(_df(spark, 100, 150), t,
+                                partition_by=["country"])
+    assert s2 == 2
+
+    assert tablefmt.read_table(spark, t).count() == 150
+    assert tablefmt.read_table(spark, t, snapshot_id=1).count() == 100
+
+    hist = tablefmt.snapshots(t)
+    assert [h["snapshot_id"] for h in hist] == [1, 2]
+    assert [h["operation"] for h in hist] == ["overwrite", "append"]
+    assert hist[1]["parent_id"] == 1
+    assert hist[1]["n_rows"] == 150  # footer counts, no scan
+
+    tablefmt.rollback(t, 1)
+    assert tablefmt.current_snapshot_id(t) == 1
+    assert tablefmt.read_table(spark, t).count() == 100
+    # the rolled-past snapshot remains readable
+    assert tablefmt.read_table(spark, t, snapshot_id=2).count() == 150
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    t = str(tmp_path / "tbl2")
+    tablefmt.commit_overwrite(_df(spark, 0, 100), t,
+                              partition_by=["country"])
+    # rewrite only C1 with different values
+    patch = _df(spark, 0, 100).filter(F.col("country") == "C1") \
+        .withColumn("v", F.col("v") + 1000)
+    sid = tablefmt.commit_overwrite_partitions(patch, t, ["country"])
+    out = tablefmt.read_table(spark, t, sid)
+    assert out.count() == 100
+    got = {r["country"]: r["s"] for r in
+           out.groupBy("country").agg(F.sum("v").alias("s")).collect()}
+    base = {r["country"]: r["s"] for r in
+            _df(spark, 0, 100).groupBy("country")
+            .agg(F.sum("v").alias("s")).collect()}
+    assert got["C0"] == base["C0"] and got["C2"] == base["C2"]
+    assert got["C1"] == base["C1"] + 1000 * 25
+    # untouched partitions reference the ORIGINAL snapshot's files
+    meta = tablefmt.read_snapshot_meta(t, sid)
+    c0_files = [f for f in meta["files"] if f["partition"] == {"country": "C0"}]
+    assert all(f["path"].startswith(os.path.join("data", "s00001"))
+               for f in c0_files)
+    c1_files = [f for f in meta["files"] if f["partition"] == {"country": "C1"}]
+    assert all(f["path"].startswith(os.path.join("data", "s00002"))
+               for f in c1_files)
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    t = str(tmp_path / "tbl3")
+    tablefmt.commit_overwrite(_df(spark, 0, 10), t)
+    # simulate a racing writer: bump VERSION behind this commit's back
+    df = _df(spark, 10, 20)
+    parent = tablefmt.current_snapshot_id(t)
+    data_dir, files = tablefmt._write_data(df, t, parent + 1, None)
+    rel = os.path.relpath(data_dir, t)
+    for f in files:
+        f["path"] = os.path.join(rel, f["path"])
+    with open(tablefmt._version_path(t), "w") as fh:
+        fh.write("99")
+    with pytest.raises(tablefmt.CommitConflict):
+        tablefmt._commit(t, "append", files, parent)
+
+
+def test_lineage_df_row_counts(spark, tmp_path):
+    t = str(tmp_path / "tbl4")
+    tablefmt.commit_overwrite(_df(spark, 0, 80), t, partition_by=["country"])
+    lin = tablefmt.lineage_df(spark, t).collect()
+    assert sum(r["rows"] for r in lin) == 80
+    assert all(r["partition"].startswith('{"country"') for r in lin)
