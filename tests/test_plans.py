@@ -148,3 +148,51 @@ def test_simhash_block_join_is_equi(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skew handling at runtime: a hot join key (the dense-urban-cell
+    analog) must be split by AQE's skew-join optimization — the final
+    adaptive plan marks the SortMergeJoin with skew=true instead of
+    leaving one reducer with the whole hot partition."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # incompressible payload: skew detection runs on COMPRESSED
+        # shuffle sizes, so constant padding would hide the hot key
+        left = (
+            spark.range(400_000)
+            .withColumn("k", F.when(F.col("id") % 4 != 0, F.lit(0))
+                        .otherwise(F.col("id") % 997))
+            .withColumn("payload", F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 7).cast("string"))))
+        )
+        right = spark.range(997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv"))
+        # the payload must be CONSUMED after the join or column pruning
+        # strips it before the shuffle and no partition is skewed; the
+        # post-join agg keeps the collect tiny while running THIS
+        # DataFrame's own QueryExecution (a separate count() would plan
+        # a different query and the join's adaptive plan never
+        # finalizes)
+        j = (left.join(right, "k")
+             .groupBy("rv").agg(F.max("payload").alias("mp")))
+        assert len(j.collect()) == 997
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
