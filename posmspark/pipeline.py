@@ -89,10 +89,12 @@ def run_pipeline(
     prepared = default_prepared()
 
     def build_ingest() -> DataFrame:
-        # fused Arrow kernel: byte-identity verify + geocode + cell in
-        # one Python pass; violations are routed out (observable via
-        # lineage row counts), never silently fixed
-        ing = textx.with_ingest(pages)
+        # pure-JVM ingest: byte-identity verify + geocode + cell encode
+        # inside whole-stage codegen — the wide html/text columns never
+        # cross into Python (bit-identical to the fused Arrow kernel,
+        # parity-tested). Violations are routed out (observable via
+        # lineage row counts), never silently fixed.
+        ing = textx.with_ingest_jvm(pages)
         return ing.filter(F.col("text_ok")).drop("text_ok", "html")
 
     def build_assign() -> DataFrame:

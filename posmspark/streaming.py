@@ -28,7 +28,7 @@ def transform_pages(pages: DataFrame, prepared: PreparedBoundaries,
     """Shared batch/streaming transformation: pages -> assigned points.
     Identical semantics to pipeline.run_pipeline's ingest+assign stages.
     """
-    ok = textx.with_ingest(pages).filter(F.col("text_ok")).drop("text_ok")
+    ok = textx.with_ingest_jvm(pages).filter(F.col("text_ok")).drop("text_ok")
     pts = ok.filter(F.col("lat").isNotNull()).select(
         "url", "warc_ts", "lang", "lon", "lat", "cell"
     )

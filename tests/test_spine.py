@@ -161,3 +161,16 @@ def test_hot_cell_skew_exists(spark, pages):
            .collect()[0])
     total = geo.count()
     assert top["count"] > 0.05 * total  # one cell holds >5% of the docs
+
+
+def test_jvm_ingest_matches_arrow_kernel(spark, pages):
+    """The pure-JVM ingest path (pipeline hot path) must be
+    bit-identical to the fused Arrow kernel on every column, and its
+    plan must contain NO Python evaluation."""
+    cols = ["url", "text_ok", "lat", "lon", "cell"]
+    jvm = textx.with_ingest_jvm(pages).select(cols)
+    py = textx.with_ingest(pages).select(cols)
+    assert jvm.exceptAll(py).count() == 0
+    assert py.exceptAll(jvm).count() == 0
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:800]
