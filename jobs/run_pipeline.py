@@ -32,6 +32,9 @@ def main() -> None:
                     help="synthesize this many pages if --pages not given")
     ap.add_argument("--force", action="store_true",
                     help="ignore checkpoints, recompute all stages")
+    ap.add_argument("--table-out",
+                    help="also commit the tile stats into a snapshot-"
+                         "versioned table at this path (tablefmt)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -53,8 +56,15 @@ def main() -> None:
     row = out["tiles"].agg(
         F.sum("doc_count").alias("docs"), F.count(F.lit(1)).alias("tiles")
     ).collect()[0]
-    print(f"assigned_docs={row['docs']} tiles={row['tiles']} "
-          f"workdir={args.workdir}")
+    line = (f"assigned_docs={row['docs']} tiles={row['tiles']} "
+            f"workdir={args.workdir}")
+    if args.table_out:
+        from posmspark import tablefmt
+
+        sid = tablefmt.commit_overwrite(
+            out["tiles"], args.table_out, partition_by=["osm_id_l0"])
+        line += f" table_snapshot={sid}"
+    print(line)
 
 
 if __name__ == "__main__":
