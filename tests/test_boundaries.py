@@ -75,3 +75,50 @@ def test_cover_table_shape(prepared):
     # every retained boundary contributes cover cells, most of them FULL
     assert set(prepared.levels_pdf.osm_id) <= set(cov.osm_id)
     assert cov.full.mean() > 0.5
+
+
+def test_deep_hierarchy_six_levels(spark):
+    """Reference fans out levels 1..10 (extract_all.py:92-121): a
+    6-deep nested-rect chain must resolve each level's parent chain
+    and the PIP join must assign all 6 columns."""
+    import pandas as pd
+
+    from posmspark import geom as G
+    from posmspark import synth
+    from posmspark.joins import pip_join, prepare_boundaries
+
+    rows = []
+    # nested squares: level k occupies [k, 20-k]^2, raw tags 2,4,6,8,10,12
+    for k, tag in enumerate(["2", "4", "6", "8", "10", "12"]):
+        rect = synth.rect(k, k, 20 - k, 20 - k)
+        rows.append({
+            "osm_id": f"L{k}", "name": f"L{k}", "name_en": f"L{k}",
+            "admin_level": tag, "iso3166": None,
+            "boundary": "administrative",
+            "geom_wkb": G.multipolygon_to_wkb([[rect]]),
+            "insert_order": k,
+        })
+    mapping = pd.DataFrame(
+        [], columns=["country_osm_id", "admin_level_1", "admin_level_2"])
+    defaults = dict(synth.ADMIN_DEFAULTS)
+    try:
+        synth.ADMIN_DEFAULTS.update(
+            {f"admin_level_{i}": 2 * (i + 1) for i in range(1, 6)})
+        prepared = prepare_boundaries(pd.DataFrame(rows), mapping,
+                                      n_levels=6)
+    finally:
+        synth.ADMIN_DEFAULTS.clear()
+        synth.ADMIN_DEFAULTS.update(defaults)
+    lv = prepared.levels_pdf.sort_values("adminlevel")
+    assert list(lv.adminlevel) == list(range(6))
+    assert list(lv.is_in)[1:] == [f"L{k}" for k in range(5)]
+
+    pts = spark.createDataFrame(
+        [("center", 10.0, 10.0), ("ring2", 2.5, 10.0), ("outside", 25.0, 5.0)],
+        "url string, lon double, lat double")
+    out = {r["url"]: r for r in pip_join(pts, prepared, spark).collect()}
+    assert [out["center"][f"osm_id_l{k}"] for k in range(6)] == \
+        [f"L{k}" for k in range(6)]
+    assert [out["ring2"][f"osm_id_l{k}"] for k in range(6)] == \
+        ["L0", "L1", "L2", None, None, None]
+    assert all(out["outside"][f"osm_id_l{k}"] is None for k in range(6))
