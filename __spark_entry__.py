@@ -398,6 +398,25 @@ def _q_topojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("adminlevel", "osm_id")
 
 
+def _q_tile_clip_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22/G11: exact per-cell polygon areas — FULL cells contribute
+    whole boxes, boundary cells Sutherland-Hodgman-clip to the cell
+    window; per polygon the cells partition its exact area (tested)."""
+    from posmspark import synth, tiles
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(), n_levels=4
+    )
+    out = tiles.boundary_tile_areas(spark, prepared)
+    return (
+        out.groupBy("osm_id", "adminlevel")
+        .agg(F.count(F.lit(1)).alias("n_cells"),
+             F.round(F.sum("tile_area"), 9).alias("area"))
+        .orderBy("adminlevel", "osm_id")
+    )
+
+
 def _q_table_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot table format (Iceberg-style): overwrite -> append ->
     overwrite-partitions over the documents table, then the snapshot
@@ -451,6 +470,7 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topojson_export": _q_topojson_export,
     "zip_package_manifest": _q_zip_package_manifest,
     "table_snapshots": _q_table_snapshots,
+    "tile_clip_areas": _q_tile_clip_areas,
     "pip_tile_rollup": _q_pip_tile_rollup,
     "pip_assignment": _q_pip_assignment,
     "cell_tile_stats": _q_cell_tile_stats,

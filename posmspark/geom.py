@@ -175,6 +175,76 @@ def ring_area(ring: np.ndarray) -> float:
     return float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) / 2.0)
 
 
+def clip_ring_bbox(ring: np.ndarray, bbox) -> np.ndarray | None:
+    """Sutherland-Hodgman clip of one closed ring against an axis-
+    aligned box (x0, y0, x1, y1). Exact for any simple ring vs a convex
+    clipper; orientation is preserved. Returns a closed ring or None
+    when the intersection is empty/degenerate.
+
+    This is the G11 clipping piece the tile pipeline needs (clip
+    boundary polygons to tile windows); general polygon-vs-polygon
+    clipping stays out of scope (SURVEY §7) — the dissolve machinery
+    covers the mesh cases exactly.
+    """
+    x0, y0, x1, y1 = bbox
+    pts = [tuple(p) for p in np.asarray(ring, dtype=np.float64)[:-1]]
+
+    def clip_edge(points, inside, intersect):
+        out = []
+        n = len(points)
+        for i in range(n):
+            cur, nxt = points[i], points[(i + 1) % n]
+            cin, nin = inside(cur), inside(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(intersect(cur, nxt))
+            elif nin:
+                out.append(intersect(cur, nxt))
+        return out
+
+    def x_cross(a, b, xc):
+        t = (xc - a[0]) / (b[0] - a[0])
+        return (xc, a[1] + t * (b[1] - a[1]))
+
+    def y_cross(a, b, yc):
+        t = (yc - a[1]) / (b[1] - a[1])
+        return (a[0] + t * (b[0] - a[0]), yc)
+
+    for inside, intersect in (
+        (lambda p: p[0] >= x0, lambda a, b: x_cross(a, b, x0)),
+        (lambda p: p[0] <= x1, lambda a, b: x_cross(a, b, x1)),
+        (lambda p: p[1] >= y0, lambda a, b: y_cross(a, b, y0)),
+        (lambda p: p[1] <= y1, lambda a, b: y_cross(a, b, y1)),
+    ):
+        pts = clip_edge(pts, inside, intersect)
+        if len(pts) < 3:
+            return None
+    out = np.array(pts + [pts[0]], dtype=np.float64)
+    if abs(ring_area(out)) < 1e-18:
+        return None
+    return out
+
+
+def clip_multipolygon_bbox(polys: list[list[np.ndarray]], bbox
+                           ) -> list[list[np.ndarray]]:
+    """Clip a MultiPolygon (outer CCW + CW holes) to a box: each ring
+    clips independently (a clipped hole stays a valid CW ring under
+    even-odd semantics); polygons whose outer vanishes drop."""
+    out = []
+    for rings in polys:
+        outer = clip_ring_bbox(rings[0], bbox)
+        if outer is None:
+            continue
+        new_rings = [outer]
+        for hole in rings[1:]:
+            h = clip_ring_bbox(hole, bbox)
+            if h is not None:
+                new_rings.append(h)
+        out.append(new_rings)
+    return out
+
+
 def representative_point(polys: list[list[np.ndarray]]):
     """A point guaranteed inside the multipolygon (extract.py:212 analog).
 

@@ -18,6 +18,8 @@ exchange. Plain counts use Spark's built-in map-side partial agg.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,3 +86,46 @@ def salted_exact_distinct(df: DataFrame, group_col: str, distinct_col: str,
     # distinct values land in exactly one salt shard (hash-determined),
     # so summing partial distinct counts is exact
     return partial.groupBy(group_col).agg(F.sum("_pc").alias("distinct_count"))
+
+
+def boundary_tile_areas(spark, prepared) -> DataFrame:
+    """Vector side of the raster<->vector tile join made EXACT: the
+    area of each boundary polygon inside each of its covering cells.
+
+    FULL cells (entirely inside, cover classification) contribute the
+    whole cell box without touching geometry; boundary cells clip the
+    polygon to the cell window (Sutherland-Hodgman, geom.clip_*). The
+    cover table distributes as ordinary rows, the polygons broadcast —
+    same scale shape as the PIP join. Per polygon, the cell areas sum
+    to the polygon's exact area (tested): the grid partitions it.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from posmspark import cells, geom
+
+    bc = spark.sparkContext.broadcast(prepared.polys_by_id)
+
+    @pandas_udf(T.DoubleType())
+    def tile_area(cell: pd.Series, osm_id: pd.Series,
+                  full: pd.Series) -> pd.Series:
+        polys_by_id = bc.value
+        c = cell.to_numpy(dtype=np.int64)
+        x0, y0, x1, y1 = cells.cell_bounds(c)
+        out = np.zeros(len(c), dtype=np.float64)
+        for i in range(len(c)):
+            if full.iloc[i]:
+                out[i] = (x1[i] - x0[i]) * (y1[i] - y0[i])
+            else:
+                clipped = geom.clip_multipolygon_bbox(
+                    polys_by_id[osm_id.iloc[i]],
+                    (x0[i], y0[i], x1[i], y1[i]))
+                out[i] = sum(geom.ring_area(r) for rings in clipped
+                             for r in rings)
+        return pd.Series(out)
+
+    cov = prepared.cover_df(spark)
+    return cov.withColumn(
+        "tile_area", tile_area(F.col("cell"), F.col("osm_id"),
+                               F.col("full"))
+    ).select("osm_id", "adminlevel", "cell", "full", "tile_area")

@@ -103,3 +103,25 @@ def test_k_ring_dedupes_on_lon_wrap():
     assert len(ring) == len(np.unique(ring))
     n = 1 << 7
     assert len(ring) == n * min(n, 255)  # full lon circle x clipped lat rows
+
+
+def test_boundary_tile_areas_partition_polygon_exactly(spark):
+    """Distributed raster<->vector exactness: each boundary's covering
+    cells' clipped areas sum to the polygon's own area (the grid
+    partitions it; FULL cells contribute whole boxes, boundary cells
+    clip)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from posmspark import synth, tiles
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+    )
+    out = tiles.boundary_tile_areas(spark, prepared)
+    got = {r["osm_id"]: r["s"] for r in
+           out.groupBy("osm_id").agg(F.sum("tile_area").alias("s")).collect()}
+    for oid, polys in prepared.polys_by_id.items():
+        exp = sum(geom.ring_area(rg) for rings in polys for rg in rings)
+        assert got[oid] == pytest.approx(exp, rel=1e-9), oid

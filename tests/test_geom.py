@@ -216,3 +216,38 @@ def test_rolling_window_hashes_match_bruteforce():
     diff = got != got2
     assert diff.sum() == w  # exactly the w windows covering byte 20
     assert set(np.nonzero(diff)[0]) == set(range(20 - w + 1, 21))
+
+
+def test_clip_ring_bbox_basic():
+    rect = np.array([[0., 0.], [4., 0.], [4., 4.], [0., 4.], [0., 0.]])
+    out = geom.clip_ring_bbox(rect, (1, 1, 3, 5))
+    assert out is not None
+    assert geom.ring_area(out) == pytest.approx(2 * 3)
+    assert out[:, 0].min() >= 1 and out[:, 0].max() <= 3
+    # empty intersection
+    assert geom.clip_ring_bbox(rect, (10, 10, 12, 12)) is None
+    # orientation preserved for holes (CW stays CW)
+    hole = rect[::-1].copy()
+    h = geom.clip_ring_bbox(hole, (1, 1, 3, 5))
+    assert geom.ring_area(h) == pytest.approx(-6)
+
+
+def test_clip_area_additivity_over_tile_grid():
+    """Clipping a jagged polygon-with-hole to a grid of tiles must
+    partition its area exactly."""
+    t = np.linspace(0, 2 * np.pi, 101)
+    r = 3.0 + 0.5 * np.sin(9 * t)
+    outer = np.column_stack([5 + r * np.cos(t), 5 + r * np.sin(t)])
+    outer[-1] = outer[0]
+    hole = np.array([[4., 4.], [6., 4.], [6., 6.], [4., 6.], [4., 4.]])[::-1]
+    polys = [[outer, hole.copy()]]
+    total = sum(geom.ring_area(rg) for rings in polys for rg in rings)
+
+    acc = 0.0
+    for i in range(10):
+        for j in range(10):
+            clipped = geom.clip_multipolygon_bbox(
+                polys, (i, j, i + 1.0, j + 1.0))
+            acc += sum(geom.ring_area(rg) for rings in clipped
+                       for rg in rings)
+    assert acc == pytest.approx(total, rel=1e-12)
