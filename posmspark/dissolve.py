@@ -68,12 +68,29 @@ def _split_ring_at_vertices(ring: np.ndarray, vertex_keys: set) -> np.ndarray:
         t = ((vx - a[0]) * dx + (vy - a[1]) * dy) / seglen2
         eps = SNAP * 10 * np.sqrt(seglen2)
         on = (np.abs(cross) <= eps) & (t > 1e-12) & (t < 1 - 1e-12)
+        # the candidate vertices are SNAP-quantized reconstructions; for
+        # non-grid coordinates the edge's OWN endpoints reconstruct with
+        # ~0.5e-9 error, land at t within eps of 0/1, and would be
+        # re-inserted as bogus interior splits (zero-length segments
+        # downstream). Exclude candidates sharing an endpoint's key.
+        ka, kb = _key(a), _key(b)
+        own = (((verts[:, 0] == ka[0]) & (verts[:, 1] == ka[1]))
+               | ((verts[:, 0] == kb[0]) & (verts[:, 1] == kb[1])))
+        on &= ~own
         if on.any():
             ts = np.sort(t[on])
             for tt in ts:
                 out.append(np.array([a[0] + tt * dx, a[1] + tt * dy]))
     out.append(pts[-1])
-    return np.asarray(out)
+    arr = np.asarray(out)
+    # collapse any residual consecutive same-key points (defensive:
+    # zero-length segments would register no owner and split chains)
+    keep = np.ones(len(arr), dtype=bool)
+    for k in range(1, len(arr)):
+        if _key(arr[k]) == _key(arr[k - 1]):
+            keep[k] = False
+    keep[-1] = True  # keep closure
+    return arr[keep]
 
 
 def _mesh_segments(polys_by_id: dict[str, list[list[np.ndarray]]]):
@@ -289,8 +306,14 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
 
     def simplify_chain(path: np.ndarray) -> np.ndarray:
         a, b = _key(path[0]), _key(path[-1])
-        canonical = (a, b) if a <= b else (b, a)
-        flip = canonical != (a, b)
+        if a == b and len(path) > 2:
+            # closed chain (enclave border, rotation-canonicalized in
+            # ring_chain_pieces): canonicalize DIRECTION by the second
+            # vs second-to-last vertex so both owners (one walks it
+            # CW, the other CCW) hit the same cache entry
+            flip = _key(path[1]) > _key(path[-2])
+        else:
+            flip = not (a <= b)
         # cache key = EVERY snapped point of the canonical-direction
         # chain (injective). Endpoints+length+midpoint alone could let
         # two distinct borders collide and silently swap polylines
@@ -333,10 +356,20 @@ def ring_chain_pieces(ring: np.ndarray, seg_owners: dict
         osets.append(frozenset(seg_owners[sk]))
     n = len(osets)
     start = 0
+    changed = False
     for k in range(n):
         if osets[k] != osets[k - 1]:
             start = k
+            changed = True
             break
+    if not changed:
+        # the WHOLE ring is one closed chain (enclave border: constant
+        # owner-set all the way around). Both owners must traverse the
+        # same canonical vertex sequence or they'd simplify the shared
+        # border differently (review-found watertightness bug) —
+        # rotate to the minimal snapped vertex.
+        keys = [_key(ring[k]) for k in range(n)]
+        start = keys.index(min(keys))
     idx = list(range(start, n)) + list(range(0, start))
     pieces = []
     cur = [ring[idx[0]]]
@@ -410,10 +443,13 @@ def simplify_mesh_by_parent(spark, prepared, child_level: int,
     is shared-edge-simplified in ONE applyInPandas task (parallelism
     axis = parents, the same grouping the reference's per-country
     topology build uses, proc_functions.sql:27-82). Borders BETWEEN
-    children of one parent stay watertight by construction; borders
-    between parents are exterior to each group and keep their original
-    (un-dropped junction) endpoints, so parent-level meshes remain
-    consistent too.
+    children of one parent stay watertight by construction. Borders
+    between DIFFERENT parents are simplified independently per group
+    (each side sees only its own group's junction decomposition), so
+    cross-parent edges can diverge — the same per-country limitation
+    the reference's per-country topojson build has; run the driver-side
+    shared_edge_simplify over the union mesh when cross-parent
+    watertightness is required.
 
     Output: (osm_id, parent_osm_id, n_points_before, n_points_after,
     geom_wkb) — one row per simplified child.

@@ -166,6 +166,13 @@ class PreparedBoundaries:
 def _first_match_index(frame: pd.DataFrame, covers_for, cover_res=COVER_RES):
     """Cell-cover first-match index over one level's polygons.
 
+    NOTE: this is the single-level, driver-side numpy twin of
+    PreparedBoundaries.resolve_index + _resolve_udf (all levels, Arrow
+    batches). The FULL-winner / ordered-partial semantics MUST stay
+    identical in both — the numpy-oracle goldens in tests/test_spine.py
+    and tests/test_boundaries.py pin them against the same brute-force
+    first-match definition.
+
     Returns (cells_sorted, win, partials, cover_res):
       win[i]        — osm_id of the lowest-insert_order polygon whose
                       FULL cells include cells_sorted[i] (None if none)
@@ -311,7 +318,12 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
 
     def tag_for(country_id: str, level: int) -> str:
         key = f"admin_level_{level}"
-        return str(overrides.get(country_id, ADMIN_DEFAULTS)[key])
+        cfg = overrides.get(country_id, ADMIN_DEFAULTS)
+        if key in cfg:
+            return str(cfg[key])
+        # beyond configured levels, the OSM convention continues
+        # 2,4,6,8,10,... (extract_all.py fans out to level 10)
+        return str(2 * (level + 1))
 
     # level 0 (countries)
     l0 = feats[feats.raw_level == "2"].copy()

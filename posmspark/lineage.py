@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
 
+# partition-key charset safe from hive path escaping (see
+# run_stage_incremental)
+import re  # noqa: E402
+
+_SAFE_KEY = re.compile(r"[A-Za-z0-9_.\-]+")
+
 
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST)
@@ -207,6 +213,15 @@ def run_stage_incremental(
         input_df = spark.read.parquet(input_df)
     else:
         in_fps = fingerprint_partitions(input_df, partition_col)
+    # Hive path escaping (':' -> '%3A' etc.) would desync the raw key
+    # strings used for rmtree/isin from the escaped directory names —
+    # silently resurrecting removed partitions or deleting-without-
+    # rebuilding changed ones. Refuse such keys outright.
+    bad = [k for k in in_fps if not _SAFE_KEY.fullmatch(k)]
+    if bad:
+        raise ValueError(
+            f"partition keys need hive path escaping (unsupported here):"
+            f" {bad[:5]} — restrict {partition_col} to [A-Za-z0-9_.-]")
 
     prev_fps = (man or {}).get("input_partitions")
     compatible = (

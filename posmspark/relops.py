@@ -740,19 +740,11 @@ NGRAM_MAX_SHINGLE_FREQ = 50
 
 
 def _doc_shingles(spark, sf):
-    """Distinct word 3-gram shingles of the documents table. Tokenizes
-    ONCE into a column: split() inline in the transform lambda is
-    re-evaluated per element (O(tokens^2) per doc — measured 3.7x
-    slower at sf0.1)."""
-    d = _t(spark, sf, "documents")
-    grams = F.expr(
-        "transform(sequence(1, greatest(size(_toks) - 2, 0)),"
-        " i -> concat_ws(' ', slice(_toks, i, 3)))"
-    )
-    return (
-        d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
-    )
+    """Distinct word 3-gram shingles of the documents table — thin
+    wrapper over dedup.shingles (ONE shingle kernel to maintain)."""
+    from posmspark import dedup
+
+    return dedup.shingles(_t(spark, sf, "documents"), n=3)
 
 
 def q_ngram_jaccard_pairs(spark, sf):
@@ -770,7 +762,9 @@ def q_ngram_jaccard_pairs(spark, sf):
     # The shingle stage feeds five downstream branches (hot filter,
     # both candidate-join sides, counts, the verify join); stage it
     # once — at 100 TB you materialize the shingle table, you don't
-    # recompute the explode per branch.
+    # recompute the explode per branch. Persisted blocks are
+    # LRU-evictable; long-lived sessions can clearCache() between
+    # suites.
     sh = _doc_shingles(spark, sf).persist()
     hot = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

@@ -93,35 +93,55 @@ def _collect_files(data_dir: str) -> list[dict]:
     return files
 
 
+def _next_seq(table_dir: str) -> int:
+    """Next snapshot id = max EXISTING snapshot + 1 (never the parent's
+    successor: after a rollback the rolled-past snapshots must stay
+    readable, so their ids and data dirs are never reused)."""
+    existing = [s["snapshot_id"] for s in snapshots(table_dir)]
+    return (max(existing) + 1) if existing else 1
+
+
 def _commit(table_dir: str, operation: str, files: list[dict],
-            expected_parent: int | None) -> int:
-    """Atomic snapshot commit with optimistic-concurrency check."""
-    cur = current_snapshot_id(table_dir)
-    if cur != expected_parent:
-        raise CommitConflict(
-            f"parent moved: expected {expected_parent}, found {cur}")
-    seq = 1 if cur is None else cur + 1
-    snap = {
-        "snapshot_id": seq,
-        "parent_id": cur,
-        "operation": operation,
-        "n_files": len(files),
-        "n_rows": sum(f["rows"] for f in files),
-        "files": files,
-    }
-    sdir = os.path.join(table_dir, "snapshots")
-    os.makedirs(sdir, exist_ok=True)
-    with open(os.path.join(sdir, f"v{seq:05d}.json"), "w") as f:
-        json.dump(snap, f, indent=1)
-    tmp = _version_path(table_dir) + f".tmp{seq}"
-    with open(tmp, "w") as f:
-        f.write(str(seq))
-    # re-check then swap (single-writer per parent; the rename is atomic)
-    if current_snapshot_id(table_dir) != expected_parent:
-        os.remove(tmp)
-        raise CommitConflict("parent moved during commit")
-    os.replace(tmp, _version_path(table_dir))
-    return seq
+            expected_parent: int | None, seq: int) -> int:
+    """Atomic snapshot commit.
+
+    Concurrency: a POSIX O_EXCL lock file serializes the
+    check-and-swap, so two same-parent committers cannot both pass the
+    VERSION check (the second sees either the lock or the moved parent
+    and raises CommitConflict) — the local-FS stand-in for Iceberg's
+    catalog compare-and-swap.
+    """
+    os.makedirs(table_dir, exist_ok=True)
+    lock_path = os.path.join(table_dir, "COMMIT_LOCK")
+    try:
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict("another commit is in flight")
+    try:
+        cur = current_snapshot_id(table_dir)
+        if cur != expected_parent:
+            raise CommitConflict(
+                f"parent moved: expected {expected_parent}, found {cur}")
+        snap = {
+            "snapshot_id": seq,
+            "parent_id": cur,
+            "operation": operation,
+            "n_files": len(files),
+            "n_rows": sum(f["rows"] for f in files),
+            "files": files,
+        }
+        sdir = os.path.join(table_dir, "snapshots")
+        os.makedirs(sdir, exist_ok=True)
+        with open(os.path.join(sdir, f"v{seq:05d}.json"), "w") as f:
+            json.dump(snap, f, indent=1)
+        tmp = _version_path(table_dir) + f".tmp{seq}"
+        with open(tmp, "w") as f:
+            f.write(str(seq))
+        os.replace(tmp, _version_path(table_dir))
+        return seq
+    finally:
+        os.close(lock_fd)
+        os.remove(lock_path)
 
 
 def _write_data(df: DataFrame, table_dir: str, seq_hint: int,
@@ -139,12 +159,12 @@ def commit_overwrite(df: DataFrame, table_dir: str,
                      partition_by: list[str] | None = None) -> int:
     """New snapshot containing ONLY this DataFrame's files."""
     parent = current_snapshot_id(table_dir)
-    seq = 1 if parent is None else parent + 1
+    seq = _next_seq(table_dir)
     data_dir, files = _write_data(df, table_dir, seq, partition_by)
     rel = os.path.relpath(data_dir, table_dir)
     for f in files:
         f["path"] = os.path.join(rel, f["path"])
-    return _commit(table_dir, "overwrite", files, parent)
+    return _commit(table_dir, "overwrite", files, parent, seq)
 
 
 def commit_append(df: DataFrame, table_dir: str,
@@ -152,12 +172,12 @@ def commit_append(df: DataFrame, table_dir: str,
     """New snapshot = parent's files + this DataFrame's files."""
     parent = current_snapshot_id(table_dir)
     base = read_snapshot_meta(table_dir, parent)["files"] if parent else []
-    seq = 1 if parent is None else parent + 1
+    seq = _next_seq(table_dir)
     data_dir, files = _write_data(df, table_dir, seq, partition_by)
     rel = os.path.relpath(data_dir, table_dir)
     for f in files:
         f["path"] = os.path.join(rel, f["path"])
-    return _commit(table_dir, "append", base + files, parent)
+    return _commit(table_dir, "append", base + files, parent, seq)
 
 
 def commit_overwrite_partitions(df: DataFrame, table_dir: str,
@@ -168,7 +188,7 @@ def commit_overwrite_partitions(df: DataFrame, table_dir: str,
     dynamic partition overwrite, pairing with run_stage_incremental."""
     parent = current_snapshot_id(table_dir)
     base = read_snapshot_meta(table_dir, parent)["files"] if parent else []
-    seq = 1 if parent is None else parent + 1
+    seq = _next_seq(table_dir)
     data_dir, files = _write_data(df, table_dir, seq, partition_by)
     rel = os.path.relpath(data_dir, table_dir)
     for f in files:
@@ -176,7 +196,8 @@ def commit_overwrite_partitions(df: DataFrame, table_dir: str,
     touched = {tuple(sorted(f["partition"].items())) for f in files}
     kept = [f for f in base
             if tuple(sorted(f["partition"].items())) not in touched]
-    return _commit(table_dir, "overwrite_partitions", kept + files, parent)
+    return _commit(table_dir, "overwrite_partitions", kept + files, parent,
+                   seq)
 
 
 def read_table(spark: SparkSession, table_dir: str,

@@ -124,7 +124,16 @@ def boundary_tile_areas(spark, prepared) -> DataFrame:
                              for r in rings)
         return pd.Series(out)
 
-    cov = prepared.cover_df(spark)
+    # the cover table carries one row per POLYGON PART; a multi-part
+    # polygon (archipelago) can cover the same cell with several parts,
+    # and clipping the whole multipolygon once per row would double-
+    # count. Collapse to one row per (cell, osm_id): if ANY part covers
+    # the cell fully the cell is entirely inside (parts are disjoint).
+    cov = (
+        prepared.cover_df(spark)
+        .groupBy("cell", "osm_id", "adminlevel")
+        .agg(F.max("full").alias("full"))
+    )
     return cov.withColumn(
         "tile_area", tile_area(F.col("cell"), F.col("osm_id"),
                                F.col("full"))

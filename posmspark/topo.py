@@ -65,7 +65,12 @@ def topology(polys_by_id: dict[str, list[list[np.ndarray]]],
                 refs = []
                 for _oset, path in ring_chain_pieces(ring, seg_owners):
                     a, b = _key(path[0]), _key(path[-1])
-                    flip = not (a <= b)
+                    if a == b and len(path) > 2:
+                        # closed chain (enclave): direction-canonical
+                        # so both owners share ONE arc (reversed ref)
+                        flip = _key(path[1]) > _key(path[-2])
+                    else:
+                        flip = not (a <= b)
                     p = path[::-1] if flip else path
                     ck = tuple(_key(v) for v in p)
                     if ck not in arc_index:

@@ -100,15 +100,9 @@ def test_deep_hierarchy_six_levels(spark):
         })
     mapping = pd.DataFrame(
         [], columns=["country_osm_id", "admin_level_1", "admin_level_2"])
-    defaults = dict(synth.ADMIN_DEFAULTS)
-    try:
-        synth.ADMIN_DEFAULTS.update(
-            {f"admin_level_{i}": 2 * (i + 1) for i in range(1, 6)})
-        prepared = prepare_boundaries(pd.DataFrame(rows), mapping,
-                                      n_levels=6)
-    finally:
-        synth.ADMIN_DEFAULTS.clear()
-        synth.ADMIN_DEFAULTS.update(defaults)
+    # levels beyond the configured defaults follow the OSM 2,4,6,8,...
+    # convention automatically (review regression: used to KeyError)
+    prepared = prepare_boundaries(pd.DataFrame(rows), mapping, n_levels=6)
     lv = prepared.levels_pdf.sort_values("adminlevel")
     assert list(lv.adminlevel) == list(range(6))
     assert list(lv.is_in)[1:] == [f"L{k}" for k in range(5)]

@@ -125,3 +125,34 @@ def test_boundary_tile_areas_partition_polygon_exactly(spark):
     for oid, polys in prepared.polys_by_id.items():
         exp = sum(geom.ring_area(rg) for rings in polys for rg in rings)
         assert got[oid] == pytest.approx(exp, rel=1e-9), oid
+
+
+def test_boundary_tile_areas_multipart_no_double_count(spark):
+    """Review regression: a multi-part polygon whose parts share a
+    cover cell must not be double-counted (one clip per (cell, osm_id),
+    not per part)."""
+    import pandas as pd
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from posmspark import geom, synth, tiles
+    from posmspark.joins import prepare_boundaries
+
+    # two tiny disjoint squares inside one coarse cell
+    part_a = synth.rect(10.0, 10.0, 10.01, 10.01)
+    part_b = synth.rect(10.02, 10.02, 10.03, 10.03)
+    bpdf = pd.DataFrame([{
+        "osm_id": "M1", "name": "M1", "name_en": "M1",
+        "admin_level": "2", "iso3166": None,
+        "boundary": "administrative",
+        "geom_wkb": geom.multipolygon_to_wkb([[part_a], [part_b]]),
+        "insert_order": 0,
+    }])
+    mapping = pd.DataFrame(
+        [], columns=["country_osm_id", "admin_level_1", "admin_level_2"])
+    prepared = prepare_boundaries(bpdf, mapping)
+    got = (tiles.boundary_tile_areas(spark, prepared)
+           .agg(F.sum("tile_area")).collect()[0][0])
+    exp = 2 * (0.01 * 0.01)
+    assert got == pytest.approx(exp, rel=1e-9)

@@ -242,3 +242,53 @@ def test_simplify_mesh_by_parent_distributed(spark):
         # watertight: children still dissolve to one polygon
         u = dissolve.dissolve_union(back)
         assert len(u) == 1, parent
+
+
+def test_shared_edge_simplify_enclave_watertight():
+    """Review regression: an enclave (B exactly fills A's hole) shares
+    a border that is a WHOLE closed ring with constant owner-set. Both
+    owners must simplify it to the IDENTICAL point set regardless of
+    each ring's rotation/direction."""
+    # wiggly shared border so DP actually drops points
+    t = np.linspace(0, 2 * np.pi, 41)
+    r = 2.0 + 0.03 * np.sin(8 * t)
+    inner_ccw = np.column_stack([5 + r * np.cos(t), 5 + r * np.sin(t)])
+    inner_ccw[-1] = inner_ccw[0]
+    outer = np.array([[0., 0.], [10., 0.], [10., 10.], [0., 10.], [0., 0.]])
+    hole_cw = inner_ccw[::-1].copy()
+    # rotate B's ring start by 7 vertices relative to A's hole
+    b_ring = np.vstack([inner_ccw[7:-1], inner_ccw[:7], inner_ccw[7:8]])
+    polys = {"A": [[outer, hole_cw]], "B": [[b_ring]]}
+    out = dissolve.shared_edge_simplify(polys, tol=0.05)
+    a_hole = {tuple(np.round(p, 9)) for p in out["A"][0][1]}
+    b_out = {tuple(np.round(p, 9)) for p in out["B"][0][0]}
+    assert a_hole == b_out
+    assert len(out["B"][0][0]) < len(b_ring)  # actually simplified
+    # mesh still dissolves cleanly: A+B fills the outer rect exactly
+    u = dissolve.dissolve_union(out)
+    assert len(u) == 1 and len(u[0]) == 1
+    assert geom.multipolygon_bbox(u) == (0.0, 0.0, 10.0, 10.0)
+
+
+def test_topology_enclave_shares_one_arc():
+    """Same enclave through the TopoJSON builder: the border must be
+    ONE arc referenced by both owners with opposite directions."""
+    from posmspark import topo
+
+    inner_ccw = np.array([[4., 4.], [6., 4.], [6., 6.], [4., 6.], [4., 4.]])
+    outer = np.array([[0., 0.], [10., 0.], [10., 10.], [0., 10.], [0., 0.]])
+    b_ring = np.vstack([inner_ccw[2:-1], inner_ccw[:2], inner_ccw[2:3]])
+    mesh = {"A": [[outer, inner_ccw[::-1].copy()]], "B": [[b_ring]]}
+    t = topo.topology(mesh)
+    refs = {}
+    for g in t["objects"]["boundaries"]["geometries"]:
+        for rings in g["arcs"]:
+            for rr in rings:
+                for ref in rr:
+                    i = ~ref if ref < 0 else ref
+                    refs.setdefault(i, []).append((g["id"], ref < 0))
+    shared = {i: v for i, v in refs.items() if len(v) == 2}
+    assert len(shared) == 1
+    (owners,) = shared.values()
+    assert {o for o, _ in owners} == {"A", "B"}
+    assert {rev for _, rev in owners} == {True, False}

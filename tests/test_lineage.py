@@ -270,3 +270,16 @@ def test_incremental_rebuild_scan_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in scan
     seg = scan.split("PartitionFilters")[1][:200]
     assert "C1" in seg, seg
+
+
+def test_incremental_rejects_unsafe_partition_keys(spark, tmp_path):
+    """Keys needing hive path escaping would desync dir names from raw
+    key strings (silent data loss) — must be refused."""
+    df = spark.createDataFrame([("a:b", 1), ("ok", 2)], "country string, v int")
+
+    def build(d):
+        return d
+
+    with pytest.raises(ValueError, match="escap"):
+        lineage.run_stage_incremental(
+            spark, "bad", df, str(tmp_path / "o"), build, "country")

@@ -84,7 +84,38 @@ def test_commit_conflict_detected(spark, tmp_path):
     with open(tablefmt._version_path(t), "w") as fh:
         fh.write("99")
     with pytest.raises(tablefmt.CommitConflict):
-        tablefmt._commit(t, "append", files, parent)
+        tablefmt._commit(t, "append", files, parent, parent + 1)
+
+
+def test_commit_lock_blocks_concurrent_writer(spark, tmp_path):
+    t = str(tmp_path / "tbl3b")
+    tablefmt.commit_overwrite(_df(spark, 0, 10), t)
+    lock = os.path.join(t, "COMMIT_LOCK")
+    with open(lock, "w"):
+        pass
+    try:
+        with pytest.raises(tablefmt.CommitConflict, match="in flight"):
+            tablefmt.commit_append(_df(spark, 10, 20), t)
+    finally:
+        os.remove(lock)
+    # after the lock clears the commit goes through
+    assert tablefmt.commit_append(_df(spark, 10, 20), t) == 2
+
+
+def test_commit_after_rollback_preserves_history(spark, tmp_path):
+    """Review regression: committing after rollback() must take a FRESH
+    snapshot id — rolled-past snapshots stay readable, nothing reused."""
+    t = str(tmp_path / "tbl3c")
+    tablefmt.commit_overwrite(_df(spark, 0, 100), t)
+    tablefmt.commit_append(_df(spark, 100, 150), t)
+    tablefmt.rollback(t, 1)
+    s3 = tablefmt.commit_append(_df(spark, 150, 160), t)
+    assert s3 == 3  # not 2
+    meta = tablefmt.read_snapshot_meta(t, 3)
+    assert meta["parent_id"] == 1
+    assert tablefmt.read_table(spark, t, snapshot_id=2).count() == 150
+    assert tablefmt.read_table(spark, t, snapshot_id=3).count() == 110
+    assert [s["snapshot_id"] for s in tablefmt.snapshots(t)] == [1, 2, 3]
 
 
 def test_lineage_df_row_counts(spark, tmp_path):
