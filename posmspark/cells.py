@@ -156,6 +156,9 @@ def cell_center(cell: np.ndarray):
 def parent(cell: np.ndarray) -> np.ndarray:
     """One-coarser-resolution parent cell (hierarchy, like H3 parent)."""
     res, i, j = cell_to_ij(cell)
+    if np.unique(res).size > 1:
+        raise ValueError("parent() requires uniform-resolution input "
+                         "(the res tag is packed per array)")
     r = res - 1
     if np.any(r < 0):
         raise ValueError("cell already at resolution 0")

@@ -78,9 +78,14 @@ def _split_ring_at_vertices(ring: np.ndarray, vertex_keys: set) -> np.ndarray:
                | ((verts[:, 0] == kb[0]) & (verts[:, 1] == kb[1])))
         on &= ~own
         if on.any():
-            ts = np.sort(t[on])
-            for tt in ts:
-                out.append(np.array([a[0] + tt * dx, a[1] + tt * dy]))
+            # insert the VERTEX's own (snap-grid) coordinates, not the
+            # projection onto this edge: a vertex up to eps off the
+            # edge projects to a point whose snap key can differ from
+            # the vertex's, and the two owners would then register
+            # different segments for the same border (phantom slivers)
+            order = np.argsort(t[on])
+            for xx, yy in zip(vx[on][order], vy[on][order]):
+                out.append(np.array([xx, yy]))
     out.append(pts[-1])
     arr = np.asarray(out)
     # collapse any residual consecutive same-key points (defensive:
@@ -183,8 +188,12 @@ def dissolve_union(polys_by_id: dict[str, list[list[np.ndarray]]]
     """
     seg_count, _, _ = _mesh_segments(polys_by_id)
     boundary = [sk for sk, c in seg_count.items() if c % 2 == 1]
-    rings = _chain_segments(boundary)
-    # orient + classify: outer rings CCW, holes CW, grouped by containment
+    return _classify_rings(_chain_segments(boundary))
+
+
+def _classify_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Orient + classify boundary rings: outers CCW, holes CW, holes
+    attached to their smallest containing outer (even-odd nesting)."""
     outers, holes = [], []
     for r in rings:
         if len(r) < 4:
@@ -270,12 +279,15 @@ def residual_classify(parent: list[list[np.ndarray]],
 
 def dissolve_union_from_boundary(boundary_segs: list[tuple]
                                  ) -> list[list[np.ndarray]]:
-    rings = _chain_segments(boundary_segs)
-    polys = []
-    for r in rings:
-        if len(r) >= 4 and abs(geom.ring_area(r)) > (SNAP * 100) ** 2:
-            polys.append([r if geom.ring_area(r) > 0 else r[::-1].copy()])
-    return polys
+    """Boundary segments -> polygons WITH hole grouping: an annular
+    residual (child strictly inside the parent) must come back as one
+    outer + one hole, not two standalone positive polygons (review
+    regression: the island was double-counted as filler)."""
+    rings = [
+        r for r in _chain_segments(boundary_segs)
+        if len(r) >= 4 and abs(geom.ring_area(r)) > (SNAP * 100) ** 2
+    ]
+    return _classify_rings(rings)
 
 
 # ---------------------------------------------------------------------------
@@ -537,7 +549,9 @@ def residual_by_parent(spark, prepared, parent_level: int, child_level: int):
                 "status": "filler",
                 # 'xxx' || id synthetic filler ids (proc_functions.sql:128)
                 "filler_id": f"xxx{parent_id}_{i}",
-                "residual_area": float(abs(geom.ring_area(polys[0]))),
+                # outer CCW positive + CW holes negative = net area
+                "residual_area": float(
+                    sum(geom.ring_area(r) for r in polys)),
             })
         return pd.DataFrame(rows)
 

@@ -139,13 +139,18 @@ def wkb_to_multipolygon(buf: bytes) -> list[list[np.ndarray]]:
     byte_order, geom_type = struct.unpack_from("<BI", mv, 0)
     if byte_order != 1:
         raise ValueError("only little-endian WKB supported")
-    geom_type &= 0xFF  # strip SRID/Z flags if present in high bytes
+    if geom_type & 0xC0000000:
+        raise ValueError("Z/M WKB not supported (2D only)")
+    hdr = 5
+    if geom_type & 0x20000000:  # EWKB SRID flag: 4-byte SRID follows
+        hdr += 4
+    geom_type &= 0xFF
     if geom_type == _WKB_POLYGON:
-        rings, _ = read_polygon(mv, 5)
+        rings, _ = read_polygon(mv, hdr)
         return [rings]
     if geom_type == _WKB_MULTIPOLYGON:
-        (npolys,) = struct.unpack_from("<I", mv, 5)
-        off = 9
+        (npolys,) = struct.unpack_from("<I", mv, hdr)
+        off = hdr + 4
         polys = []
         for _ in range(npolys):
             bo, gt = struct.unpack_from("<BI", mv, off)
@@ -177,9 +182,13 @@ def ring_area(ring: np.ndarray) -> float:
 
 def clip_ring_bbox(ring: np.ndarray, bbox) -> np.ndarray | None:
     """Sutherland-Hodgman clip of one closed ring against an axis-
-    aligned box (x0, y0, x1, y1). Exact for any simple ring vs a convex
-    clipper; orientation is preserved. Returns a closed ring or None
-    when the intersection is empty/degenerate.
+    aligned box (x0, y0, x1, y1). AREA-exact for any simple ring vs a
+    convex clipper; orientation is preserved. Caveat: when a concave
+    ring intersects the box in several components, the output is ONE
+    ring connected by zero-width bridges along the box edges — correct
+    for area computation (the engine's use), not a clean input for
+    point-in-polygon consumers. Returns a closed ring or None when the
+    intersection is empty/degenerate.
 
     This is the G11 clipping piece the tile pipeline needs (clip
     boundary polygons to tile windows); general polygon-vs-polygon
@@ -268,6 +277,30 @@ def representative_point(polys: list[list[np.ndarray]]):
         if ok.any():
             xi = xs[ok]
             return float(xi[len(xi) // 2]), float(yy)
+    # Deterministic exact fallback (thin slivers the fixed-grid sampling
+    # misses — review-found crash): scan a horizontal line at the
+    # midpoint BETWEEN two consecutive distinct vertex latitudes. Any
+    # non-degenerate simple polygon has interior there, and the ray's
+    # crossing structure gives a guaranteed in-span midpoint.
+    all_y = np.unique(np.concatenate([rg[:, 1] for rg in best]))
+    for k in range(len(all_y) - 1):
+        if all_y[k + 1] - all_y[k] <= 0:
+            continue
+        yy = (all_y[k] + all_y[k + 1]) / 2.0
+        xs_cross = []
+        for rg in best:
+            x1, y1 = rg[:-1, 0], rg[:-1, 1]
+            x2, y2 = rg[1:, 0], rg[1:, 1]
+            m = (y1 > yy) != (y2 > yy)
+            if m.any():
+                xs_cross.append(
+                    (x2[m] - x1[m]) * (yy - y1[m]) / (y2[m] - y1[m]) + x1[m])
+        if not xs_cross:
+            continue
+        xc = np.sort(np.concatenate(xs_cross))
+        # even-odd: [xc[0], xc[1]] is an interior span
+        if len(xc) >= 2 and xc[1] > xc[0]:
+            return float((xc[0] + xc[1]) / 2.0), float(yy)
     raise ValueError("no interior point found")
 
 
@@ -437,20 +470,25 @@ def normalize_multipolygon(polys: list[list[np.ndarray]]
     out = []
     for rings in polys:
         fixed = []
+        outer_dropped = False
         for i, ring in enumerate(rings):
             r = np.asarray(ring, dtype=np.float64)
             if len(r) >= 3 and not np.allclose(r[0], r[-1]):
                 r = np.vstack([r, r[:1]])
-            if len(r) < 4:
+            if len(r) < 4 or ring_area(r) == 0.0:
+                if i == 0:
+                    # degenerate OUTER: the whole polygon is void —
+                    # promoting a surviving hole would emit a
+                    # negative-area "polygon" (review regression)
+                    outer_dropped = True
+                    break
                 continue
             a = ring_area(r)
-            if a == 0.0:
-                continue
             want_ccw = i == 0
             if (a > 0) != want_ccw:
                 r = r[::-1].copy()
             fixed.append(r)
-        if fixed:
+        if fixed and not outer_dropped:
             out.append(fixed)
     return out
 

@@ -50,16 +50,9 @@ COVER_RES = 10
 # cell encode UDF
 
 
-@pandas_udf(T.LongType())
-def cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """Vectorized numpy cell encoder (null coords -> null cell).
-
-    Nullability via masked IntegerArray — Series.where would cast to
-    float64 and silently destroy the id's low Morton bits (cell ids
-    exceed float64's 53-bit mantissa)."""
-    out = cells.encode(lon.to_numpy(dtype=np.float64, na_value=np.nan),
-                       lat.to_numpy(dtype=np.float64, na_value=np.nan))
-    return pd.Series(pd.arrays.IntegerArray(out, mask=(out < 0)))
+# cell_udf (the default-resolution numpy encoder) is defined at the
+# bottom of this module as cell_udf_at(cells.DEFAULT_RES) — ONE
+# definition of the precision-critical masked-IntegerArray handling.
 
 
 def with_cell(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
@@ -354,16 +347,23 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
     level_frames = [l0]
     level_indexes = [l0_index]
     assigned = set(l0.osm_id)
+    # a feature that only lands at level L is a candidate at every level
+    # before it — compute its representative point once, not per level
+    rep_cache: dict[str, tuple] = {}
+
+    def rep_for(oid: str):
+        if oid not in rep_cache:
+            rep_cache[oid] = geom.representative_point(polys_by_id[oid])
+        return rep_cache[oid]
+
     for lv in range(1, n_levels):
         cand = feats[~feats.osm_id.isin(assigned)]
         if not len(cand):
             level_frames.append(pd.DataFrame())
             level_indexes.append(None)
             continue
-        reps = np.array([
-            geom.representative_point(polys_by_id[oid])
-            for oid in cand.osm_id
-        ], dtype=np.float64)
+        reps = np.array([rep_for(oid) for oid in cand.osm_id],
+                        dtype=np.float64)
         country = _first_match_batch(
             reps[:, 0], reps[:, 1], l0_index, polys_by_id)
         if lv == 1:
@@ -636,6 +636,18 @@ def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
     r = 0
     while r <= max_ring:
         r_next = max(1, r * 2)
+        if r_next - 1 >= max_ring:
+            # ring budget exhausted: finish the (few) stragglers with
+            # the exact broadcast kernel instead of force-emitting a
+            # possibly-incomplete ring result — at low res the largest
+            # k_ring may not span the grid (review-found gap), and
+            # exactness must hold unconditionally.
+            done = knn_bruteforce(
+                unresolved.select(point_key, "lon", "lat"),
+                sites_pdf, k, spark, point_key,
+            ).select(point_key, "knn").localCheckpoint()
+            resolved = done if resolved is None else resolved.unionByName(done)
+            break
         shell_rows = {"cell": [], "site_id": [], "slon": [], "slat": []}
         for si in range(len(site_ids)):
             ring_cells = cells.k_ring(int(scell[si]), r_next - 1)
@@ -698,8 +710,7 @@ def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
             & (F.col("kth") <= guarantee_m),
             F.lit(False),
         )
-        last = r_next - 1 >= max_ring
-        done = agg.filter(done_cond | F.lit(last)).select(
+        done = agg.filter(done_cond).select(
             point_key,
             F.transform(
                 F.array_sort(F.col("cands")),
@@ -716,9 +727,6 @@ def knn_cellring(points: DataFrame, sites_pdf: pd.DataFrame, k: int,
         agg = agg.persist()
         done = done.localCheckpoint()
         resolved = done if resolved is None else resolved.unionByName(done)
-        if last:
-            agg.unpersist()
-            break
         unresolved = agg.filter(~done_cond).select(
             point_key, "lon", "lat", "qcell").localCheckpoint()
         agg.unpersist()
@@ -751,3 +759,9 @@ def haversine_expr(lon1, lat1, lon2, lat2):
         + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
     )
     return R * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+#: Vectorized numpy cell encoder at the default resolution (null coords
+#: -> null cell); single source of the masked-IntegerArray nullability
+#: handling (float64 would destroy the id's low Morton bits).
+cell_udf = cell_udf_at(cells.DEFAULT_RES)

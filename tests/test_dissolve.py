@@ -292,3 +292,18 @@ def test_topology_enclave_shares_one_arc():
     (owners,) = shared.values()
     assert {o for o, _ in owners} == {"A", "B"}
     assert {rev for _, rev in owners} == {True, False}
+
+
+def test_residual_annular_island():
+    """Review regression: a child strictly INSIDE the parent (annular
+    residual) must classify as ONE filler polygon of outer-minus-island
+    area — not two standalone polygons double-counting the island."""
+    parent = [[_rect(0, 0, 10, 10)]]
+    child = {"K": [[_rect(4, 4, 6, 6)]]}
+    status, residual = dissolve.residual_classify(parent, child)
+    assert status == "filler"
+    assert len(residual) == 1
+    polys = residual[0]
+    assert len(polys) == 2  # outer + hole
+    area = sum(geom.ring_area(r) for r in polys)
+    assert abs(area - 96.0) < 1e-9

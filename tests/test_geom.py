@@ -251,3 +251,24 @@ def test_clip_area_additivity_over_tile_grid():
             acc += sum(geom.ring_area(rg) for rings in clipped
                        for rg in rings)
     assert acc == pytest.approx(total, rel=1e-12)
+
+
+def test_representative_point_thin_sliver():
+    """Review regression: a long thin diagonal sliver (width far below
+    the scan-grid spacing) must still yield an interior point instead
+    of raising."""
+    w = 1e-7
+    sliver = np.array([
+        [0.0, 0.0], [1.0, 1.0], [1.0 + w, 1.0], [w, 0.0], [0.0, 0.0]])
+    px, py = geom.representative_point([[sliver]])
+    assert geom.points_in_rings(np.array([px]), np.array([py]),
+                                [sliver])[0]
+
+
+def test_normalize_multipolygon_degenerate_outer_drops_polygon():
+    """Review regression: if the outer ring collapses, its holes must
+    not be promoted to a negative-area 'polygon'."""
+    zero = np.array([[0., 0.], [1., 0.], [0., 0.]])
+    hole = np.array([[0., 0.], [0., 1.], [1., 1.], [1., 0.], [0., 0.]])  # CW
+    out = geom.normalize_multipolygon([[zero, hole]])
+    assert out == [] or all(geom.ring_area(p[0]) > 0 for p in out)

@@ -144,3 +144,28 @@ def test_cellring_upstream_runs_once(spark, sites):
     # collect again: checkpointed rounds must NOT replay the kernel
     out.collect()
     assert acc.value == 300, f"upstream kernel ran {acc.value/300:.1f}x"
+
+
+def test_cellring_exact_when_ring_budget_too_small(spark):
+    """Review regression: at default res=8 the largest ring may not
+    span the grid; the ring budget exhausting must fall back to the
+    exact kernel, never emit incomplete/empty neighbor lists."""
+    sites = pd.DataFrame({
+        "site_id": ["far1", "far2", "far3"],
+        "lon": [0.0, 1.0, 2.0],
+        "lat": [-80.0, -80.0, -80.0],
+    })
+    pts = pd.DataFrame({
+        "url": [f"u{i}" for i in range(20)],
+        "lon": np.linspace(-10, 10, 20),
+        "lat": np.full(20, 85.0),  # opposite side of the grid
+    })
+    points = spark.createDataFrame(pts)
+    ring = knn_cellring(points, sites, 2, spark, res=8, max_ring=4)
+    brute = knn_bruteforce(points, sites, 2, spark)
+    g = {r["url"]: [(e["site_id"], round(e["dist_m"], 6)) for e in r["knn"]]
+         for r in ring.collect()}
+    b = {r["url"]: [(e["site_id"], round(e["dist_m"], 6)) for e in r["knn"]]
+         for r in brute.collect()}
+    assert g == b
+    assert all(len(v) == 2 for v in g.values())
