@@ -127,7 +127,11 @@ def _q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = dedup.shingles(docs, n=3)
-    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh, n_bands=8))
+    # the hot-shingle cap is the mandatory skew guard at scale (a
+    # boilerplate shingle shared by M docs would otherwise make its
+    # band bucket O(M^2) in the candidate self-join)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(sh, n_bands=8, max_shingle_freq=50))
     out = dedup.verify_jaccard(cand, sh, threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 

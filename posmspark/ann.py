@@ -48,17 +48,20 @@ def brute_force_topk(vectors: DataFrame, queries_pdf: pd.DataFrame, k: int,
         T.StructField("cos_sim", T.DoubleType()),
     ]))
 
+    # precomputed id rank: ties MUST be broken lexicographically BEFORE
+    # cutting to k (argpartition alone picks tied boundary entries
+    # arbitrarily — the co-located-points pitfall, review-found here)
+    id_rank = np.argsort(np.argsort([str(s) for s in qids]))
+
     @pandas_udf(out_schema)
     def topk(emb: pd.Series) -> pd.Series:
         ids, q = bc.value
         m = _normalize(np.vstack(emb.to_numpy()).astype(np.float64))
         sims = m @ q.T  # (batch, n_queries)
         kk = min(k, len(ids))
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = []
         for r in range(len(m)):
-            idx = part[r]
-            order = sorted(idx, key=lambda i: (-sims[r, i], str(ids[i])))
+            order = np.lexsort((id_rank, -sims[r]))[:kk]
             rows.append([
                 {"query_id": str(ids[i]), "cos_sim": float(sims[r, i])}
                 for i in order
@@ -66,6 +69,34 @@ def brute_force_topk(vectors: DataFrame, queries_pdf: pd.DataFrame, k: int,
         return pd.Series(rows)
 
     return vectors.withColumn("topk", topk(F.col(emb_col)))
+
+
+def cosine_rerank(cand: DataFrame, k: int, id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """Exact JVM-side cosine + deterministic top-k over candidate rows
+    carrying (query_id, q_emb, id_col, emb_col) — the shared verify
+    pass of the LSH and IVF paths."""
+    dot = F.expr(
+        f"aggregate(zip_with({emb_col}, q_emb,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v)"
+    )
+    nv = F.expr(
+        f"sqrt(aggregate({emb_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v * v))"
+    )
+    scored = cand.withColumn("cos_sim", dot / (nv * nq))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cos_sim", "rn")
+    )
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = SEED) -> np.ndarray:
@@ -122,8 +153,9 @@ def train_ivf_centroids(vectors: DataFrame, n_centroids: int,
     the codebook is tiny, and the result broadcasts. Deterministic
     init: first n_centroids sample rows by id."""
     sample = (
-        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod))
-                       == 0)
+        vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                   F.lit(sample_mod)) == 0)
         .orderBy(id_col)
         .select(id_col, emb_col)
         .toPandas()
@@ -194,27 +226,7 @@ def ivf_topk(vectors: DataFrame, queries_pdf: pd.DataFrame, k: int,
     probes = spark.createDataFrame(pd.DataFrame(probe_rows))
 
     cand = vecs.join(F.broadcast(probes), ["ivf_cell"], "inner")
-    dot = F.expr(
-        f"aggregate(zip_with({emb_col}, q_emb,"
-        " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + v)"
-    )
-    nv = F.expr(
-        f"sqrt(aggregate({emb_col}, CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    )
-    nq = F.expr(
-        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + v * v))"
-    )
-    scored = cand.withColumn("cos_sim", dot / (nv * nq))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", id_col, "cos_sim", "rn")
-    )
+    return cosine_rerank(cand, k, id_col, emb_col)
 
 
 def lsh_topk(vectors: DataFrame, queries_pdf: pd.DataFrame, k: int,
@@ -260,24 +272,4 @@ def lsh_topk(vectors: DataFrame, queries_pdf: pd.DataFrame, k: int,
     cand = postings.join(
         F.broadcast(probes), ["table", "lsh_sig"], "inner"
     ).dropDuplicates(["query_id", id_col])
-    dot = F.expr(
-        f"aggregate(zip_with({emb_col}, q_emb,"
-        " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + v)"
-    )
-    nv = F.expr(
-        f"sqrt(aggregate({emb_col}, CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    )
-    nq = F.expr(
-        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + v * v))"
-    )
-    scored = cand.withColumn("cos_sim", dot / (nv * nq))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", id_col, "cos_sim", "rn")
-    )
+    return cosine_rerank(cand, k, id_col, emb_col)

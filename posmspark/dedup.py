@@ -36,9 +36,14 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     split() written inline in the lambda is re-evaluated per element
     (O(tokens^2) per doc, measured 3.7x slower).
     """
+    # Guard short docs: Spark's sequence(1, 0) is DESCENDING [1, 0]
+    # (unlike DuckDB's empty generate_series), and slice(_toks, 0, n)
+    # is a runtime error — a 2-token document would crash the job
+    # (review-found, reproduced live).
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        f"CASE WHEN size(_toks) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n}))) END"
     )
     return (
         df.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))

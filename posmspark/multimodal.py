@@ -111,8 +111,13 @@ def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                     feat = _grid_features(img)
                     rows.append((r.media_id, r.kind,
                                  [float(x) for x in feat], True, None))
-                except (ValueError, NotImplementedError) as e:
-                    rows.append((r.media_id, r.kind, None, False, str(e)))
+                except Exception as e:  # noqa: BLE001 — fault ISOLATION:
+                    # a malformed payload must become a decode_ok=False
+                    # row, never a task failure (struct.error on
+                    # truncated headers and TypeError on NULL payloads
+                    # do not subclass ValueError — review-found gap)
+                    rows.append((r.media_id, r.kind, None, False,
+                                 f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "feature",
                                "decode_ok", "decode_err"])
@@ -141,6 +146,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     extractor would consume (codec stubbed)."""
     return (
         media.filter(F.col("kind") == "video")
+        # NULL duration must schedule NO frames (greatest(NULL-1, 0)
+        # evaluates 0 and would emit a phantom frame_ts_ms=0 row)
+        .filter(F.col("meta.duration_ms").isNotNull()
+                & (F.col("meta.duration_ms") > 0))
         .select(
             "media_id",
             F.explode(

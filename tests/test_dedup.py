@@ -140,3 +140,15 @@ def test_simhash_narrow_blocks_refused():
         dedup.simhash_near_pairs(None, max_hamming=8, n_blocks=16)
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_near_pairs(None, max_hamming=4, n_blocks=4)
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Review regression: Spark sequence(1, 0) is DESCENDING, so a doc
+    with fewer than n tokens used to crash slice(_toks, 0, n). Short
+    docs must simply emit no shingles (DuckDB oracle parity)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three words here"), (4, "")],
+        "doc_id long, text string")
+    out = dedup.shingles(df, n=3).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    assert out[0]["shingle"] == "three words here"
