@@ -166,3 +166,36 @@ def test_rolling_hash_locality(data, pos):
     lo, hi = max(0, pos - w + 1), min(len(h1) - 1, pos)
     assert set(diff) <= set(range(lo, hi + 1))
     assert len(diff) >= 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(ring=ring_strategy(min_pts=4, max_pts=16))
+def test_shp_roundtrip_property(ring):
+    """Any simple CCW polygon survives .shp bytes ring-exact."""
+    from posmspark import shp
+
+    r = ring if geom.ring_area(ring) > 0 else ring[::-1].copy()
+    back = shp.read_shp_polygons(shp.write_shp_polygons([[[r]]]))
+    assert len(back) == 1
+    (_, polys), = back
+    assert len(polys) == 1 and len(polys[0]) == 1
+    assert np.array_equal(polys[0][0], r)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ring=ring_strategy(min_pts=5, max_pts=14),
+       q=st.integers(min_value=10_000, max_value=1_000_000))
+def test_topology_roundtrip_property(ring, q):
+    """Decoded quantized topology stays within one quantization step of
+    the source ring, vertex for vertex (isolated polygon: one arc)."""
+    from posmspark import topo
+
+    r = ring if geom.ring_area(ring) > 0 else ring[::-1].copy()
+    t = topo.topology({"X": [[r]]}, quantization=q)
+    back = topo.decode(t)["X"][0][0]
+    kx, ky = t["transform"]["scale"]
+    # each source vertex has a decoded vertex within one quantum
+    for p in r[:-1]:
+        d = np.abs(back[:-1] - p[None, :])
+        assert (d[:, 0].min() <= kx * 0.51 + 1e-12
+                and d[:, 1].min() <= ky * 0.51 + 1e-12)
