@@ -167,7 +167,12 @@ def fingerprint_partition_dir(in_dir: str, partition_col: str
         for fn in sorted(os.listdir(d)):
             if fn.startswith((".", "_")):
                 continue
-            st = os.stat(os.path.join(d, fn))
+            full = os.path.join(d, fn)
+            if os.path.isdir(full):
+                raise ValueError(
+                    f"nested partitioning under {d} — directory "
+                    f"fingerprints support a single partition level")
+            st = os.stat(full)
             h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}\n".encode())
         out[entry[len(prefix):]] = h.hexdigest()[:32]
     return out

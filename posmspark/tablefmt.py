@@ -116,6 +116,9 @@ def _commit(table_dir: str, operation: str, files: list[dict],
     try:
         lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
+        # NOTE: a committer killed mid-commit leaves COMMIT_LOCK behind;
+        # recovery is removing the file (single-writer deployments) —
+        # a real catalog service would use leases/CAS instead.
         raise CommitConflict("another commit is in flight")
     try:
         cur = current_snapshot_id(table_dir)
