@@ -684,14 +684,22 @@ FROM documents GROUP BY 1
 """
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single punct —
+#: the GPT-2-style split shape, engine-portable regex subset
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def q_token_stats(spark, sf):
-    """token counting + quality scoring (length / stopword ratios)."""
+    """token counting (whitespace + BPE-ish regex) + quality scoring
+    (length / stopword ratios)."""
     d = _t(spark, sf, "documents")
     toks = F.split("text", " ")
     stop = F.filter(toks, lambda x: x.isin("the", "a"))
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))
+        .alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_actual"),
         F.round(F.size(stop) / F.size(toks), 4).alias("stopword_ratio"),
     )
@@ -699,6 +707,8 @@ def q_token_stats(spark, sf):
 
 SQL_TOKEN_STATS = """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+         AS n_bpe_tokens,
        length(text) AS n_chars_actual,
        round(len(list_filter(string_split(text, ' '),
                  x -> x IN ('the', 'a'))) * 1.0
