@@ -126,6 +126,48 @@ def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = ("media_id string, kind string, payload binary,"
+                 " width int, height int, resize_ok boolean,"
+                 " resize_err string")
+
+
+def resize_images(media: DataFrame, target_w: int = 16,
+                  target_h: int = 16, batch_rows: int = 64) -> DataFrame:
+    """Image resize as mapInPandas: decode -> deterministic nearest-
+    neighbor downsample in numpy -> re-encode, with the same per-row
+    fault routing as extract_features (resize_ok=False rows, never a
+    task failure). The numpy kernel is the stand-in for a real codec's
+    scaler; the Spark plumbing (schema, batching, fault isolation,
+    payload-in/payload-out shape) is the tested contract.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    if r.kind != "image":
+                        raise ValueError(f"no resizer for kind={r.kind}")
+                    img = _decode_image_bytes(bytes(r.payload))
+                    h, w = img.shape
+                    ys = (np.arange(target_h) * h) // target_h
+                    xs = (np.arange(target_w) * w) // target_w
+                    small = img[ys[:, None], xs[None, :]]
+                    payload = (b"FAKE"
+                               + struct.pack("<HH", target_w, target_h)
+                               + small.astype(np.uint8).tobytes())
+                    rows.append((r.media_id, r.kind, payload,
+                                 target_w, target_h, True, None))
+                except Exception as e:  # noqa: BLE001 — fault isolation
+                    rows.append((r.media_id, r.kind, None, None, None,
+                                 False, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width",
+                               "height", "resize_ok", "resize_err"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=RESIZE_SCHEMA)
+
+
 def dedupe_by_content(media: DataFrame) -> DataFrame:
     """Content-hash dedup before decode: identical payloads decode once.
     At 100 TB this is the single biggest decode-cost saver."""

@@ -61,3 +61,30 @@ def test_frame_sample_plan(spark, media):
     assert per_vid["vid0000"] == 3
     # vid0009 duration 7500ms -> 0..7000 = 8 frames
     assert per_vid["vid0009"] == 8
+
+
+def test_resize_images_roundtrip_and_fault_routing(spark):
+    """Resize op: deterministic nearest-neighbor downsample with the
+    payload-in/payload-out contract; corrupt payloads route to
+    resize_ok=False instead of failing the task."""
+    from posmspark.multimodal import (_decode_image_bytes, resize_images,
+                                      synth_media_df)
+
+    media = synth_media_df(spark)
+    out = {r["media_id"]: r
+           for r in resize_images(media, 16, 16).collect()}
+    ok = [r for r in out.values() if r["resize_ok"]]
+    assert len(ok) > 0
+    for r in ok:
+        img = _decode_image_bytes(bytes(r["payload"]))
+        assert img.shape == (16, 16)
+    assert out["imgBAD"]["resize_ok"] is False
+    assert "ValueError" in out["imgBAD"]["resize_err"]
+    # video rows route to errors, not crashes
+    vids = [r for r in out.values() if r["kind"] == "video"]
+    assert vids and all(not r["resize_ok"] for r in vids)
+    # deterministic across runs
+    out2 = {r["media_id"]: bytes(r["payload"]) if r["payload"] else None
+            for r in resize_images(media, 16, 16).collect()}
+    assert all((bytes(r["payload"]) if r["payload"] else None) == out2[m]
+               for m, r in out.items())
