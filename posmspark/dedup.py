@@ -14,8 +14,15 @@ Five dedup families, all shuffle-disciplined for 100 TB inputs:
 
 Scale notes: every candidate generator is an equi-join on a derived
 key (band signature / rotation prefix) — never a cross join; verify
-passes run only on candidate pairs. Hot buckets (boilerplate shingles)
-are capped with a frequency filter, the textbook skew guard for LSH.
+passes run only on candidate pairs. Hot keys (boilerplate shingles,
+exact-duplicate fingerprint buckets) are capped by SAMPLING the K
+smallest doc ids per key — a capped key still pairs its K
+representatives (dropping the key outright blind-spotted whole
+clusters larger than K, ADVICE r02). Pipeline ordering matters: run
+EXACT content-hash dedup first (q_dedup_exact) so identical docs
+collapse to one representative before near-dup candidate generation;
+the near-dup cap's only residual blind spot is then a *non-identical*
+cluster member beyond the K smallest ids of all its shingles.
 """
 
 from __future__ import annotations
@@ -53,21 +60,40 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 
 def minhash_signatures(sh: DataFrame, n_bands: int = 8,
                        id_col: str = "doc_id",
-                       max_shingle_freq: int | None = None) -> DataFrame:
+                       max_shingle_freq: int | None = None,
+                       portable_hash: bool = False) -> DataFrame:
     """(doc_id, band, sig): per-band minimum of a salted shingle hash.
 
-    max_shingle_freq drops boilerplate shingles shared by more than K
-    docs before banding — the skew guard that keeps band buckets small.
+    max_shingle_freq is the skew guard: each shingle keeps only its K
+    smallest doc ids before banding, so a boilerplate shingle — or an
+    exact-duplicate cluster, whose members share EVERY shingle — feeds
+    at most K docs into any band bucket (candidate join output <= K^2/2
+    per bucket, never M^2/2). Sampling instead of dropping (round-2
+    behavior) keeps K representatives of every large cluster pairable;
+    the residual blind spot is a doc beyond the K smallest ids of ALL
+    its shingles, which is why exact content-hash dedup runs FIRST in a
+    production pipeline (module docstring).
+
+    portable_hash=True uses min(md5(band || '|' || shingle)) — byte-
+    identical in DuckDB, so the whole LSH+verify path is oracle-
+    checkable; default is xxhash64 (JVM-native, faster).
     """
     if max_shingle_freq is not None:
-        hot = sh.groupBy("shingle").count().filter(
-            F.col("count") > max_shingle_freq).select("shingle")
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle").orderBy(id_col)
+        sh = (
+            sh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_shingle_freq).drop("_rn")
+        )
     bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
     salted = sh.select(id_col, "shingle", bands)
-    return salted.groupBy(id_col, "band").agg(
-        F.min(F.xxhash64(F.col("band"), F.col("shingle"))).alias("sig")
-    )
+    if portable_hash:
+        sig = F.min(F.md5(F.concat(F.col("band").cast("string"),
+                                   F.lit("|"), F.col("shingle"))))
+    else:
+        sig = F.min(F.xxhash64(F.col("band"), F.col("shingle")))
+    return salted.groupBy(id_col, "band").agg(sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -163,7 +189,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", n_blocks: int = 4,
-                       allow_narrow_blocks: bool = False) -> DataFrame:
+                       allow_narrow_blocks: bool = False,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs within Hamming distance k via block bucketing.
 
     Pigeonhole: split 64 bits into n_blocks (> max_hamming) blocks; two
@@ -175,6 +202,12 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3,
     near-quadratic — refuse configs whose expected random candidate
     volume isn't vanishing unless the caller opts in with
     allow_narrow_blocks=True (bounded corpora / wide-radius audits).
+
+    max_bucket_size guards the OTHER quadratic corner: an exact-
+    duplicate cluster of M docs shares every block value, making its
+    bucket O(M^2) in the join. Each (block, value) bucket keeps only
+    its K smallest doc ids; run exact dedup first so this cap only
+    ever trims pathological non-identical clusters (module docstring).
     """
     if n_blocks <= max_hamming:
         raise ValueError(
@@ -197,6 +230,14 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3,
         id_col, "simhash", F.col("kb.blk").alias("blk"),
         F.col("kb.val").alias("val"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("blk", "val").orderBy(id_col)
+        keyed = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_size).drop("_rn")
+        )
     a = keyed.alias("a")
     b = keyed.alias("b")
     cand = (

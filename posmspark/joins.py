@@ -388,12 +388,15 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
         if len(frame):
             assigned |= set(frame.osm_id)
 
-    levels = pd.concat(
-        [f for f in level_frames if len(f)], ignore_index=True
-    )[
-        ["osm_id", "name", "name_en", "adminlevel", "iso3166", "is_in",
-         "insert_order"]
-    ]
+    level_cols = ["osm_id", "name", "name_en", "adminlevel", "iso3166",
+                  "is_in", "insert_order"]
+    nonempty = [f for f in level_frames if len(f)]
+    if nonempty:
+        levels = pd.concat(nonempty, ignore_index=True)[level_cols]
+    else:
+        # degenerate input (e.g. no admin_level=='2' rows at all): an
+        # empty typed levels table, not a concat crash (ADVICE r02)
+        levels = pd.DataFrame(columns=level_cols)
 
     # cell cover per retained boundary (FULL vs PARTIAL classification)
     cov_rows = {"cell": [], "osm_id": [], "adminlevel": [], "full": [],
@@ -405,15 +408,24 @@ def prepare_boundaries(boundaries_pdf: pd.DataFrame,
             cov_rows["adminlevel"].append(np.full(len(cc), r.adminlevel))
             cov_rows["full"].append(full)
             cov_rows["insert_order"].append(np.full(len(cc), r.insert_order))
-    cover = pd.DataFrame(
-        {
-            "cell": np.concatenate(cov_rows["cell"]),
-            "osm_id": np.concatenate(cov_rows["osm_id"]),
-            "adminlevel": np.concatenate(cov_rows["adminlevel"]).astype(np.int32),
-            "full": np.concatenate(cov_rows["full"]),
-            "insert_order": np.concatenate(cov_rows["insert_order"]).astype(np.int64),
-        }
-    )
+    if cov_rows["cell"]:
+        cover = pd.DataFrame(
+            {
+                "cell": np.concatenate(cov_rows["cell"]),
+                "osm_id": np.concatenate(cov_rows["osm_id"]),
+                "adminlevel": np.concatenate(cov_rows["adminlevel"]).astype(np.int32),
+                "full": np.concatenate(cov_rows["full"]),
+                "insert_order": np.concatenate(cov_rows["insert_order"]).astype(np.int64),
+            }
+        )
+    else:
+        cover = pd.DataFrame({
+            "cell": pd.Series(dtype=np.int64),
+            "osm_id": pd.Series(dtype=object),
+            "adminlevel": pd.Series(dtype=np.int32),
+            "full": pd.Series(dtype=bool),
+            "insert_order": pd.Series(dtype=np.int64),
+        })
 
     problems_pdf = pd.DataFrame(
         problems, columns=["osm_id", "name", "reason", "lon", "lat"]

@@ -221,12 +221,15 @@ def run_stage_incremental(
     # Hive path escaping (':' -> '%3A' etc.) would desync the raw key
     # strings used for rmtree/isin from the escaped directory names —
     # silently resurrecting removed partitions or deleting-without-
-    # rebuilding changed ones. Refuse such keys outright.
-    bad = [k for k in in_fps if not _SAFE_KEY.fullmatch(k)]
+    # rebuilding changed ones. Refuse such keys outright; a NULL key
+    # (hive's __HIVE_DEFAULT_PARTITION__) is equally unsupported and
+    # must raise ValueError, not TypeError (ADVICE r02).
+    bad = [k for k in in_fps if k is None or not _SAFE_KEY.fullmatch(k)]
     if bad:
         raise ValueError(
             f"partition keys need hive path escaping (unsupported here):"
-            f" {bad[:5]} — restrict {partition_col} to [A-Za-z0-9_.-]")
+            f" {bad[:5]} — restrict {partition_col} to non-null"
+            f" [A-Za-z0-9_.-]")
 
     prev_fps = (man or {}).get("input_partitions")
     compatible = (
@@ -254,7 +257,12 @@ def run_stage_incremental(
         if changed:
             subset = input_df.filter(
                 F.col(partition_col).cast("string").isin(changed))
-            out_sub = build(subset)
+            # persist so the write and the emitted-keys collect see ONE
+            # evaluation of build(): re-executing a nondeterministic or
+            # input-racing build could make `emitted` disagree with what
+            # was written, wrongly rmtree-ing a written partition or
+            # keeping a stale one (ADVICE r02)
+            out_sub = build(subset).persist()
             (out_sub.write.mode("overwrite")
                .option("partitionOverwriteMode", "dynamic")
                .partitionBy(partition_col).parquet(out_dir))
@@ -266,6 +274,7 @@ def run_stage_incremental(
                     F.col(partition_col).cast("string").alias("_pk")
                 ).distinct().collect()
             }
+            out_sub.unpersist()
             for k in changed:
                 if k not in emitted:
                     shutil.rmtree(

@@ -868,10 +868,30 @@ WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.8
 def q_minhash_band_candidates(spark, sf):
     """MinHash+LSH candidate pairs: per-band min(md5(band || shingle))
     signatures; docs colliding on any band signature are candidates.
-    md5 is identical across engines, so this is fully oracle-checkable."""
-    sh = _doc_shingles(spark, sf).persist()
+    md5 is identical across engines, so this is fully oracle-checkable.
+
+    Skew guard (the 100-TB shape): each shingle keeps only its
+    NGRAM_MAX_SHINGLE_FREQ smallest doc_ids before banding. A hot
+    boilerplate shingle — or an exact-duplicate cluster of M docs,
+    whose members share EVERY shingle — then feeds at most K docs into
+    any band bucket, so the (band, sig) self-join emits <= K^2/2 pairs
+    per bucket instead of M^2/2. Unlike dropping hot shingles outright
+    (the round-2 approach, whose blind spot was whole clusters larger
+    than K — ADVICE r02), sampling keeps the K representatives of every
+    large cluster pairable; only members beyond the K smallest ids of
+    ALL their shingles go uncandidated (run exact dedup first — see
+    dedup.py module docstring)."""
+    from pyspark.sql import Window
+
+    sh = _doc_shingles(spark, sf)
+    w = Window.partitionBy("shingle").orderBy("doc_id")
+    capped = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NGRAM_MAX_SHINGLE_FREQ)
+        .drop("rn")
+    )
     sigs = (
-        sh.select(
+        capped.select(
             "doc_id", "shingle",
             F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
         )
@@ -901,14 +921,186 @@ sh AS (
              generate_series(1, greatest(len(t) - 2, 0)),
              i -> array_to_string(t[i:i+2], ' '))) AS shingle
     FROM toks)),
+capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+    FROM sh) WHERE rn <= 50),
 sigs AS (
   SELECT doc_id, band,
          min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+  FROM capped CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
   GROUP BY doc_id, band)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sigs a JOIN sigs b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_minhash_verified_dups(spark, sf):
+    """MinHash+LSH end-to-end THROUGH the dedup module (signatures ->
+    banded candidates -> exact-Jaccard verify), oracle-checked: the
+    portable md5 band hash is byte-identical in DuckDB, so the whole
+    LSH+verify path gets a rows+schema+hash row (promoted from
+    rows-only, VERDICT r02 item 7). Skew guard = K-smallest-ids
+    sampling per shingle (see q_minhash_band_candidates)."""
+    from posmspark import dedup
+
+    sh = _doc_shingles(spark, sf).persist()
+    sigs = dedup.minhash_signatures(
+        sh, n_bands=8, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
+        portable_hash=True)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    out = dedup.verify_jaccard(cand, sh, threshold=0.8)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 4).alias("jaccard"))
+
+
+SQL_MINHASH_VERIFIED_DUPS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(t) - 2, 0)),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingle
+    FROM toks)),
+capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+    FROM sh) WHERE rn <= 50),
+sigs AS (
+  SELECT doc_id, band,
+         min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+  FROM capped CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)
+  GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+"""
+
+
+def q_simhash_pigeonhole_pairs(spark, sf):
+    """SimHash near-dup pairs, oracle-checked (promoted per VERDICT r02
+    item 7): engine-portable 32-bit fingerprint — bit b of token t is
+    the high bit of md5(t)'s (b+1)-th hex nibble; fingerprint bit b =
+    sign of the per-doc token sum. Candidates via the pigeonhole block
+    join (4 x 8-bit blocks: two fps within hamming<=3 agree on >=1
+    block), verified with bit_count(xor). The production 64-bit FNV
+    pandas_udf kernel stays in posmspark/dedup.py (rows-only entry
+    simhash_near_pairs); this variant shares the pigeonhole/verify
+    shape and is hash-checkable vs DuckDB. Buckets are capped at the
+    50 smallest doc ids (exact-dup clusters share every block value —
+    same sampling guard as minhash)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+    score = (
+        bits.withColumn(
+            "s",
+            F.when(
+                F.expr("substring(h, b + 1, 1)")
+                .isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1,
+            ).otherwise(-1),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("score"))
+    )
+    fp = score.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN score > 0"
+                   " THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")
+        ).alias("fp")
+    )
+    blocks = (
+        fp.select("doc_id", "fp",
+                  F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"))
+        .withColumn("val", F.expr("shiftright(fp, blk * 8) & 255"))
+    )
+    w = Window.partitionBy("blk", "val").orderBy("doc_id")
+    blocks = (
+        blocks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50).drop("rn")
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            .cast("bigint"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+SQL_SIMHASH_PIGEONHOLE_PAIRS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, h, b,
+         CASE WHEN substring(h, b + 1, 1) IN
+                   ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END AS s
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)),
+score AS (
+  SELECT doc_id, b, sum(s) AS score FROM bits GROUP BY doc_id, b),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << b)
+                  ELSE 0 END) AS fp
+  FROM score GROUP BY doc_id),
+blocks_all AS (
+  SELECT doc_id, fp, blk, (fp >> (blk * 8)) & 255 AS val
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk)),
+blocks AS (
+  SELECT doc_id, fp, blk, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY blk, val
+                                 ORDER BY doc_id) AS rn
+    FROM blocks_all) WHERE rn <= 50),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.fp AS fp_a, b.fp AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
 """
 
 
@@ -1190,6 +1382,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_band_candidates": (q_minhash_band_candidates,
                                 SQL_MINHASH_BAND_CANDIDATES),
+    "minhash_verified_dups": (q_minhash_verified_dups,
+                              SQL_MINHASH_VERIFIED_DUPS),
+    "simhash_pigeonhole_pairs": (q_simhash_pigeonhole_pairs,
+                                 SQL_SIMHASH_PIGEONHOLE_PAIRS),
     "embedding_label_centroids": (q_embedding_label_centroids,
                                   SQL_EMBEDDING_LABEL_CENTROIDS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

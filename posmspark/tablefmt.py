@@ -20,17 +20,29 @@ JSON metadata, with the same guarantees:
 
 Layout:
   table/
-    data/s<seq>/<partition dirs>/<parquet files>   (immutable per commit)
+    data/s<seq>_<pid>_<n>/<partition dirs>/<parquet files>
+                                  (staged under a WRITER-UNIQUE dir, so a
+                                   losing concurrent committer can never
+                                   clobber the winner's already-committed
+                                   files — ADVICE r02; immutable once a
+                                   snapshot references it, orphaned if the
+                                   commit loses the parent check)
     snapshots/v<seq>.json
-    VERSION                                        (latest seq, atomic)
+    VERSION                       (latest seq, atomic)
 """
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: per-process staging counter; combined with the pid it makes every
+#: _write_data target unique even when two committers race to the same
+#: snapshot seq (the seq is only a human-readable hint in the dir name)
+_staging_ids = itertools.count()
 
 
 class CommitConflict(RuntimeError):
@@ -149,7 +161,9 @@ def _commit(table_dir: str, operation: str, files: list[dict],
 
 def _write_data(df: DataFrame, table_dir: str, seq_hint: int,
                 partition_by: list[str] | None) -> tuple[str, list[dict]]:
-    data_dir = os.path.join(table_dir, "data", f"s{seq_hint:05d}")
+    data_dir = os.path.join(
+        table_dir, "data",
+        f"s{seq_hint:05d}_{os.getpid()}_{next(_staging_ids)}")
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -123,6 +123,87 @@ def decode(topo: dict, object_name: str = "boundaries"
     return out
 
 
+def topology_tree_by_parent(spark, prepared, out_dir: str | None = None,
+                            quantization: int = 100_000):
+    """Distributed per-parent TopoJSON tile-tree build.
+
+    The reference walks the admin tree on one node and shells out to
+    the topojson CLI once per directory (prepare_topojson.py:76-160:
+    each parent dir gets a topojson of its direct children plus the
+    parent itself flagged is_boundary). Here every (parent, children)
+    group is ONE applyInPandas task — the parallelism axis is parents,
+    exactly like dissolve_by_parent — and the quantized shared-arc
+    artifact (transform + delta-encoded arcs) is written from the task
+    when out_dir is given ({out_dir}/{parent}/geometry.topojson.json,
+    staged via tmp+rename). Returns one row per group member:
+    (parent_osm_id, osm_id, is_boundary, n_arc_refs, n_shared_arcs,
+    n_quantized_points, artifact_bytes).
+    """
+    import json
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(prepared.polys_by_id)
+    lp = prepared.levels_pdf
+    rows = []
+    for lv in sorted(lp.adminlevel.unique()):
+        kids = lp[lp.adminlevel == lv + 1]
+        for parent in lp[lp.adminlevel == lv].osm_id:
+            members = kids[kids.is_in == parent].osm_id.tolist()
+            if not members:
+                continue  # leaf: no directory/topology of its own
+            rows.append((parent, parent, True))
+            rows.extend((parent, m, False) for m in members)
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["parent_osm_id", "osm_id",
+                                    "is_boundary"])
+    )
+
+    schema = T.StructType([
+        T.StructField("parent_osm_id", T.StringType()),
+        T.StructField("osm_id", T.StringType()),
+        T.StructField("is_boundary", T.BooleanType()),
+        T.StructField("n_arc_refs", T.LongType()),
+        T.StructField("n_shared_arcs", T.LongType()),
+        T.StructField("n_quantized_points", T.LongType()),
+        T.StructField("artifact_bytes", T.LongType()),
+    ])
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        polys_by_id = bc.value
+        parent = key[0]
+        mesh = {oid: polys_by_id[oid] for oid in pdf["osm_id"]
+                if oid in polys_by_id}
+        t = topology(mesh, quantization=quantization)
+        payload = json.dumps(t, separators=(",", ":")).encode()
+        if out_dir is not None:
+            d = os.path.join(out_dir, parent)
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, "geometry.topojson.json")
+            tmp = final + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, final)
+        stats = {s["osm_id"]: s for s in arc_stats(t)}
+        is_b = dict(zip(pdf["osm_id"], pdf["is_boundary"]))
+        return pd.DataFrame([
+            {
+                "parent_osm_id": parent,
+                "osm_id": oid,
+                "is_boundary": bool(is_b.get(oid, False)),
+                "n_arc_refs": s["n_arc_refs"],
+                "n_shared_arcs": s["n_shared_arcs"],
+                "n_quantized_points": s["n_quantized_points"],
+                "artifact_bytes": len(payload),
+            }
+            for oid, s in sorted(stats.items())
+        ])
+
+    return src.groupBy("parent_osm_id").applyInPandas(run, schema=schema)
+
+
 def arc_stats(topo: dict, object_name: str = "boundaries") -> list[dict]:
     """Per-object summary rows for the driver query: arcs referenced,
     shared arcs (referenced by >1 object), quantized points."""

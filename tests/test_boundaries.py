@@ -116,3 +116,17 @@ def test_deep_hierarchy_six_levels(spark):
     assert [out["ring2"][f"osm_id_l{k}"] for k in range(6)] == \
         ["L0", "L1", "L2", None, None, None]
     assert all(out["outside"][f"osm_id_l{k}"] is None for k in range(6))
+
+
+def test_prepare_boundaries_no_countries(spark):
+    """ADVICE r02: input with no admin_level=='2' rows used to crash
+    pd.concat('No objects to concatenate'); it must yield an empty
+    typed levels table instead."""
+    bpdf = synth.gen_boundaries_pdf()
+    no_l0 = bpdf[bpdf.admin_level != "2"].reset_index(drop=True)
+    prepared = prepare_boundaries(no_l0, synth.gen_admin_mapping_pdf())
+    assert len(prepared.levels_pdf) == 0
+    assert list(prepared.levels_pdf.columns) == [
+        "osm_id", "name", "name_en", "adminlevel", "iso3166", "is_in",
+        "insert_order"]
+    assert len(prepared.cover_pdf) == 0

@@ -190,3 +190,60 @@ def test_ngram_jaccard_hot_path_oracle_parity(spark, tmp_path):
     # 22-gram sets share 20+hot-boilerplate shingles; exact match vs
     # DuckDB is the real assertion, this pins the magnitude
     assert j > 0.8
+
+
+def test_minhash_sampling_keeps_large_cluster_pairs(spark):
+    """ADVICE r02: dropping hot shingles blind-spotted near-dup clusters
+    larger than the cap (every shingle of an 80-identical-doc cluster is
+    'hot'). Sampling the K smallest doc ids per shingle instead keeps
+    the cluster's K representatives pairable while still bounding the
+    band buckets at K."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in range(80)]  # one exact-dup cluster, M=80
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(df, n=3)
+    sigs = dedup.minhash_signatures(sh, n_bands=4, max_shingle_freq=10)
+    cand = dedup.lsh_candidate_pairs(sigs).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    # the 10 smallest ids keep every shingle -> all pair up
+    assert (0, 1) in pairs and (8, 9) in pairs
+    # bounded at K^2/2 = 45, not M^2/2 = 3160 (old drop-approach: 0)
+    assert len(pairs) == 45
+
+
+def test_minhash_band_query_skew_guard(spark, tmp_path):
+    """VERDICT r02 wrong #1: the oracle query's signature build was
+    uncapped, so a hot shingle shared by 1k docs emitted ~500k
+    candidate pairs. With the K-smallest sampling the candidate count
+    must stay near-linear."""
+    from posmspark.relops import q_minhash_band_candidates
+
+    boiler = "all rights reserved by example corp three grams"
+    rows = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d", "en", "synth", 60)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.coalesce(4).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    n = q_minhash_band_candidates(spark, sf).count()
+    # 50-doc sample of each hot shingle -> <= ~50^2/2 pairs per band
+    # bucket; far below the ~500k of the uncapped build
+    assert n <= 5000
+
+
+def test_simhash_bucket_cap_keeps_representatives(spark):
+    """Exact-dup clusters share every simhash block value; the bucket
+    cap bounds the pigeonhole join while keeping the K smallest ids
+    pairable."""
+    rows = [(i, ["tok%d" % j for j in range(20)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    fps = df.select(
+        "doc_id", dedup._simhash_udf("toks").alias("simhash"))
+    out = dedup.simhash_near_pairs(
+        fps, max_hamming=3, n_blocks=4, max_bucket_size=10).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs and (8, 9) in pairs
+    assert len(pairs) == 45  # 10 representatives, not 60*59/2

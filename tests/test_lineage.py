@@ -283,3 +283,16 @@ def test_incremental_rejects_unsafe_partition_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="escap"):
         lineage.run_stage_incremental(
             spark, "bad", df, str(tmp_path / "o"), build, "country")
+
+
+def test_incremental_null_partition_key_valueerror(spark, tmp_path):
+    """ADVICE r02: a NULL partition key must raise the intended
+    ValueError (unsupported hive default partition), not TypeError
+    from _SAFE_KEY.fullmatch(None)."""
+    from posmspark import lineage
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, k string")
+    with pytest.raises(ValueError, match="hive path escaping"):
+        lineage.run_stage_incremental(
+            spark, "s", df, str(tmp_path / "out"), lambda d: d, "k")

@@ -124,3 +124,41 @@ def test_lineage_df_row_counts(spark, tmp_path):
     lin = tablefmt.lineage_df(spark, t).collect()
     assert sum(r["rows"] for r in lin) == 80
     assert all(r["partition"].startswith('{"country"') for r in lin)
+
+
+def test_concurrent_committer_cannot_clobber_winner(spark, tmp_path):
+    """ADVICE r02 (medium): two same-parent committers used to compute
+    the same seq and stage data into the SAME data/s<seq> dir — the
+    loser's overwrite destroyed the winner's already-committed files
+    before CommitConflict was raised. Staging dirs are now writer-
+    unique, so the loser only leaves an orphan dir behind.
+
+    Deterministic interleave of the exact race: A reads parent + stages
+    its data (pre-lock work), B commits fully, A's commit then fails —
+    and B's committed files must all still exist and read back."""
+    t = str(tmp_path / "tbl")
+    tablefmt.commit_overwrite(_df(spark, 0, 40), t, partition_by=["country"])
+
+    # committer A: pre-lock work (parent read, seq alloc, data staged)
+    parent_a = tablefmt.current_snapshot_id(t)
+    seq_a = tablefmt._next_seq(t)
+    data_dir_a, files_a = tablefmt._write_data(
+        _df(spark, 100, 140), t, seq_a, ["country"])
+    rel = os.path.relpath(data_dir_a, t)
+    for f in files_a:
+        f["path"] = os.path.join(rel, f["path"])
+
+    # committer B lands first (same parent, same seq hint)
+    sb = tablefmt.commit_overwrite(_df(spark, 200, 260), t,
+                                   partition_by=["country"])
+    winner_files = [
+        os.path.join(t, f["path"])
+        for f in tablefmt.read_snapshot_meta(t, sb)["files"]
+    ]
+    assert all(os.path.exists(p) for p in winner_files)
+
+    # A's commit must conflict — and must NOT have touched B's files
+    with pytest.raises(tablefmt.CommitConflict):
+        tablefmt._commit(t, "overwrite", files_a, parent_a, seq_a)
+    assert all(os.path.exists(p) for p in winner_files)
+    assert tablefmt.read_table(spark, t).count() == 60

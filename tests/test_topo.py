@@ -98,3 +98,60 @@ def test_topology_holes_preserved():
     a_exp = sum(geom.ring_area(r) for rings in exp for r in rings)
     a_got = sum(geom.ring_area(r) for rings in got for r in rings)
     assert abs(a_exp - a_got) < 1e-3
+
+
+def test_topology_tree_by_parent_distributed(spark, tmp_path):
+    """Round-3 distributed tile-tree build (VERDICT r02 item 3): the
+    per-parent applyInPandas build must (a) fan out one artifact per
+    parent directory like prepare_topojson.py:76-160, (b) produce arc
+    stats identical to a direct driver-side topology() of the same
+    group, and (c) decode-round-trip from the written JSON artifact."""
+    import json
+    import os
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+        n_levels=4)
+    out = str(tmp_path / "topotree")
+    rows = topo.topology_tree_by_parent(
+        spark, prepared, out_dir=out).collect()
+    assert rows, "no topology groups built"
+
+    by_parent: dict[str, list] = {}
+    for r in rows:
+        by_parent.setdefault(r["parent_osm_id"], []).append(r)
+
+    lp = prepared.levels_pdf
+    for parent, members in by_parent.items():
+        # the group is the parent (is_boundary) + its direct children
+        ids = {m["osm_id"] for m in members}
+        kids = set(lp[lp.is_in == parent].osm_id)
+        assert ids == kids | {parent}
+        flags = {m["osm_id"]: m["is_boundary"] for m in members}
+        assert flags[parent] is True
+        assert all(flags[k] is False for k in kids)
+
+        # artifact on disk, decodable, stats match a direct build
+        path = os.path.join(out, parent, "geometry.topojson.json")
+        with open(path) as f:
+            t = json.load(f)
+        assert len(json.dumps(t, separators=(",", ":")).encode()) == \
+            members[0]["artifact_bytes"]
+        back = topo.decode(t)
+        assert set(back) == ids
+        direct = topo.topology(
+            {oid: prepared.polys_by_id[oid] for oid in ids})
+        want = {s["osm_id"]: s for s in topo.arc_stats(direct)}
+        for m in members:
+            s = want[m["osm_id"]]
+            assert (m["n_arc_refs"], m["n_shared_arcs"],
+                    m["n_quantized_points"]) == (
+                s["n_arc_refs"], s["n_shared_arcs"],
+                s["n_quantized_points"]), m["osm_id"]
+
+    # every non-leaf feature at every level got a directory
+    for lv in sorted(lp.adminlevel.unique()):
+        for parent in lp[lp.adminlevel == lv].osm_id:
+            has_kids = (lp.is_in == parent).any()
+            assert os.path.isdir(os.path.join(out, parent)) == bool(
+                has_kids), parent
