@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Data-scaling evidence for the dedup/near-dup operators (VERDICT r02
+item 6): run the shuffle-heavy document queries at 600k and 6M synthetic
+docs (10x) and report the wall-time growth factor per query.
+
+The plans claim near-linearity (every candidate generator is an
+equi-join on a derived key, hot keys capped by K-smallest sampling) —
+this script is the empirical check: a 10x input must cost <= ~10x plus
+a log factor, never ~100x (the quadratic signature).
+
+Each size runs in a FRESH JVM (subprocess) on local[$SPARK_GRAFT_CPUS];
+inputs are materialized once with a fixed 64-way split (write-time
+partition count caps later scan parallelism) and re-used across runs.
+--write-md appends the result table to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "dedup_exact",
+    "token_stats",
+    "minhash_band_candidates",
+    "minhash_verified_dups",
+    "ngram_jaccard_pairs",
+]
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from posmspark.session import get_spark
+from posmspark import synth
+from posmspark.relops import QUERIES
+
+n_docs = int(sys.argv[1])
+names = json.loads(sys.argv[2])
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("posmspark-dedup-scaling", cpus=cpus)
+
+sf_dir = os.path.join("/tmp", "bench_docs_%%d" %% n_docs)
+tbl = os.path.join(sf_dir, "documents.parquet")
+if not os.path.exists(os.path.join(tbl, "_SUCCESS")):
+    synth.documents_df(spark, n_docs, partitions=64).write.mode(
+        "overwrite").parquet(tbl)
+spark.read.parquet(tbl).count()  # warm page cache + codegen
+
+out = {}
+for name in names:
+    fn, _sql = QUERIES[name]
+    # warm the plan shape on a small slice? No: fresh-JVM steady state is
+    # close enough at these sizes; measure one full noop-write execution.
+    t0 = time.monotonic()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    out[name] = round(time.monotonic() - t0, 2)
+spark.catalog.clearCache()
+print("RESULT " + json.dumps({"n_docs": n_docs, "queries": out,
+                              "cpus": cpus}))
+"""
+
+
+def run_size(n_docs: int, names: list[str]) -> dict:
+    code = CHILD % {"repo": REPO}
+    p = subprocess.run(
+        [sys.executable, "-c", code, str(n_docs), json.dumps(names)],
+        capture_output=True, text=True, timeout=7200,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(p.stderr[-3000:])
+    line = [ln for ln in p.stdout.splitlines()
+            if ln.startswith("RESULT ")][-1]
+    return json.loads(line[len("RESULT "):])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="600000,6000000")
+    ap.add_argument("--write-md", action="store_true")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    results = [run_size(n, QUERIES) for n in sizes]
+    for r in results:
+        print(json.dumps(r))
+    if len(results) >= 2:
+        lo, hi = results[0], results[-1]
+        factor = hi["n_docs"] / lo["n_docs"]
+        lines = [
+            "",
+            f"## Dedup/near-dup data scaling ({lo['n_docs']:,} -> "
+            f"{hi['n_docs']:,} docs, {factor:.0f}x, "
+            f"local[{hi['cpus']}], fresh JVM per size)",
+            "",
+            "| query | t @ {:,} | t @ {:,} | growth (x) | linear would be |"
+            .format(lo["n_docs"], hi["n_docs"]),
+            "|---|---|---|---|---|",
+        ]
+        for q in QUERIES:
+            g = hi["queries"][q] / max(lo["queries"][q], 1e-9)
+            lines.append(
+                f"| {q} | {lo['queries'][q]:.2f}s | {hi['queries'][q]:.2f}s"
+                f" | {g:.1f}x | {factor:.0f}x |")
+        lines.append("")
+        md = "\n".join(lines)
+        print(md)
+        if args.write_md:
+            with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+                f.write(md + "\n")
+
+
+if __name__ == "__main__":
+    main()

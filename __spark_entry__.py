@@ -239,17 +239,22 @@ def _q_dissolve_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simplify_mesh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G13 distributed: per-parent watertight shared-edge simplify as
-    applyInPandas (parallelism axis = parents)."""
+    """G13 distributed AND cross-parent watertight (round 3): global
+    two-phase chain extraction — one groupBy(seg_key) for global
+    owner-sets, one Douglas-Peucker per distinct border chain, rings
+    reassembled per feature — so borders between children of DIFFERENT
+    parents simplify identically (equivalence to the driver-side
+    shared_edge_simplify over the union mesh pinned in
+    tests/test_dissolve.py)."""
     from posmspark import synth
-    from posmspark.dissolve import simplify_mesh_by_parent
+    from posmspark.dissolve import simplify_mesh_global
     from posmspark.joins import prepare_boundaries
 
     prepared = prepare_boundaries(
         synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
     )
     return (
-        simplify_mesh_by_parent(spark, prepared, child_level=2, tol=0.05)
+        simplify_mesh_global(spark, prepared, child_level=2, tol=0.05)
         .select("osm_id", "parent_osm_id", "n_points_before",
                 "n_points_after")
         .orderBy("osm_id")

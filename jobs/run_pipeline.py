@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--table-out",
                     help="also commit the tile stats into a snapshot-"
                          "versioned table at this path (tablefmt)")
+    ap.add_argument("--incremental-by", metavar="COL",
+                    help="partition-level incremental recompute keyed on"
+                         " this input column (e.g. lang): reruns rebuild"
+                         " only changed partitions; with a hive-"
+                         "partitioned --pages dir, change detection is"
+                         " file-metadata only (zero input rescan)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -45,14 +51,15 @@ def main() -> None:
 
     spark = get_spark("posmspark-pipeline")
     if args.pages:
-        pages = spark.read.parquet(args.pages)
+        pages = args.pages  # path: lets incremental mode use file-metadata
         fp = f"pages:{args.pages}"
     else:
         pages = synth.pages_df(spark, args.n_docs)
         fp = f"synth:{args.n_docs}"
 
     out = run_pipeline(spark, pages, workdir=args.workdir,
-                       input_fingerprint=fp, force=args.force)
+                       input_fingerprint=fp, force=args.force,
+                       incremental_by=args.incremental_by)
     row = out["tiles"].agg(
         F.sum("doc_count").alias("docs"), F.count(F.lit(1)).alias("tiles")
     ).collect()[0]

@@ -258,13 +258,23 @@ def residual_classify(parent: list[list[np.ndarray]],
       'childless' - no children at all (keep parent row as-is)
       'filler'    - residual area exists -> synthetic 'xxx'-id rows
 
-    Exact residual geometry comes from segment cancellation over
-    parent+children together: segments traversed an odd number of times
-    by (parent ∪ children) bound the residual area.
-    Returns (status, residual_polys).
+    Conformal meshes (children trace shared borders vertex-for-vertex,
+    no edge crossings — the admin-hierarchy common case) use exact
+    segment cancellation: segments traversed an odd number of times by
+    (parent ∪ children) bound the residual. NON-conformal inputs (a
+    child edge properly crossing the parent boundary or another child —
+    G11's general difference, round 3) are detected by a segment-
+    crossing scan and routed through the exact intersection overlay
+    (residual_overlay). Returns (status, residual_polys).
     """
     if not children:
         return "childless", []
+    all_segs = _collect_segments([parent] + list(children.values()))
+    if _has_proper_crossing(all_segs):
+        residual = residual_overlay(parent, children, segs=all_segs)
+        if not residual:
+            return "complete", []
+        return "filler", residual
     mesh = dict(children)
     mesh["__parent__"] = parent
     seg_count, _, _ = _mesh_segments(mesh)
@@ -275,6 +285,157 @@ def residual_classify(parent: list[list[np.ndarray]],
     if not residual:
         return "complete", []
     return "filler", residual
+
+
+# ---------------------------------------------------------------------------
+# general (non-conformal) difference overlay — G11's general path,
+# limited to the residual computation (VERDICT r02 item 5)
+
+
+def _collect_segments(polys_list: list) -> np.ndarray:
+    """All ring edges of a list of multipolygons as an (N, 4) array of
+    (ax, ay, bx, by); zero-length edges dropped."""
+    segs = []
+    for polys in polys_list:
+        for rings in polys:
+            for ring in rings:
+                arr = np.asarray(ring, dtype=np.float64)
+                a, b = arr[:-1], arr[1:]
+                keep = (a != b).any(axis=1)
+                if keep.any():
+                    segs.append(np.hstack([a[keep], b[keep]]))
+    if not segs:
+        return np.empty((0, 4))
+    return np.vstack(segs)
+
+
+def _crossing_params(segs: np.ndarray, i: int):
+    """Intersection parameters of segment i vs every segment: returns
+    (t, u, noncol, perp_col) where p_i + t*r_i = q_j + u*s_j for
+    non-collinear pairs and perp_col marks collinear-line pairs."""
+    p = segs[i, :2]
+    r = segs[i, 2:] - segs[i, :2]
+    li = float(np.hypot(r[0], r[1]))
+    q = segs[:, :2]
+    s = segs[:, 2:] - segs[:, :2]
+    lens = np.hypot(s[:, 0], s[:, 1])
+    qp = q - p
+    rxs = r[0] * s[:, 1] - r[1] * s[:, 0]
+    qpxr = qp[:, 0] * r[1] - qp[:, 1] * r[0]
+    qpxs = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+    noncol = np.abs(rxs) > 1e-12 * li * np.maximum(lens, 1e-300)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(noncol, qpxs / rxs, np.nan)
+        u = np.where(noncol, qpxr / rxs, np.nan)
+    # collinear LINES: j's start lies on i's carrier line
+    perp_col = (~noncol) & (np.abs(qpxr) <= 1e-9 * li)
+    return t, u, noncol, perp_col, li
+
+
+def _has_proper_crossing(segs: np.ndarray) -> bool:
+    """True iff any two segments cross at interior points of BOTH —
+    the one configuration the conformal mesh machinery cannot
+    represent (T-junctions land on vertices and are vertex-split)."""
+    eps = 1e-9
+    for i in range(len(segs)):
+        t, u, noncol, _col, _li = _crossing_params(segs, i)
+        hit = noncol & (t > eps) & (t < 1 - eps) & (u > eps) & (u < 1 - eps)
+        hit[i] = False
+        if hit.any():
+            return True
+    return False
+
+
+def _split_at_intersections(segs: np.ndarray) -> list:
+    """Split every segment at each intersection with any other segment
+    (proper crossings, T-junctions, collinear overlaps) — the planar
+    arrangement restricted to input edges. O(S^2) per call, which is
+    fine per parent group (tens of children, thousands of edges)."""
+    out = []
+    for i in range(len(segs)):
+        p = segs[i, :2]
+        r = segs[i, 2:] - segs[i, :2]
+        t, u, noncol, col, li = _crossing_params(segs, i)
+        ts = [0.0, 1.0]
+        ok = noncol & (t > 1e-12) & (t < 1 - 1e-12) \
+            & (u >= -1e-12) & (u <= 1 + 1e-12)
+        ok[i] = False
+        ts.extend(t[ok].tolist())
+        col = col.copy()
+        col[i] = False
+        if col.any():
+            rr = li * li
+            qp = segs[:, :2] - p
+            s = segs[:, 2:] - segs[:, :2]
+            t0 = (qp[col, 0] * r[0] + qp[col, 1] * r[1]) / rr
+            t1 = ((qp[col, 0] + s[col, 0]) * r[0]
+                  + (qp[col, 1] + s[col, 1]) * r[1]) / rr
+            for tv in np.concatenate([t0, t1]):
+                if 1e-12 < tv < 1 - 1e-12:
+                    ts.append(float(tv))
+        tarr = np.unique(np.round(np.asarray(ts, dtype=np.float64), 12))
+        pts = p[None, :] + tarr[:, None] * r[None, :]
+        for k in range(len(tarr) - 1):
+            out.append((pts[k], pts[k + 1]))
+    return out
+
+
+def residual_overlay(parent: list[list[np.ndarray]],
+                     children: dict[str, list[list[np.ndarray]]],
+                     segs: np.ndarray | None = None
+                     ) -> list[list[np.ndarray]]:
+    """General ST_Difference(parent, ST_Union(children)) — NO
+    conformality assumption (the reference's general
+    ST_Difference/ST_Union, proc_functions.sql:107,138,291):
+
+    1. split all edges at their pairwise intersections (exact planar
+       arrangement over input edges)
+    2. classify each sub-segment by probing just off its midpoint on
+       both sides: it bounds the residual iff exactly one side is
+       inside the parent and outside every child
+    3. chain boundary sub-segments into rings, group holes
+
+    The side probes sit at max(len*1e-5, 1e-9) off the midpoint, so
+    features narrower than that probe distance around a sub-segment
+    can misclassify — document-level limitation; the conformal path
+    (exact cancellation) stays the default in residual_classify.
+    """
+    child_list = list(children.values())
+    if segs is None:
+        segs = _collect_segments([parent] + child_list)
+    subs = _split_at_intersections(segs)
+
+    # unique sub-segments with midpoint side probes, fully vectorized:
+    # one PIP pass per polygon over ALL probe points (many-point regime)
+    uniq: dict[tuple, tuple] = {}
+    for a, b in subs:
+        ka, kb = _key(a), _key(b)
+        if ka == kb:
+            continue
+        sk = (ka, kb) if ka < kb else (kb, ka)
+        if sk not in uniq:
+            uniq[sk] = (a, b)
+    if not uniq:
+        return []
+    keys = list(uniq)
+    ab = np.array([[*uniq[k][0], *uniq[k][1]] for k in keys])
+    mid = (ab[:, :2] + ab[:, 2:]) / 2.0
+    d = ab[:, 2:] - ab[:, :2]
+    ln = np.hypot(d[:, 0], d[:, 1])
+    nx, ny = -d[:, 1] / ln, d[:, 0] / ln
+    eps = np.maximum(ln * 1e-5, 1e-9)
+    px = np.concatenate([mid[:, 0] + eps * nx, mid[:, 0] - eps * nx])
+    py = np.concatenate([mid[:, 1] + eps * ny, mid[:, 1] - eps * ny])
+    in_parent = geom.points_in_multipolygon(px, py, parent)
+    in_child = np.zeros(len(px), dtype=bool)
+    for ch in child_list:
+        in_child |= geom.points_in_multipolygon(px, py, ch)
+    in_res = in_parent & ~in_child
+    n = len(keys)
+    boundary = [k for k, keep in zip(keys, in_res[:n] != in_res[n:]) if keep]
+    if not boundary:
+        return []
+    return dissolve_union_from_boundary(boundary)
 
 
 def dissolve_union_from_boundary(boundary_segs: list[tuple]
@@ -317,20 +478,11 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
     chain_cache: dict[tuple, np.ndarray] = {}
 
     def simplify_chain(path: np.ndarray) -> np.ndarray:
-        a, b = _key(path[0]), _key(path[-1])
-        if a == b and len(path) > 2:
-            # closed chain (enclave border, rotation-canonicalized in
-            # ring_chain_pieces): canonicalize DIRECTION by the second
-            # vs second-to-last vertex so both owners (one walks it
-            # CW, the other CCW) hit the same cache entry
-            flip = _key(path[1]) > _key(path[-2])
-        else:
-            flip = not (a <= b)
         # cache key = EVERY snapped point of the canonical-direction
         # chain (injective). Endpoints+length+midpoint alone could let
         # two distinct borders collide and silently swap polylines
         # (ADVICE r01).
-        p = path[::-1] if flip else path
+        p, flip = _canonical_chain(path)
         ck = tuple(_key(q) for q in p)
         if ck not in chain_cache:
             chain_cache[ck] = geom.douglas_peucker(p, tol)
@@ -366,6 +518,14 @@ def ring_chain_pieces(ring: np.ndarray, seg_owners: dict
         a, b = _key(ring[k]), _key(ring[k + 1])
         sk = (a, b) if a < b else (b, a)
         osets.append(frozenset(seg_owners[sk]))
+    return _cut_chain_pieces(ring, osets)
+
+
+def _cut_chain_pieces(ring: np.ndarray, osets: list) -> list:
+    """Cut a closed ring into maximal runs of equal per-edge owner-set
+    markers (osets[k] marks edge ring[k]->ring[k+1]; any equality-
+    comparable marker works — frozensets driver-side, hashed oset ids in
+    the distributed path, which only ever compares them for equality)."""
     n = len(osets)
     start = 0
     changed = False
@@ -394,6 +554,20 @@ def ring_chain_pieces(ring: np.ndarray, seg_owners: dict
         cur.append(ring[k + 1] if k + 1 < len(ring) else ring[0])
     pieces.append((cur_set, np.array(cur)))
     return pieces
+
+
+def _canonical_chain(path: np.ndarray) -> tuple[np.ndarray, bool]:
+    """Direction-canonicalize a chain so BOTH owners of a border (one
+    walks it forward, the other reversed) produce the identical array:
+    open chains ordered by endpoint snap-keys, closed chains (enclave
+    borders, rotation-canonicalized in _cut_chain_pieces) by the second
+    vs second-to-last vertex. Returns (canonical_path, flipped)."""
+    a, b = _key(path[0]), _key(path[-1])
+    if a == b and len(path) > 2:
+        flip = _key(path[1]) > _key(path[-2])
+    else:
+        flip = not (a <= b)
+    return (path[::-1] if flip else path), flip
 
 
 # ---------------------------------------------------------------------------
@@ -498,6 +672,220 @@ def simplify_mesh_by_parent(spark, prepared, child_level: int,
         return pd.DataFrame(rows)
 
     return src.groupBy("is_in").applyInPandas(run, schema=schema)
+
+
+#: per-executor-process cache of (vertex keys, split rings) for one
+#: broadcast mesh — stage 1 and stage 3/5 tasks recompute nothing. The
+#: cached dict keeps a reference to the mesh object itself so the
+#: id()-key can never be reused by a garbage-collected successor.
+_SPLIT_CACHE: dict[int, dict] = {}
+
+
+def _split_feature(bc, oid: str):
+    """Mesh-vertex-split rings of one feature, from the broadcast mesh,
+    computed lazily once per executor process."""
+    mesh = bc.value
+    state = _SPLIT_CACHE.get(id(mesh))
+    if state is None:
+        vkeys: set = set()
+        for polys in mesh.values():
+            for rings in polys:
+                for ring in rings:
+                    for p in ring[:-1]:
+                        vkeys.add(_key(p))
+        state = {"mesh": mesh, "vkeys": vkeys, "split": {}}
+        _SPLIT_CACHE[id(mesh)] = state
+    if oid not in state["split"]:
+        state["split"][oid] = [
+            [
+                _split_ring_at_vertices(
+                    np.asarray(r, dtype=np.float64), state["vkeys"])
+                for r in rings
+            ]
+            for rings in mesh[oid]
+        ]
+    return state["split"][oid]
+
+
+def simplify_mesh_global(spark, prepared, child_level: int,
+                         tol: float = 0.05):
+    """G13 distributed + CROSS-PARENT watertight (VERDICT r02 item 4).
+
+    Two-phase chain extraction over the WHOLE child mesh, so borders
+    between children of DIFFERENT parents are simplified once globally
+    (the per-parent grouping in simplify_mesh_by_parent sees only its
+    own group's junction decomposition and can diverge on cross-parent
+    borders — the same limitation as the reference's per-country
+    topology build, proc_functions.sql:27-82, closed here):
+
+      1. per-feature tasks emit conformal edge rows (seg_key + ring
+         position) from the broadcast dimension mesh
+      2. ONE groupBy(seg_key) computes global owner-set ids — the
+         equi-shuffle that makes cross-parent borders consistent
+      3. per-feature tasks cut each ring into constant-owner-set
+         chains (_cut_chain_pieces), emitting direction-canonical
+         pieces keyed by an injective md5 of the chain's snapped points
+      4. groupBy(chain_key) simplifies every border chain ONCE
+         (Douglas-Peucker, endpoints pinned, Arrow-batched)
+      5. per-feature tasks reassemble rings by substituting simplified
+         chains back in piece order
+
+    Equivalent by construction — and pinned by test — to the driver-
+    side shared_edge_simplify over the union mesh. Parallelism axes:
+    features (stages 1/3/5) and chains (stage 4); every shuffle is an
+    equi-key exchange on seg_key / chain_key / osm_id.
+
+    Output: (osm_id, parent_osm_id, n_points_before, n_points_after,
+    geom_wkb), one row per simplified child.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    lp = prepared.levels_pdf
+    kids = lp[lp.adminlevel == child_level][["osm_id", "is_in"]]
+    mesh_ids = sorted(oid for oid in kids.osm_id
+                      if oid in prepared.polys_by_id)
+    mesh = {oid: prepared.polys_by_id[oid] for oid in mesh_ids}
+    bc = spark.sparkContext.broadcast(mesh)
+    src = spark.createDataFrame(pd.DataFrame({"osm_id": mesh_ids}))
+
+    edge_schema = T.StructType([
+        T.StructField("osm_id", T.StringType()),
+        T.StructField("poly_idx", T.IntegerType()),
+        T.StructField("ring_idx", T.IntegerType()),
+        T.StructField("edge_idx", T.IntegerType()),
+        T.StructField("seg_key", T.BinaryType()),
+    ])
+
+    def emit_edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        oid = key[0]
+        rows = []
+        for pi, rings in enumerate(_split_feature(bc, oid)):
+            for ri, ring in enumerate(rings):
+                for ei in range(len(ring) - 1):
+                    a, b = _key(ring[ei]), _key(ring[ei + 1])
+                    sk = (a, b) if a < b else (b, a)
+                    rows.append((
+                        oid, pi, ri, ei,
+                        np.array(sk, dtype="<i8").tobytes(),
+                    ))
+        return pd.DataFrame(
+            rows, columns=["osm_id", "poly_idx", "ring_idx", "edge_idx",
+                           "seg_key"])
+
+    edges = src.groupBy("osm_id").applyInPandas(emit_edges, edge_schema)
+
+    # stage 2: global owner-set id per segment (order-canonical md5 of
+    # the sorted owner list — only ever compared for equality)
+    owners = (
+        edges.select("seg_key", "osm_id").distinct()
+        .groupBy("seg_key")
+        .agg(F.md5(F.concat_ws(
+            "|", F.sort_array(F.collect_set("osm_id")))).alias("oset_id"))
+    )
+
+    piece_schema = T.StructType([
+        T.StructField("chain_key", T.StringType()),
+        T.StructField("flip", T.BooleanType()),
+        T.StructField("osm_id", T.StringType()),
+        T.StructField("poly_idx", T.IntegerType()),
+        T.StructField("ring_idx", T.IntegerType()),
+        T.StructField("piece_idx", T.IntegerType()),
+        T.StructField("pts", T.BinaryType()),
+    ])
+
+    def cut_chains(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        oid = key[0]
+        split = _split_feature(bc, oid)
+        rows = []
+        for (pi, ri), grp in pdf.groupby(["poly_idx", "ring_idx"],
+                                         sort=True):
+            ring = split[pi][ri]
+            grp = grp.sort_values("edge_idx")
+            osets = grp["oset_id"].tolist()
+            for piece_idx, (_oset, path) in enumerate(
+                    _cut_chain_pieces(ring, osets)):
+                canon, flip = _canonical_chain(path)
+                keys = np.array([_key(q) for q in canon], dtype="<i8")
+                ck = hashlib.md5(keys.tobytes()).hexdigest()
+                rows.append((
+                    ck, bool(flip), oid, int(pi), int(ri), piece_idx,
+                    np.ascontiguousarray(canon, dtype="<f8").tobytes(),
+                ))
+        return pd.DataFrame(
+            rows, columns=["chain_key", "flip", "osm_id", "poly_idx",
+                           "ring_idx", "piece_idx", "pts"])
+
+    pieces = (
+        edges.join(owners, "seg_key")
+        .groupBy("osm_id").applyInPandas(cut_chains, piece_schema)
+        .persist()  # feeds the chain dedupe AND the reassembly join
+    )
+
+    @pandas_udf(T.BinaryType())
+    def dp_chain(pts: pd.Series) -> pd.Series:
+        out = []
+        for b in pts:
+            arr = np.frombuffer(b, dtype="<f8").reshape(-1, 2)
+            out.append(np.ascontiguousarray(
+                geom.douglas_peucker(arr, tol), dtype="<f8").tobytes())
+        return pd.Series(out)
+
+    # stage 4: one DP per distinct chain (all duplicates carry the
+    # identical canonical bytes, so min() is a pure dedupe)
+    chains = (
+        pieces.groupBy("chain_key").agg(F.min("pts").alias("pts"))
+        .select("chain_key", dp_chain("pts").alias("spts"))
+    )
+
+    out_schema = T.StructType([
+        T.StructField("osm_id", T.StringType()),
+        T.StructField("n_points_before", T.LongType()),
+        T.StructField("n_points_after", T.LongType()),
+        T.StructField("geom_wkb", T.BinaryType()),
+    ])
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        oid = key[0]
+        new_polys: dict[int, dict[int, np.ndarray]] = {}
+        for (pi, ri), grp in pdf.groupby(["poly_idx", "ring_idx"],
+                                         sort=True):
+            grp = grp.sort_values("piece_idx")
+            rebuilt: list = []
+            for r in grp.itertuples(index=False):
+                arr = np.frombuffer(r.spts, dtype="<f8").reshape(-1, 2)
+                if r.flip:
+                    arr = arr[::-1]
+                rebuilt.extend(arr[:-1])
+            rebuilt.append(rebuilt[0])
+            arr = np.array(rebuilt)
+            if len(arr) >= 4:
+                new_polys.setdefault(int(pi), {})[int(ri)] = arr
+        polys = [
+            [rings[ri] for ri in sorted(rings)]
+            for _pi, rings in sorted(new_polys.items())
+        ]
+        before = sum(len(r) for rings in bc.value[oid] for r in rings)
+        after = sum(len(r) for rings in polys for r in rings)
+        return pd.DataFrame([{
+            "osm_id": oid,
+            "n_points_before": before,
+            "n_points_after": after,
+            "geom_wkb": geom.multipolygon_to_wkb(polys),
+        }])
+
+    assembled = (
+        pieces.join(chains, "chain_key")
+        .groupBy("osm_id").applyInPandas(assemble, out_schema)
+    )
+    parents = spark.createDataFrame(
+        kids.rename(columns={"is_in": "parent_osm_id"}))
+    return assembled.join(F.broadcast(parents), "osm_id").select(
+        "osm_id", "parent_osm_id", "n_points_before", "n_points_after",
+        "geom_wkb")
 
 
 def residual_by_parent(spark, prepared, parent_level: int, child_level: int):

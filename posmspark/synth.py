@@ -214,3 +214,60 @@ def pages_df(spark: SparkSession, n: int, partitions: int | None = None) -> Data
         body.alias("text"),
         lang.alias("lang"),
     )
+
+
+def documents_df(spark: SparkSession, n: int,
+                 partitions: int | None = None) -> DataFrame:
+    """Synthetic documents table (same schema as the driver's
+    documents.parquet) at ARBITRARY scale, for benching the dedup/
+    near-dup operators beyond the sf fixtures (BENCH/dedup_scaling.py).
+
+    Pure JVM column expressions over spark.range(n), fully
+    deterministic. Crawl-shaped duplicate structure: ~10% of docs sit
+    in EXACT-duplicate clusters (identical text, cluster size <= 25),
+    ~4% are near-dups of a cluster text (one appended token), ~30%
+    share a boilerplate prefix (the hot-shingle skew the frequency cap
+    exists for); everything else is unique hash-seeded token text over
+    a 5000-word vocabulary.
+    """
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    df = spark.range(0, n, 1, partitions)
+    i = F.col("id")
+    cls = F.abs(F.xxhash64(i, F.lit(1))) % 100
+    # dup/near-dup classes share a representative id -> identical body
+    rep = F.when(cls < 14, i - i % 25).otherwise(i)
+    df = df.select(
+        i.alias("doc_id"), cls.alias("_cls"), rep.alias("_rep"),
+        (F.abs(F.xxhash64(rep, F.lit(2))) % 40 + 25).alias("_nt"),
+    )
+    # token k of a doc = 'w<hash(rep, k) % vocab>'; _rep/_nt are
+    # precomputed columns (only the per-token hash runs per element)
+    body = F.expr(
+        "concat_ws(' ', transform(sequence(1, CAST(_nt AS INT)),"
+        " k -> concat('w', CAST(abs(xxhash64(_rep, CAST(k AS BIGINT), 3))"
+        " % 5000 AS STRING))))"
+    )
+    boiler = F.when(
+        F.abs(F.xxhash64(F.col("_rep"), F.lit(4))) % 100 < 30,
+        F.lit("all rights reserved by example corp "),
+    ).otherwise(F.lit(""))
+    near_tail = F.when(
+        (F.col("_cls") >= 10) & (F.col("_cls") < 14),
+        F.concat(F.lit(" nd"), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    text = F.concat(boiler, body, near_tail)
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in ["en", "fr", "es", "de", "ne"]]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    source = F.concat(
+        F.lit("s"),
+        (F.abs(F.xxhash64(F.col("doc_id"), F.lit(6))) % 20).cast("string"))
+    return df.select(
+        "doc_id",
+        text.alias("text"),
+        lang.alias("lang"),
+        source.alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
