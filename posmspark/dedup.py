@@ -77,23 +77,51 @@ def minhash_signatures(sh: DataFrame, n_bands: int = 8,
     portable_hash=True uses min(md5(band || '|' || shingle)) — byte-
     identical in DuckDB, so the whole LSH+verify path is oracle-
     checkable; default is xxhash64 (JVM-native, faster).
+
+    Shuffle shape (round-3 rework, both choices result-identical to
+    the naive forms): (a) the cap windows ONLY hot-shingle rows — the
+    global row_number sorted the entire shingle table, the hot subset
+    is a tiny fraction of it; (b) all n_bands minima are computed in
+    ONE map-side-combinable groupBy(doc) pass (n_bands hash exprs per
+    row) and then unpivoted, instead of exploding the shingle table
+    x n_bands through the shuffle.
     """
     if max_shingle_freq is not None:
         from pyspark.sql import Window
 
+        # NOTE: sh feeds three branches here — callers persist it
+        # (every in-repo caller does; at scale the shingle table is a
+        # materialized stage anyway). The hot list is bounded by the
+        # corpus's boilerplate vocabulary -> broadcastable.
+        hot = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq).select("shingle")
+        )
         w = Window.partitionBy("shingle").orderBy(id_col)
-        sh = (
-            sh.withColumn("_rn", F.row_number().over(w))
+        hot_kept = (
+            sh.join(F.broadcast(hot), "shingle")
+            .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_shingle_freq).drop("_rn")
         )
-    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-    salted = sh.select(id_col, "shingle", bands)
+        sh = (
+            sh.join(F.broadcast(hot), "shingle", "left_anti")
+            .unionByName(hot_kept)
+        )
     if portable_hash:
-        sig = F.min(F.md5(F.concat(F.col("band").cast("string"),
-                                   F.lit("|"), F.col("shingle"))))
+        def band_hash(b):
+            return F.md5(F.concat(F.lit(str(b)), F.lit("|"),
+                                  F.col("shingle")))
     else:
-        sig = F.min(F.xxhash64(F.col("band"), F.col("shingle")))
-    return salted.groupBy(id_col, "band").agg(sig.alias("sig"))
+        def band_hash(b):
+            return F.xxhash64(F.lit(b), F.col("shingle"))
+    per_doc = sh.groupBy(id_col).agg(
+        *[F.min(band_hash(b)).alias(f"_s{b}") for b in range(n_bands)])
+    kb = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"_s{b}").alias("sig"))
+        for b in range(n_bands)
+    ])).alias("kb")
+    return per_doc.select(id_col, kb).select(
+        id_col, F.col("kb.band").alias("band"), F.col("kb.sig").alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -101,8 +129,13 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Self-equi-join on (band, sig) — bucket sizes are tiny after the
     frequency cap, so the join output is near-linear in input size.
+    The merge hint pins a sort-merge join: both sides are FACT-sized
+    (one row per doc per band) and Catalyst's size estimate for
+    explode+aggregate output lands under the broadcast threshold, which
+    at 600k docs already tried to build a multi-GB broadcast hash
+    relation on the driver (measured OOM; fatal at real scale).
     """
-    a = sigs.alias("a")
+    a = sigs.alias("a").hint("merge")
     b = sigs.alias("b")
     return (
         a.join(
@@ -119,17 +152,24 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
                    id_col: str = "doc_id") -> DataFrame:
-    """Exact Jaccard on candidate pairs only (the verify pass)."""
+    """Exact Jaccard on candidate pairs only (the verify pass).
+
+    Every join side here is fact-sized (the full shingle table, the
+    per-doc counts) — merge hints keep them out of driver-side
+    broadcast builds regardless of Catalyst's size estimates.
+    """
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle").hint("merge")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle").hint("merge")
     inter = (
         pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    ca = counts.select(F.col(id_col).alias("id_a"),
+                       F.col("n_sh").alias("n_a")).hint("merge")
+    cb = counts.select(F.col(id_col).alias("id_b"),
+                       F.col("n_sh").alias("n_b")).hint("merge")
     return (
         inter.join(ca, "id_a").join(cb, "id_b")
         .withColumn(
@@ -238,7 +278,7 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3,
             keyed.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_bucket_size).drop("_rn")
         )
-    a = keyed.alias("a")
+    a = keyed.alias("a").hint("merge")  # fact-fact: never broadcast
     b = keyed.alias("b")
     cand = (
         a.join(

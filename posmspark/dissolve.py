@@ -15,9 +15,13 @@ Approach (from-scratch, numpy/pure python inside applyInPandas groups):
 admin hierarchies are *meshes* — children tile their parent and share
 border polylines vertex-for-vertex. On a mesh, union is exact segment
 cancellation: a segment appearing an odd number of times lies on the
-dissolved boundary; even-count segments are interior shared borders.
-This avoids general polygon clipping entirely (and is exactly what a
-topology-based ST_Union does under the hood).
+dissolved boundary; even-count segments are interior shared borders
+(exactly what a topology-based ST_Union does under the hood). Inputs
+that are NOT a mesh — edges properly crossing (overlapping children,
+a child overhanging its parent) — are detected by a crossing scan and
+routed through a general intersection overlay (union_overlay /
+residual_overlay: exact planar arrangement of the input edges +
+two-sided midpoint probes), closing G11's general union/difference.
 
 Each parent group is small (tens of children, thousands of vertices);
 the parallelism axis is the number of parents, which is what
@@ -180,12 +184,19 @@ def _chain_segments(segs: list[tuple]) -> list[np.ndarray]:
 
 def dissolve_union(polys_by_id: dict[str, list[list[np.ndarray]]]
                    ) -> list[list[np.ndarray]]:
-    """Union of a mesh of multipolygons by odd-segment cancellation.
+    """Union of a mesh of multipolygons.
 
-    Exact when inputs are conformal (shared borders traced by both
-    owners — the admin-boundary case); segments traversed an even
-    number of times cancel, odd-count segments form the union boundary.
+    Conformal inputs (shared borders traced by both owners, no edge
+    crossings — the admin-boundary case) use exact odd-segment
+    cancellation: segments traversed an even number of times cancel,
+    odd-count segments form the union boundary. Inputs with properly
+    CROSSING edges (overlapping polygons — G11's general ST_Union,
+    round 3) are detected and routed through the intersection overlay.
     """
+    polys_list = list(polys_by_id.values())
+    segs = _collect_segments(polys_list)
+    if _has_proper_crossing(segs):
+        return union_overlay(polys_list, segs=segs)
     seg_count, _, _ = _mesh_segments(polys_by_id)
     boundary = [sk for sk, c in seg_count.items() if c % 2 == 1]
     return _classify_rings(_chain_segments(boundary))
@@ -403,10 +414,43 @@ def residual_overlay(parent: list[list[np.ndarray]],
     child_list = list(children.values())
     if segs is None:
         segs = _collect_segments([parent] + child_list)
-    subs = _split_at_intersections(segs)
 
-    # unique sub-segments with midpoint side probes, fully vectorized:
-    # one PIP pass per polygon over ALL probe points (many-point regime)
+    def in_residual(px, py):
+        inside = geom.points_in_multipolygon(px, py, parent)
+        for ch in child_list:
+            inside &= ~geom.points_in_multipolygon(px, py, ch)
+        return inside
+
+    return _overlay_by_predicate(segs, in_residual)
+
+
+def union_overlay(polys_list: list[list[list[np.ndarray]]],
+                  segs: np.ndarray | None = None
+                  ) -> list[list[np.ndarray]]:
+    """General ST_Union of possibly-OVERLAPPING multipolygons (G11's
+    general union, proc_functions.sql:291): the same arrangement +
+    side-probe machinery as residual_overlay with the predicate
+    'inside any input polygon'. Conformal meshes should keep using the
+    exact cancellation path (dissolve_union auto-dispatches)."""
+    if segs is None:
+        segs = _collect_segments(polys_list)
+
+    def in_any(px, py):
+        inside = np.zeros(len(px), dtype=bool)
+        for polys in polys_list:
+            inside |= geom.points_in_multipolygon(px, py, polys)
+        return inside
+
+    return _overlay_by_predicate(segs, in_any)
+
+
+def _overlay_by_predicate(segs: np.ndarray, region_pred
+                          ) -> list[list[np.ndarray]]:
+    """Shared overlay core: split all edges at pairwise intersections,
+    keep the sub-segments whose two sides disagree under region_pred
+    (vectorized: ONE predicate evaluation over every probe point), and
+    chain them into hole-grouped rings."""
+    subs = _split_at_intersections(segs)
     uniq: dict[tuple, tuple] = {}
     for a, b in subs:
         ka, kb = _key(a), _key(b)
@@ -426,13 +470,9 @@ def residual_overlay(parent: list[list[np.ndarray]],
     eps = np.maximum(ln * 1e-5, 1e-9)
     px = np.concatenate([mid[:, 0] + eps * nx, mid[:, 0] - eps * nx])
     py = np.concatenate([mid[:, 1] + eps * ny, mid[:, 1] - eps * ny])
-    in_parent = geom.points_in_multipolygon(px, py, parent)
-    in_child = np.zeros(len(px), dtype=bool)
-    for ch in child_list:
-        in_child |= geom.points_in_multipolygon(px, py, ch)
-    in_res = in_parent & ~in_child
+    inside = region_pred(px, py)
     n = len(keys)
-    boundary = [k for k, keep in zip(keys, in_res[:n] != in_res[n:]) if keep]
+    boundary = [k for k, keep in zip(keys, inside[:n] != inside[n:]) if keep]
     if not boundary:
         return []
     return dissolve_union_from_boundary(boundary)

@@ -781,7 +781,10 @@ def q_ngram_jaccard_pairs(spark, sf):
         .filter(F.col("df") > NGRAM_MAX_SHINGLE_FREQ).select("shingle")
     )
     cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a = cold.alias("a")
+    # fact-fact self-join: merge hint keeps Catalyst's under-estimated
+    # explode output from being broadcast-built on the driver (measured
+    # OOM at 600k docs; see dedup.lsh_candidate_pairs)
+    a = cold.alias("a").hint("merge")
     b = cold.alias("b")
     # cold-shared counts come straight off the self-join (one groupBy;
     # no distinct + re-join against the full shingle table)
@@ -791,13 +794,19 @@ def q_ngram_jaccard_pairs(spark, sf):
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_cold"))
+        # feeds BOTH the hot-recovery join and the final left join —
+        # unpersisted, the whole cold self-join sub-plan executes twice
+        # (plan-verified at 600k docs); pair rows are small
+        .persist()
     )
     # hot-shared counts only for pairs that already share a cold
     # shingle: join the (tiny) hot shingle rows to both sides — exact
     # totals without ever self-joining on a hot key
     hot_sh = sh.join(F.broadcast(hot), "shingle")
-    ha = hot_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    hb = hot_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ha = hot_sh.select(F.col("doc_id").alias("doc_a"),
+                       "shingle").hint("merge")
+    hb = hot_sh.select(F.col("doc_id").alias("doc_b"),
+                       "shingle").hint("merge")
     inter_hot = (
         inter_cold.select("doc_a", "doc_b")
         .join(ha, "doc_a").join(hb, ["doc_b", "shingle"])
@@ -813,8 +822,10 @@ def q_ngram_jaccard_pairs(spark, sf):
         )
     )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n_sh").alias("n_a")).hint("merge")
+    cb = counts.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n_sh").alias("n_b")).hint("merge")
     return (
         inter.join(ca, "doc_a").join(cb, "doc_b")
         .withColumn(
@@ -881,34 +892,14 @@ def q_minhash_band_candidates(spark, sf):
     large cluster pairable; only members beyond the K smallest ids of
     ALL their shingles go uncandidated (run exact dedup first — see
     dedup.py module docstring)."""
-    from pyspark.sql import Window
+    from posmspark import dedup
 
-    sh = _doc_shingles(spark, sf)
-    w = Window.partitionBy("shingle").orderBy("doc_id")
-    capped = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= NGRAM_MAX_SHINGLE_FREQ)
-        .drop("rn")
-    )
-    sigs = (
-        capped.select(
-            "doc_id", "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"),
-                                  F.lit("|"), F.col("shingle")))).alias("sig"))
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sh = _doc_shingles(spark, sf).persist()
+    sigs = dedup.minhash_signatures(
+        sh, n_bands=4, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
+        portable_hash=True)
+    return dedup.lsh_candidate_pairs(sigs).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 
 
 SQL_MINHASH_BAND_CANDIDATES = """
@@ -1045,7 +1036,7 @@ def q_simhash_pigeonhole_pairs(spark, sf):
         blocks.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 50).drop("rn")
     )
-    a = blocks.alias("a")
+    a = blocks.alias("a").hint("merge")  # fact-fact: never broadcast
     b = blocks.alias("b")
     cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))

@@ -477,3 +477,46 @@ def test_residual_crossing_detection_negative():
         polys = [prepared.polys_by_id[parent]] + [
             prepared.polys_by_id[k] for k in kids]
         assert not _has_proper_crossing(_collect_segments(polys)), parent
+
+
+def test_union_overlay_overlapping_rects():
+    """G11 general union: two properly-overlapping rectangles (the case
+    odd-segment cancellation cannot represent) must dispatch through
+    the overlay and union to one polygon with the inclusion-exclusion
+    area."""
+    from posmspark.dissolve import (_collect_segments, _has_proper_crossing,
+                                    dissolve_union)
+
+    polys = {"A": _mp_rect(0, 0, 4, 4), "B": _mp_rect(2, 2, 6, 6)}
+    assert _has_proper_crossing(_collect_segments(list(polys.values())))
+    u = dissolve_union(polys)
+    assert len(u) == 1
+    area = sum(geom.ring_area(r) for r in u[0])
+    assert abs(area - (16 + 16 - 4)) < 1e-9
+
+
+def test_union_overlay_disjoint_plus_overlap():
+    """Overlapping pair + a disjoint third polygon -> two output
+    polygons; total area exact."""
+    from posmspark.dissolve import dissolve_union
+
+    polys = {
+        "A": _mp_rect(0, 0, 4, 4),
+        "B": _mp_rect(3, 0, 5, 2),   # overlaps A by 1x2
+        "C": _mp_rect(10, 10, 12, 12),
+    }
+    u = dissolve_union(polys)
+    assert len(u) == 2
+    area = sum(geom.ring_area(r) for polys_ in u for r in polys_)
+    assert abs(area - (16 + 4 - 2 + 4)) < 1e-9
+
+
+def test_union_overlay_contained_polygon_absorbed():
+    """A polygon strictly inside another contributes nothing to the
+    union boundary (its edges are interior on both sides)."""
+    from posmspark.dissolve import union_overlay
+
+    u = union_overlay([_mp_rect(0, 0, 4, 4), _mp_rect(1, 1, 2, 2)])
+    assert len(u) == 1
+    assert len(u[0]) == 1  # no hole: the inner square is union interior
+    assert abs(geom.ring_area(u[0][0]) - 16.0) < 1e-9
