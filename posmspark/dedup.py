@@ -58,6 +58,22 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     )
 
 
+def cap_k_smallest(df: DataFrame, key_cols: list[str], id_col: str,
+                   k: int) -> DataFrame:
+    """Keep only the k smallest id_col values per key — THE hot-key
+    skew cap, shared by every consumer (simhash bucket cap, the
+    pigeonhole oracle query; minhash_signatures applies the same rule
+    through its hot-only two-phase form) so the Spark semantics and the
+    DuckDB oracle replicas can never drift apart (review r03)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k).drop("_rn")
+    )
+
+
 def minhash_signatures(sh: DataFrame, n_bands: int = 8,
                        id_col: str = "doc_id",
                        max_shingle_freq: int | None = None,
@@ -87,8 +103,6 @@ def minhash_signatures(sh: DataFrame, n_bands: int = 8,
     x n_bands through the shuffle.
     """
     if max_shingle_freq is not None:
-        from pyspark.sql import Window
-
         # NOTE: sh feeds three branches here — callers persist it
         # (every in-repo caller does; at scale the shingle table is a
         # materialized stage anyway). The hot list is bounded by the
@@ -97,12 +111,9 @@ def minhash_signatures(sh: DataFrame, n_bands: int = 8,
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_shingle_freq).select("shingle")
         )
-        w = Window.partitionBy("shingle").orderBy(id_col)
-        hot_kept = (
-            sh.join(F.broadcast(hot), "shingle")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_shingle_freq).drop("_rn")
-        )
+        hot_kept = cap_k_smallest(
+            sh.join(F.broadcast(hot), "shingle"), ["shingle"], id_col,
+            max_shingle_freq)
         sh = (
             sh.join(F.broadcast(hot), "shingle", "left_anti")
             .unionByName(hot_kept)
@@ -271,13 +282,8 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3,
         F.col("kb.val").alias("val"),
     )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("blk", "val").orderBy(id_col)
-        keyed = (
-            keyed.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_bucket_size).drop("_rn")
-        )
+        keyed = cap_k_smallest(keyed, ["blk", "val"], id_col,
+                               max_bucket_size)
     a = keyed.alias("a").hint("merge")  # fact-fact: never broadcast
     b = keyed.alias("b")
     cand = (

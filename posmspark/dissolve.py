@@ -195,7 +195,7 @@ def dissolve_union(polys_by_id: dict[str, list[list[np.ndarray]]]
     """
     polys_list = list(polys_by_id.values())
     segs = _collect_segments(polys_list)
-    if _has_proper_crossing(segs):
+    if not _disjoint_interiors(polys_list, segs):
         return union_overlay(polys_list, segs=segs)
     seg_count, _, _ = _mesh_segments(polys_by_id)
     boundary = [sk for sk, c in seg_count.items() if c % 2 == 1]
@@ -280,8 +280,27 @@ def residual_classify(parent: list[list[np.ndarray]],
     """
     if not children:
         return "childless", []
-    all_segs = _collect_segments([parent] + list(children.values()))
-    if _has_proper_crossing(all_segs):
+    child_list = list(children.values())
+    all_segs = _collect_segments([parent] + child_list)
+    # cancellation is exact only when the children tile DISJOINTLY
+    # inside the parent: crossings, child-child overlap, and
+    # out-of-parent child edges all route to the general overlay
+    # (review r03: the crossing scan alone missed containment and
+    # collinear-overlap configurations — reproduced wrong geometry)
+    nonconformal = _has_proper_crossing(all_segs)
+    if not nonconformal:
+        child_segs = _collect_segments(child_list)
+        if len(child_segs):
+            px, py, n = _segment_side_probes(child_segs)
+            if _max_coverage(child_list, px, py) > 1:
+                nonconformal = True
+            else:
+                in_par = geom.points_in_multipolygon(px, py, parent)
+                # a child edge with NEITHER side inside the parent
+                # lies outside it — not a containment mesh
+                if (~in_par[:n] & ~in_par[n:]).any():
+                    nonconformal = True
+    if nonconformal:
         residual = residual_overlay(parent, children, segs=all_segs)
         if not residual:
             return "complete", []
@@ -355,6 +374,54 @@ def _has_proper_crossing(segs: np.ndarray) -> bool:
         if hit.any():
             return True
     return False
+
+
+def _segment_side_probes(segs: np.ndarray):
+    """Probe points just off both sides of every segment midpoint.
+    Returns (px, py, n) with the first n points on the +normal side and
+    the last n on the -normal side, index-aligned per segment."""
+    mid = (segs[:, :2] + segs[:, 2:]) / 2.0
+    d = segs[:, 2:] - segs[:, :2]
+    ln = np.hypot(d[:, 0], d[:, 1])
+    nx, ny = -d[:, 1] / ln, d[:, 0] / ln
+    eps = np.maximum(ln * 1e-5, 1e-9)
+    px = np.concatenate([mid[:, 0] + eps * nx, mid[:, 0] - eps * nx])
+    py = np.concatenate([mid[:, 1] + eps * ny, mid[:, 1] - eps * ny])
+    return px, py, len(segs)
+
+
+def _max_coverage(polys_list: list, px: np.ndarray, py: np.ndarray) -> int:
+    """Max number of input multipolygons covering any probe point
+    (bbox-masked PIP per input; early exit at 2 — the only question is
+    'disjoint or not')."""
+    cov = np.zeros(len(px), dtype=np.int32)
+    for polys in polys_list:
+        x0, y0, x1, y1 = geom.multipolygon_bbox(polys)
+        m = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+        if not m.any():
+            continue
+        cov[m] += geom.points_in_multipolygon(px[m], py[m], polys)
+        if (cov > 1).any():
+            return int(cov.max())
+    return int(cov.max()) if len(cov) else 0
+
+
+def _disjoint_interiors(polys_list: list, segs: np.ndarray) -> bool:
+    """True iff the inputs form a mesh with pairwise-disjoint interiors
+    — the precondition for exact cancellation union. Checks (a) no
+    proper edge crossings, (b) no segment side-probe covered by more
+    than one input (catches containment, duplicates, and collinear
+    partial overlap, which have NO interior-interior crossing — review
+    r03 reproduced silently-wrong unions on all three). False positives
+    (probe within eps of a neighbor on very thin slivers) only cost a
+    detour through the exact overlay; false negatives need an overlap
+    thinner than the probe offset everywhere along its boundary."""
+    if _has_proper_crossing(segs):
+        return False
+    if len(polys_list) < 2 or not len(segs):
+        return True
+    px, py, _n = _segment_side_probes(segs)
+    return _max_coverage(polys_list, px, py) <= 1
 
 
 def _split_at_intersections(segs: np.ndarray) -> list:
@@ -714,10 +781,12 @@ def simplify_mesh_by_parent(spark, prepared, child_level: int,
     return src.groupBy("is_in").applyInPandas(run, schema=schema)
 
 
-#: per-executor-process cache of (vertex keys, split rings) for one
-#: broadcast mesh — stage 1 and stage 3/5 tasks recompute nothing. The
-#: cached dict keeps a reference to the mesh object itself so the
-#: id()-key can never be reused by a garbage-collected successor.
+#: SINGLE-SLOT per-executor-process cache of (vertex keys, split rings)
+#: for the current broadcast mesh — stage 1 and stage 3/5 tasks
+#: recompute nothing within one simplify_mesh_global run, and a new
+#: mesh EVICTS the old entry (an unbounded dict pinned every past mesh
+#: forever — review r03). The entry keeps a reference to the mesh
+#: object so the id()-key can't be recycled while cached.
 _SPLIT_CACHE: dict[int, dict] = {}
 
 
@@ -734,6 +803,7 @@ def _split_feature(bc, oid: str):
                     for p in ring[:-1]:
                         vkeys.add(_key(p))
         state = {"mesh": mesh, "vkeys": vkeys, "split": {}}
+        _SPLIT_CACHE.clear()
         _SPLIT_CACHE[id(mesh)] = state
     if oid not in state["split"]:
         state["split"][oid] = [

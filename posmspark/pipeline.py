@@ -110,8 +110,21 @@ def run_pipeline(
     it skips when nothing changed and rebuilds from the (already
     incremental) assign output otherwise.
     """
+    if incremental_by and workdir is None:
+        raise ValueError("incremental_by requires a workdir (partition "
+                         "manifests live there)")
     prepared = default_prepared()
-    pages_df = spark.read.parquet(pages) if isinstance(pages, str) else pages
+    # lazy: the hive-path incremental branch never consumes the full
+    # read (run_stage_incremental re-reads the path itself), and a
+    # 100TB store shouldn't pay directory listing + footer reads twice
+    _pages_cache: list = []
+
+    def pages_df() -> DataFrame:
+        if not _pages_cache:
+            _pages_cache.append(
+                spark.read.parquet(pages) if isinstance(pages, str)
+                else pages)
+        return _pages_cache[0]
 
     def build_ingest(df: DataFrame = None) -> DataFrame:
         # pure-JVM ingest: byte-identity verify + geocode + cell encode
@@ -119,7 +132,7 @@ def run_pipeline(
         # cross into Python (bit-identical to the fused Arrow kernel,
         # parity-tested). Violations are routed out (observable via
         # lineage row counts), never silently fixed.
-        ing = textx.with_ingest_jvm(pages_df if df is None else df)
+        ing = textx.with_ingest_jvm(pages_df() if df is None else df)
         return ing.filter(F.col("text_ok")).drop("text_ok", "html")
 
     def build_assign(df: DataFrame = None) -> DataFrame:
@@ -146,7 +159,7 @@ def run_pipeline(
         import json
 
         in_src = (pages if _hive_partitioned_dir(pages, incremental_by)
-                  else pages_df)
+                  else pages_df())
         ingest_dir = os.path.join(workdir, "stage_ingest")
         ingest = lineage.run_stage_incremental(
             spark, "ingest", in_src, ingest_dir,

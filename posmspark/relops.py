@@ -999,8 +999,6 @@ def q_simhash_pigeonhole_pairs(spark, sf):
     shape and is hash-checkable vs DuckDB. Buckets are capped at the
     50 smallest doc ids (exact-dup clusters share every block value —
     same sampling guard as minhash)."""
-    from pyspark.sql import Window
-
     d = _t(spark, sf, "documents")
     toks = d.select(
         "doc_id",
@@ -1031,11 +1029,9 @@ def q_simhash_pigeonhole_pairs(spark, sf):
                   F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"))
         .withColumn("val", F.expr("shiftright(fp, blk * 8) & 255"))
     )
-    w = Window.partitionBy("blk", "val").orderBy("doc_id")
-    blocks = (
-        blocks.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50).drop("rn")
-    )
+    from posmspark import dedup
+
+    blocks = dedup.cap_k_smallest(blocks, ["blk", "val"], "doc_id", 50)
     a = blocks.alias("a").hint("merge")  # fact-fact: never broadcast
     b = blocks.alias("b")
     cand = (

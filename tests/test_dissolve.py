@@ -520,3 +520,82 @@ def test_union_overlay_contained_polygon_absorbed():
     assert len(u) == 1
     assert len(u[0]) == 1  # no hole: the inner square is union interior
     assert abs(geom.ring_area(u[0][0]) - 16.0) < 1e-9
+
+
+def test_union_dispatch_catches_containment_and_collinear_overlap():
+    """Review r03 (critical): the crossing scan alone missed overlap
+    configurations with NO interior-interior crossing — containment,
+    collinear partial overlap, exact duplicates — silently producing
+    wrong unions via parity cancellation. The disjoint-interiors probe
+    must route all three to the overlay."""
+    from posmspark.dissolve import dissolve_union
+
+    # containment: B strictly inside A -> union is A (16), no hole
+    u = dissolve_union({"A": _mp_rect(0, 0, 4, 4),
+                        "B": _mp_rect(1, 1, 2, 2)})
+    assert len(u) == 1 and len(u[0]) == 1
+    assert abs(geom.ring_area(u[0][0]) - 16.0) < 1e-9
+
+    # collinear partial overlap: crossings land on endpoints only
+    u = dissolve_union({"A": _mp_rect(0, 0, 4, 4),
+                        "B": _mp_rect(2, 0, 6, 4)})
+    assert len(u) == 1 and len(u[0]) == 1
+    assert abs(geom.ring_area(u[0][0]) - 24.0) < 1e-9
+
+    # exact duplicate: parity cancellation would EMPTY the union
+    u = dissolve_union({"A": _mp_rect(0, 0, 4, 4),
+                        "B": _mp_rect(0, 0, 4, 4)})
+    assert len(u) == 1
+    assert abs(geom.ring_area(u[0][0]) - 16.0) < 1e-9
+
+
+def test_residual_dispatch_catches_overlapping_children():
+    """Review r03: overlapping children with no interior-interior
+    crossing (B inside A, both children of the parent) must route to
+    the overlay — cancellation double-counted the overlap (residual 12
+    instead of 8)."""
+    from posmspark.dissolve import residual_classify
+
+    parent = _mp_rect(0, 0, 4, 4)
+    children = {"A": _mp_rect(0, 0, 2, 4), "B": _mp_rect(0, 0, 1, 4)}
+    status, residual = residual_classify(parent, children)
+    assert status == "filler"
+    area = sum(geom.ring_area(r) for polys in residual for r in polys)
+    assert abs(area - 8.0) < 1e-9
+
+
+def test_residual_dispatch_catches_out_of_parent_child():
+    """A child disjoint from (outside) the parent must not leak its own
+    outline into the residual via cancellation."""
+    from posmspark.dissolve import residual_classify
+
+    parent = _mp_rect(0, 0, 4, 4)
+    children = {"A": _mp_rect(0, 0, 2, 4),   # left half, conformal
+                "B": _mp_rect(10, 10, 12, 12)}  # fully outside
+    status, residual = residual_classify(parent, children)
+    assert status == "filler"
+    area = sum(geom.ring_area(r) for polys in residual for r in polys)
+    # residual = right half of the parent only (8), never B's outline
+    assert abs(area - 8.0) < 1e-9
+
+
+def test_union_dispatch_conformal_meshes_stay_exact():
+    """The probe test must NOT misroute real conformal meshes (they
+    keep the exact cancellation path and its bit-exact outputs)."""
+    from posmspark.dissolve import (_collect_segments, _disjoint_interiors,
+                                    dissolve_union)
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+    lp = prepared.levels_pdf
+    for parent in lp.query("adminlevel == 1").osm_id:
+        kids = lp[(lp.adminlevel == 2) & (lp.is_in == parent)].osm_id
+        if not len(kids):
+            continue
+        mesh = {k: prepared.polys_by_id[k] for k in kids}
+        assert _disjoint_interiors(
+            list(mesh.values()), _collect_segments(list(mesh.values()))
+        ), parent
+        u = dissolve_union(mesh)
+        assert len(u) >= 1
