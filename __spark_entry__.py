@@ -499,6 +499,7 @@ _VERIFY_FIRST = [
     "multimodal_features",
     "streaming_tile_counts",
     "streaming_dedup",
+    "embedding_cosine_dups",   # new oracle this round
     "minhash_band_candidates",  # skew-cap change this round
     "topojson_export",          # distributed build this round
 ]

@@ -18,6 +18,8 @@ runs and executors (broadcast once).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -273,3 +275,92 @@ def lsh_topk(vectors: DataFrame, queries_pdf: pd.DataFrame, k: int,
         F.broadcast(probes), ["table", "lsh_sig"], "inner"
     ).dropDuplicates(["query_id", id_col])
     return cosine_rerank(cand, k, id_col, emb_col)
+
+
+def cosine_near_pairs(vectors: DataFrame, threshold: float,
+                      id_col: str = "vec_id", emb_col: str = "emb",
+                      n_proj: int = 2,
+                      max_cell_size: int | None = None) -> DataFrame:
+    """EXACT cosine near-duplicate self-join via grid blocking — the
+    embedding-space member of the dedup family (exact / minhash /
+    simhash / ngram live in dedup.py+relops.py).
+
+    For unit-normalized vectors and ANY unit direction d,
+    |d.a - d.b| <= ||a - b|| = sqrt(2 - 2 cos(a, b)), so every pair at
+    cosine >= threshold is within w = sqrt(2 - 2*threshold) in EVERY
+    projection. Blocking on floor(p_k / w) for n_proj fixed axis
+    directions therefore loses no qualifying pair: candidates are rows
+    equal on the composite grid key after one side explodes its
+    3^n_proj neighbor-cell offsets — an equi-join whose shuffle key is
+    the grid cell, never a cross join. An exact JVM cosine then filters
+    candidates to true pairs. Pure column expressions end to end.
+
+    At 100 TB the candidate volume is sum over grid cells of |cell|^2,
+    i.e. bounded by data density at radius w — and the TRUE output is
+    itself Theta(|cell|^2) for a duplicate cluster, so the join is
+    output-bound, not wasteful. `max_cell_size` optionally samples the
+    K smallest ids per cell (dedup.cap_k_smallest semantics) when
+    bounded work matters more than exhaustive pair listing.
+
+    `emb_col` must be array<double>; rows with zero norm are dropped
+    (cosine undefined). Returns (id_a, id_b, cos_sim) with id_a < id_b,
+    cos_sim unrounded.
+    """
+    w = math.sqrt(max(2.0 - 2.0 * threshold, 0.0)) * 1.000001 + 1e-12
+    norm = F.expr(
+        f"sqrt(aggregate({emb_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v * v))"
+    )
+    keyed = vectors.select(id_col, emb_col).withColumn("_norm", norm)
+    keyed = keyed.filter(F.col("_norm") > 0)
+    for k in range(n_proj):
+        keyed = keyed.withColumn(
+            f"_b{k}",
+            F.floor(F.expr(f"element_at({emb_col}, {k + 1})")
+                    / F.col("_norm") / F.lit(w)),
+        )
+    keyed = keyed.drop("_norm")
+    if max_cell_size is not None:
+        from posmspark import dedup
+
+        keyed = dedup.cap_k_smallest(
+            keyed, [f"_b{k}" for k in range(n_proj)], id_col,
+            max_cell_size)
+
+    a = keyed.alias("a").hint("merge")  # fact-fact: never broadcast
+    b = keyed
+    for k in range(n_proj):
+        b = (
+            b.withColumn(f"_d{k}",
+                         F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .withColumn(f"_b{k}", F.col(f"_b{k}") + F.col(f"_d{k}"))
+            .drop(f"_d{k}")
+        )
+    # each qualifying pair matches in EXACTLY one offset combination
+    # (per axis at most one of {-1,0,+1} aligns the floors), and the
+    # a.id < b.id guard keeps one orientation — no dedup pass needed
+    b = b.alias("b")
+    cand = a.join(
+        b, [F.col(f"a._b{k}") == F.col(f"b._b{k}") for k in range(n_proj)]
+        + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+    dot = F.expr(
+        f"aggregate(zip_with(a.{emb_col}, b.{emb_col},"
+        " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate(a.{emb_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v * v))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate(b.{emb_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v * v))"
+    )
+    return (
+        cand.withColumn("cos_sim", dot / (na * nb))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos_sim",
+        )
+    )

@@ -1166,6 +1166,66 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_embedding_cosine_dups(spark, sf):
+    """embedding-cosine near-dup dedup (north-rule LLM-pipeline op,
+    completing the dedup family: exact / minhash / simhash / ngram /
+    embedding). The synthetic embeddings table has no natural near-dups
+    (max pairwise cosine ~0.52), so the query first derives
+    deterministic perturbed copies of every 5th vector — per-element
+    double arithmetic both engines reproduce bit-identically — then
+    finds ALL pairs at cosine >= 0.99 via ann.cosine_near_pairs: an
+    EXACT grid-blocked equi-join (cell key = floored normalized axis
+    projections, one side explodes 3^2 neighbor offsets), never a cross
+    join. DuckDB brute-forces the same pairs for the hash gate."""
+    from posmspark import ann
+
+    e = _t(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("emb"),
+    )
+    pert = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, size(embedding)),"
+            " i -> CAST(element_at(embedding, i) AS DOUBLE)"
+            " * (CAST(1.0 AS DOUBLE)"
+            "    + CAST(0.0001 AS DOUBLE) * CAST(i % 7 - 3 AS DOUBLE)))"
+        ).alias("emb"),
+    )
+    pairs = ann.cosine_near_pairs(
+        base.unionByName(pert), threshold=0.99, id_col="vec_id",
+        emb_col="emb")
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+SQL_EMBEDDING_COSINE_DUPS = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings
+), pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+           i -> CAST(embedding[i] AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE)
+                   + CAST(0.0001 AS DOUBLE) * CAST(i % 7 - 3 AS DOUBLE)))
+           AS emb
+  FROM embeddings WHERE vec_id % 5 = 0
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM pert
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(generate_series(1, len(a.emb)),
+      i -> a.emb[i] * b.emb[i]))
+    / (sqrt(list_sum(list_transform(a.emb, v -> v * v)))
+     * sqrt(list_sum(list_transform(b.emb, v -> v * v)))) AS c
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 6) AS cos_sim FROM scored WHERE c >= 0.99
+"""
+
+
 def q_knn_topk_flat(spark, sf):
     """O16 under the ORACLE gate: cell-ring-expansion kNN, flattened to
     (point, rank, site_id, dist_m) rows. Points and sites derive from
@@ -1376,6 +1436,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_label_centroids": (q_embedding_label_centroids,
                                   SQL_EMBEDDING_LABEL_CENTROIDS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "embedding_cosine_dups": (q_embedding_cosine_dups,
+                              SQL_EMBEDDING_COSINE_DUPS),
     "knn_topk_flat": (q_knn_topk_flat, SQL_KNN_TOPK_FLAT),
     "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -247,3 +247,57 @@ def test_simhash_bucket_cap_keeps_representatives(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (0, 1) in pairs and (8, 9) in pairs
     assert len(pairs) == 45  # 10 representatives, not 60*59/2
+
+
+def _brute_cosine_pairs(ids, mat, threshold):
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = m @ m.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= threshold:
+                a, b = ids[i], ids[j]
+                out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_cosine_near_pairs_exact_vs_brute_force(spark):
+    """Grid-blocked embedding near-dup join is EXACT: identical pair
+    set to the O(n^2) numpy brute force, including pairs straddling
+    grid-cell borders (random data guarantees some) and a planted tight
+    cluster."""
+    from posmspark import ann
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((150, 16))
+    # planted near-dup cluster: 5 perturbations of one vector
+    for k in range(5):
+        mat[100 + k] = mat[100] + rng.standard_normal(16) * 0.01
+    ids = list(range(150))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in ids],
+        "vec_id long, emb array<double>")
+    for threshold in (0.99, 0.8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ann.cosine_near_pairs(df, threshold).collect()
+        }
+        assert got == _brute_cosine_pairs(ids, mat, threshold), threshold
+
+
+def test_cosine_near_pairs_cell_cap_keeps_representatives(spark):
+    """max_cell_size bounds a duplicate cluster's quadratic pair list
+    to the K smallest ids (same sampling rule as minhash/simhash)."""
+    from posmspark import ann
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    mat = np.vstack([base + rng.standard_normal(16) * 1e-4
+                     for _ in range(40)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, emb array<double>")
+    out = ann.cosine_near_pairs(df, 0.99, max_cell_size=10).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs
+    assert len(pairs) == 45  # 10 representatives, not 40*39/2
