@@ -314,10 +314,17 @@ def cosine_near_pairs(vectors: DataFrame, threshold: float,
     keyed = vectors.select(id_col, emb_col).withColumn("_norm", norm)
     keyed = keyed.filter(F.col("_norm") > 0)
     for k in range(n_proj):
+        # missing dims read as 0.0 (the vector's true coordinate when
+        # embedded in the larger space) — a NULL/ANSI-error grid key
+        # past the array end would silently drop the row from the
+        # equi-join, breaking the EXACT contract (review r03); ANSI
+        # mode makes plain element_at THROW, hence try_element_at
         keyed = keyed.withColumn(
             f"_b{k}",
-            F.floor(F.expr(f"element_at({emb_col}, {k + 1})")
-                    / F.col("_norm") / F.lit(w)),
+            F.floor(F.expr(
+                f"coalesce(try_element_at({emb_col}, {k + 1}),"
+                " CAST(0.0 AS DOUBLE))")
+                / F.col("_norm") / F.lit(w)),
         )
     keyed = keyed.drop("_norm")
     if max_cell_size is not None:

@@ -281,7 +281,11 @@ def residual_classify(parent: list[list[np.ndarray]],
     if not children:
         return "childless", []
     child_list = list(children.values())
-    all_segs = _collect_segments([parent] + child_list)
+    parent_segs = _collect_segments([parent])
+    child_segs = _collect_segments(child_list)
+    all_segs = (np.vstack([parent_segs, child_segs])
+                if len(parent_segs) and len(child_segs)
+                else (parent_segs if len(parent_segs) else child_segs))
     # cancellation is exact only when the children tile DISJOINTLY
     # inside the parent: crossings, child-child overlap, and
     # out-of-parent child edges all route to the general overlay
@@ -289,7 +293,6 @@ def residual_classify(parent: list[list[np.ndarray]],
     # collinear-overlap configurations — reproduced wrong geometry)
     nonconformal = _has_proper_crossing(all_segs)
     if not nonconformal:
-        child_segs = _collect_segments(child_list)
         if len(child_segs):
             px, py, n = _segment_side_probes(child_segs)
             if _max_coverage(child_list, px, py) > 1:
@@ -365,13 +368,71 @@ def _crossing_params(segs: np.ndarray, i: int):
 def _has_proper_crossing(segs: np.ndarray) -> bool:
     """True iff any two segments cross at interior points of BOTH —
     the one configuration the conformal mesh machinery cannot
-    represent (T-junctions land on vertices and are vertex-split)."""
+    represent (T-junctions land on vertices and are vertex-split).
+
+    Runs on EVERY dissolve/residual dispatch, so the common conformal
+    case must be cheap: blocks of rows against all segments in one
+    broadcast numpy pass (bounded temp memory), not a per-segment
+    Python loop (review r03 — ~5k-edge parents paid 5k interpreter
+    iterations here before any union work)."""
     eps = 1e-9
-    for i in range(len(segs)):
-        t, u, noncol, _col, _li = _crossing_params(segs, i)
-        hit = noncol & (t > eps) & (t < 1 - eps) & (u > eps) & (u < 1 - eps)
-        hit[i] = False
-        if hit.any():
+    n = len(segs)
+    if n < 2:
+        return False
+    x0 = np.minimum(segs[:, 0], segs[:, 2])
+    x1 = np.maximum(segs[:, 0], segs[:, 2])
+    y0 = np.minimum(segs[:, 1], segs[:, 3])
+    y1 = np.maximum(segs[:, 1], segs[:, 3])
+    # sort-sweep on x: pair (i, j) can only cross if x-intervals
+    # overlap; in x0-sorted order the partners of i are exactly the
+    # contiguous window (i, e_i). Candidate volume on a conformal mesh
+    # is O(n * local overlap), not n^2 — the whole scan is numpy.
+    order = np.argsort(x0, kind="stable")
+    sx0, sx1 = x0[order], x1[order]
+    e = np.searchsorted(sx0, sx1, side="right")
+    cnt = np.maximum(e - np.arange(1, n + 1), 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return False
+    # generate candidate pairs in bounded blocks of i (degenerate
+    # all-overlapping-x inputs would otherwise build O(n^2) indices)
+    ends = np.cumsum(cnt)
+    block_starts = [0]
+    while block_starts[-1] < n:
+        st = block_starts[-1]
+        base = ends[st - 1] if st else 0
+        nxt = int(np.searchsorted(ends, base + 8_000_000, side="left")) + 1
+        block_starts.append(max(nxt, st + 1))
+    for bi in range(len(block_starts) - 1):
+        st, en_i = block_starts[bi], min(block_starts[bi + 1], n)
+        c = cnt[st:en_i]
+        tot = int(c.sum())
+        if tot == 0:
+            continue
+        ii = np.repeat(np.arange(st, en_i), c)
+        offs = np.concatenate([[0], np.cumsum(c[:-1])])
+        jj = np.arange(tot) - np.repeat(offs, c) + ii + 1
+        a, b = order[ii], order[jj]
+        m = (y0[a] <= y1[b]) & (y0[b] <= y1[a])  # y-bbox reject
+        a, b = a[m], b[m]
+        if not len(a):
+            continue
+        p = segs[a, :2]
+        r = segs[a, 2:] - p
+        q = segs[b, :2]
+        s = segs[b, 2:] - q
+        rxs = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+        qp = q - p
+        qpxr = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+        qpxs = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+        li = np.hypot(r[:, 0], r[:, 1])
+        ls = np.hypot(s[:, 0], s[:, 1])
+        noncol = np.abs(rxs) > 1e-12 * li * np.maximum(ls, 1e-300)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(noncol, qpxs / rxs, np.nan)
+            u = np.where(noncol, qpxr / rxs, np.nan)
+        if (noncol & (t > eps) & (t < 1 - eps)
+                & (u > eps) & (u < 1 - eps)).any():
             return True
     return False
 
@@ -530,15 +591,8 @@ def _overlay_by_predicate(segs: np.ndarray, region_pred
         return []
     keys = list(uniq)
     ab = np.array([[*uniq[k][0], *uniq[k][1]] for k in keys])
-    mid = (ab[:, :2] + ab[:, 2:]) / 2.0
-    d = ab[:, 2:] - ab[:, :2]
-    ln = np.hypot(d[:, 0], d[:, 1])
-    nx, ny = -d[:, 1] / ln, d[:, 0] / ln
-    eps = np.maximum(ln * 1e-5, 1e-9)
-    px = np.concatenate([mid[:, 0] + eps * nx, mid[:, 0] - eps * nx])
-    py = np.concatenate([mid[:, 1] + eps * ny, mid[:, 1] - eps * ny])
+    px, py, n = _segment_side_probes(ab)
     inside = region_pred(px, py)
-    n = len(keys)
     boundary = [k for k, keep in zip(keys, inside[:n] != inside[n:]) if keep]
     if not boundary:
         return []
@@ -858,6 +912,14 @@ def simplify_mesh_global(spark, prepared, child_level: int,
     kids = lp[lp.adminlevel == child_level][["osm_id", "is_in"]]
     mesh_ids = sorted(oid for oid in kids.osm_id
                       if oid in prepared.polys_by_id)
+    if not mesh_ids:
+        # degenerate input (no features at child_level): empty typed
+        # result, not a createDataFrame schema-inference crash on the
+        # empty pandas frames below (same class as the prepare_boundaries
+        # ADVICE r02 fix; review r03)
+        return spark.createDataFrame([], schema=(
+            "osm_id string, parent_osm_id string, n_points_before long,"
+            " n_points_after long, geom_wkb binary"))
     mesh = {oid: prepared.polys_by_id[oid] for oid in mesh_ids}
     bc = spark.sparkContext.broadcast(mesh)
     src = spark.createDataFrame(pd.DataFrame({"osm_id": mesh_ids}))
@@ -929,10 +991,13 @@ def simplify_mesh_global(spark, prepared, child_level: int,
             rows, columns=["chain_key", "flip", "osm_id", "poly_idx",
                            "ring_idx", "piece_idx", "pts"])
 
-    pieces = (
+    from posmspark import session as _session
+
+    _session.release_staged()
+    pieces = _session.stage_persist(
+        # feeds the chain dedupe AND the reassembly join
         edges.join(owners, "seg_key")
         .groupBy("osm_id").applyInPandas(cut_chains, piece_schema)
-        .persist()  # feeds the chain dedupe AND the reassembly join
     )
 
     @pandas_udf(T.BinaryType())

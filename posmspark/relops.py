@@ -772,10 +772,13 @@ def q_ngram_jaccard_pairs(spark, sf):
     # The shingle stage feeds five downstream branches (hot filter,
     # both candidate-join sides, counts, the verify join); stage it
     # once — at 100 TB you materialize the shingle table, you don't
-    # recompute the explode per branch. Persisted blocks are
-    # LRU-evictable; long-lived sessions can clearCache() between
-    # suites.
-    sh = _doc_shingles(spark, sf).persist()
+    # recompute the explode per branch. stage_persist registers the
+    # cache for release by the next staging query, so repeated
+    # invocations in one long session never accumulate entries.
+    from posmspark import session as _session
+
+    _session.release_staged()
+    sh = _session.stage_persist(_doc_shingles(spark, sf))
     hot = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > NGRAM_MAX_SHINGLE_FREQ).select("shingle")
@@ -797,8 +800,8 @@ def q_ngram_jaccard_pairs(spark, sf):
         # feeds BOTH the hot-recovery join and the final left join —
         # unpersisted, the whole cold self-join sub-plan executes twice
         # (plan-verified at 600k docs); pair rows are small
-        .persist()
     )
+    inter_cold = _session.stage_persist(inter_cold)
     # hot-shared counts only for pairs that already share a cold
     # shingle: join the (tiny) hot shingle rows to both sides — exact
     # totals without ever self-joining on a hot key
@@ -894,7 +897,10 @@ def q_minhash_band_candidates(spark, sf):
     dedup.py module docstring)."""
     from posmspark import dedup
 
-    sh = _doc_shingles(spark, sf).persist()
+    from posmspark import session as _session
+
+    _session.release_staged()
+    sh = _session.stage_persist(_doc_shingles(spark, sf))
     sigs = dedup.minhash_signatures(
         sh, n_bands=4, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
         portable_hash=True)
@@ -937,7 +943,10 @@ def q_minhash_verified_dups(spark, sf):
     sampling per shingle (see q_minhash_band_candidates)."""
     from posmspark import dedup
 
-    sh = _doc_shingles(spark, sf).persist()
+    from posmspark import session as _session
+
+    _session.release_staged()
+    sh = _session.stage_persist(_doc_shingles(spark, sf))
     sigs = dedup.minhash_signatures(
         sh, n_bands=8, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
         portable_hash=True)

@@ -47,3 +47,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+#: persisted intermediates staged by the current query build — released
+#: by the NEXT query that stages (review r03: repeated invocations in a
+#: long driver session each pinned a fresh CacheManager entry; entries
+#: are plan-keyed and never garbage-collected without an explicit
+#: unpersist, unlike checkpoint RDDs)
+_STAGED: list = []
+
+
+def release_staged() -> None:
+    """Unpersist every DataFrame staged by the previous query build.
+    Safe while earlier results are still referenced — at worst a
+    late consumer recomputes the sub-plan."""
+    while _STAGED:
+        try:
+            _STAGED.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def stage_persist(df):
+    """persist() a multi-consumer intermediate and register it for
+    release by the next query build. Call release_staged() once at the
+    start of a query that stages, THEN stage its intermediates."""
+    df = df.persist()
+    _STAGED.append(df)
+    return df

@@ -145,13 +145,25 @@ def topology_tree_by_parent(spark, prepared, out_dir: str | None = None,
     import pandas as pd
     from pyspark.sql import types as T
 
+    if out_dir is not None:
+        # the artifact tree is a per-run product: clear any previous
+        # build so removed parents can't survive as stale directories
+        # (review r03)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     bc = spark.sparkContext.broadcast(prepared.polys_by_id)
     lp = prepared.levels_pdf
     rows = []
     for lv in sorted(lp.adminlevel.unique()):
         kids = lp[lp.adminlevel == lv + 1]
+        # one hash-groupby, not a per-parent boolean scan over all
+        # children (O(parents x children) on the driver — review r03)
+        members_by_parent = {
+            p: g.osm_id.tolist() for p, g in kids.groupby("is_in")}
         for parent in lp[lp.adminlevel == lv].osm_id:
-            members = kids[kids.is_in == parent].osm_id.tolist()
+            members = members_by_parent.get(parent)
             if not members:
                 continue  # leaf: no directory/topology of its own
             rows.append((parent, parent, True))

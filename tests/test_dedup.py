@@ -301,3 +301,23 @@ def test_cosine_near_pairs_cell_cap_keeps_representatives(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (0, 1) in pairs
     assert len(pairs) == 45  # 10 representatives, not 40*39/2
+
+
+def test_cosine_near_pairs_short_arrays_not_dropped(spark):
+    """Embeddings with fewer dims than n_proj must not vanish via NULL
+    grid keys (element_at past the end is NULL; review r03): missing
+    projections read as 0.0 and the join stays EXACT."""
+    from posmspark import ann
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((40, 1))
+    mat[20] = mat[10] * 2.0  # colinear pair -> cosine 1.0
+    df = spark.createDataFrame(
+        [(i, [float(mat[i, 0])]) for i in range(40)],
+        "vec_id long, emb array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ann.cosine_near_pairs(df, 0.99, n_proj=2).collect()
+    }
+    assert got == _brute_cosine_pairs(list(range(40)), mat, 0.99)
+    assert (10, 20) in got

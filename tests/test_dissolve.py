@@ -599,3 +599,19 @@ def test_union_dispatch_conformal_meshes_stay_exact():
         ), parent
         u = dissolve_union(mesh)
         assert len(u) >= 1
+
+
+def test_simplify_mesh_global_empty_child_level(spark):
+    """Review r03: the degenerate input prepare_boundaries now survives
+    (no country rows) must flow through simplify_mesh_global as an
+    empty typed result, not a createDataFrame schema-inference crash."""
+    from posmspark.dissolve import simplify_mesh_global
+    from posmspark.joins import prepare_boundaries
+
+    bpdf = synth.gen_boundaries_pdf()
+    no_l0 = bpdf[bpdf.admin_level != "2"].reset_index(drop=True)
+    prepared = prepare_boundaries(no_l0, synth.gen_admin_mapping_pdf())
+    out = simplify_mesh_global(spark, prepared, child_level=2, tol=0.05)
+    assert out.count() == 0
+    assert out.columns == ["osm_id", "parent_osm_id", "n_points_before",
+                           "n_points_after", "geom_wkb"]

@@ -155,3 +155,22 @@ def test_topology_tree_by_parent_distributed(spark, tmp_path):
             has_kids = (lp.is_in == parent).any()
             assert os.path.isdir(os.path.join(out, parent)) == bool(
                 has_kids), parent
+
+
+def test_topology_tree_rebuild_clears_stale_dirs(spark, tmp_path):
+    """Review r03: out_dir is a per-run product — a rebuild must not
+    leave directories from a previous run (e.g. a since-removed parent)
+    mixed into the artifact tree."""
+    import os
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+        n_levels=4)
+    out = str(tmp_path / "topotree")
+    os.makedirs(os.path.join(out, "GONE_PARENT"))
+    with open(os.path.join(out, "GONE_PARENT", "geometry.topojson.json"),
+              "w") as f:
+        f.write("{}")
+    topo.topology_tree_by_parent(spark, prepared, out_dir=out).collect()
+    assert not os.path.exists(os.path.join(out, "GONE_PARENT"))
+    assert os.listdir(out), "rebuild wrote nothing"
