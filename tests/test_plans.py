@@ -196,3 +196,38 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cosine_near_pairs_plan_is_equi_join(spark):
+    """The embedding near-dup join must hit the grid-cell EQUI-join
+    path at scale: a sort-merge join on the cell keys (merge-hinted
+    fact-fact; Catalyst underestimates the exploded side), and never a
+    cartesian / broadcast-nested-loop fallback."""
+    import numpy as np
+
+    from posmspark import ann
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, emb array<double>")
+    plan = _plan(ann.cosine_near_pairs(df, 0.95))
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_fact_joins_never_broadcast(spark):
+    """Catalyst underestimates exploded shingle tables and would plan
+    multi-GB broadcast builds (measured driver OOM at 600k docs); the
+    merge hints must survive into the physical plan for every
+    fact-fact self-join of the dedup family."""
+    from posmspark.relops import (q_minhash_band_candidates,
+                                  q_ngram_jaccard_pairs)
+
+    for q in (q_minhash_band_candidates, q_ngram_jaccard_pairs):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan
