@@ -489,33 +489,52 @@ def _split_at_intersections(segs: np.ndarray) -> list:
     """Split every segment at each intersection with any other segment
     (proper crossings, T-junctions, collinear overlaps) — the planar
     arrangement restricted to input edges. O(S^2) per call, which is
-    fine per parent group (tens of children, thousands of edges)."""
+    fine per parent group (tens of children, thousands of edges).
+
+    CRITICAL invariant (fuzz r03 — seeds produced 1-snap-quantum-apart
+    keys for the SAME geometric crossing, leaving degree-1 vertices and
+    garbage rings): the two halves of every crossing must receive
+    BIT-IDENTICAL split coordinates. Hence every split point is derived
+    canonically — a T-junction uses the touching segment's own endpoint
+    coordinates, a proper crossing uses the LOWER-indexed segment's
+    parametrization (the symmetric parameter values are exact IEEE
+    negation pairs, so both sides compute the same floats), and a
+    collinear overlap uses the partner's endpoint coordinates verbatim.
+    """
+    eps_end = 1e-9  # param distance at which a crossing IS the endpoint
     out = []
     for i in range(len(segs)):
         p = segs[i, :2]
         r = segs[i, 2:] - segs[i, :2]
         t, u, noncol, col, li = _crossing_params(segs, i)
-        ts = [0.0, 1.0]
         ok = noncol & (t > 1e-12) & (t < 1 - 1e-12) \
             & (u >= -1e-12) & (u <= 1 + 1e-12)
         ok[i] = False
-        ts.extend(t[ok].tolist())
+        cuts: list[tuple[float, np.ndarray]] = []
+        for j in np.where(ok)[0]:
+            if u[j] <= eps_end:
+                pt = segs[j, :2]
+            elif u[j] >= 1 - eps_end:
+                pt = segs[j, 2:]
+            elif i < int(j):
+                pt = p + t[j] * r
+            else:
+                pt = segs[j, :2] + u[j] * (segs[j, 2:] - segs[j, :2])
+            cuts.append((float(t[j]), pt))
         col = col.copy()
         col[i] = False
         if col.any():
             rr = li * li
-            qp = segs[:, :2] - p
-            s = segs[:, 2:] - segs[:, :2]
-            t0 = (qp[col, 0] * r[0] + qp[col, 1] * r[1]) / rr
-            t1 = ((qp[col, 0] + s[col, 0]) * r[0]
-                  + (qp[col, 1] + s[col, 1]) * r[1]) / rr
-            for tv in np.concatenate([t0, t1]):
-                if 1e-12 < tv < 1 - 1e-12:
-                    ts.append(float(tv))
-        tarr = np.unique(np.round(np.asarray(ts, dtype=np.float64), 12))
-        pts = p[None, :] + tarr[:, None] * r[None, :]
-        for k in range(len(tarr) - 1):
-            out.append((pts[k], pts[k + 1]))
+            for j in np.where(col)[0]:
+                for q in (segs[j, :2], segs[j, 2:]):
+                    tv = ((q[0] - p[0]) * r[0] + (q[1] - p[1]) * r[1]) / rr
+                    if 1e-12 < tv < 1 - 1e-12:
+                        cuts.append((float(tv), q))
+        cuts.sort(key=lambda c: c[0])
+        pts = [p] + [c[1] for c in cuts] + [segs[i, 2:]]
+        for k in range(len(pts) - 1):
+            out.append((np.asarray(pts[k], dtype=np.float64),
+                        np.asarray(pts[k + 1], dtype=np.float64)))
     return out
 
 

@@ -615,3 +615,94 @@ def test_simplify_mesh_global_empty_child_level(spark):
     assert out.count() == 0
     assert out.columns == ["osm_id", "parent_osm_id", "n_points_before",
                            "n_points_after", "geom_wkb"]
+
+
+def _tri_mp(pts):
+    a = np.vstack([np.asarray(pts, float), [pts[0]]])
+    if geom.ring_area(a) < 0:
+        a = a[::-1].copy()
+    return [[a]]
+
+
+def test_overlay_crossing_points_bit_identical():
+    """Fuzz-found (r03): the two halves of one geometric crossing were
+    split at floats derived from EACH segment's own parametrization;
+    on this triangle configuration the coordinates quantized to
+    snap keys ONE QUANTUM apart, leaving degree-1 vertices and a
+    self-crossing 1.14-area 'union' of inputs covering ~7.5. Split
+    points are now derived canonically (lower-index parametrization /
+    endpoint coordinates), making both halves bit-identical."""
+    from posmspark.dissolve import dissolve_union
+
+    tris = {
+        "p0": _tri_mp([[4.81, 6.05], [8.62, 0.65], [8.63, 1.65]]),
+        "p1": _tri_mp([[6.71, 3.96], [4.94, 2.78], [9.39, 0.42]]),
+        "p2": _tri_mp([[1.22, 2.75], [6.48, 3.88], [7.39, 4.72]]),
+        "p3": _tri_mp([[2.92, 6.5], [2.84, 6.26], [5.0, 8.68]]),
+    }
+    u = dissolve_union(tris)
+    # point-sampling oracle: result membership == any-input membership
+    rng = np.random.default_rng(338)
+    px = rng.uniform(-1, 11, 3000)
+    py = rng.uniform(-1, 11, 3000)
+    want = np.zeros(len(px), bool)
+    for polys in tris.values():
+        want |= geom.points_in_multipolygon(px, py, polys)
+    got = geom.points_in_multipolygon(px, py, u)
+    # tolerate only points within snap distance of an input edge
+    assert (got != want).mean() < 0.003
+    area = sum(geom.ring_area(r) for p in u for r in p)
+    assert 7.0 < area < 8.5
+
+
+def test_overlay_random_fuzz_vs_point_oracle():
+    """Bounded in-suite version of the r03 overlay fuzz: random
+    overlapping rectangles+triangles, union AND residual checked
+    against a point-sampling oracle (fixed seeds incl. the three
+    that originally failed: 119, 170, 338)."""
+    from posmspark.dissolve import dissolve_union, residual_classify
+
+    def rect_mp(x0, y0, x1, y1):
+        return [[np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]]
+
+    def check(seed):
+        rng = np.random.default_rng(seed)
+        k = rng.integers(2, 6)
+        inputs = {}
+        for i in range(k):
+            if rng.random() < 0.6:
+                x0, y0 = rng.uniform(0, 8, 2)
+                w, h = rng.uniform(0.5, 4, 2)
+                inputs[f"p{i}"] = rect_mp(
+                    round(x0, 2), round(y0, 2),
+                    round(x0 + w, 2), round(y0 + h, 2))
+            else:
+                pts = np.round(rng.uniform(0, 10, (3, 2)), 2)
+                g = _tri_mp(pts)
+                if abs(geom.ring_area(g[0][0])) < 0.1:
+                    continue
+                inputs[f"p{i}"] = g
+        if len(inputs) < 2:
+            return
+        prng = np.random.default_rng(seed + 10000)
+        px = prng.uniform(-1, 11, 2500)
+        py = prng.uniform(-1, 11, 2500)
+        in_any = np.zeros(len(px), bool)
+        for polys in inputs.values():
+            in_any |= geom.points_in_multipolygon(px, py, polys)
+
+        u = dissolve_union(inputs)
+        got = geom.points_in_multipolygon(px, py, u)
+        assert (got != in_any).mean() < 0.005, f"union seed={seed}"
+
+        parent = rect_mp(0, 0, 10, 10)
+        in_parent = geom.points_in_multipolygon(px, py, parent)
+        _status, res = residual_classify(parent, inputs)
+        got_r = (geom.points_in_multipolygon(px, py, res)
+                 if res else np.zeros(len(px), bool))
+        want_r = in_parent & ~in_any
+        assert (got_r != want_r).mean() < 0.005, f"residual seed={seed}"
+
+    for seed in [119, 170, 338, *range(24)]:
+        check(seed)
