@@ -706,3 +706,53 @@ def test_overlay_random_fuzz_vs_point_oracle():
 
     for seed in [119, 170, 338, *range(24)]:
         check(seed)
+
+
+def test_dissolve_random_bsp_mesh_fuzz():
+    """Bounded in-suite version of the r03 BSP-mesh fuzz: random
+    conformal tilings at irrational coordinates — union of all tiles
+    must be exactly the parent rectangle (area + one outer polygon),
+    and the residual of a random subset must equal the dropped tiles'
+    area (exercises cancellation, hole grouping, and the
+    disjoint-interiors dispatch on non-tiling subsets)."""
+    from posmspark.dissolve import dissolve_union, residual_classify
+
+    def bsp(x0, y0, x1, y1, rng, depth):
+        if depth == 0 or rng.random() < 0.2:
+            return [[np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]]
+        if rng.random() < 0.5 and x1 - x0 > 0.5:
+            xm = x0 + (x1 - x0) * rng.uniform(0.3, 0.7)
+            return (bsp(x0, y0, xm, y1, rng, depth - 1)
+                    + bsp(xm, y0, x1, y1, rng, depth - 1))
+        elif y1 - y0 > 0.5:
+            ym = y0 + (y1 - y0) * rng.uniform(0.3, 0.7)
+            return (bsp(x0, y0, x1, ym, rng, depth - 1)
+                    + bsp(x0, ym, x1, y1, rng, depth - 1))
+        return [[np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]]
+
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        x0, y0 = rng.uniform(0, 1, 2) * np.pi / 3
+        W, H = rng.uniform(5, 9, 2) * np.sqrt(2) / 1.3
+        tiles = bsp(x0, y0, x0 + W, y0 + H, rng, 4)
+        if len(tiles) < 3:
+            continue
+        children = {f"c{i}": [t] for i, t in enumerate(tiles)}
+
+        u = dissolve_union(children)
+        ua = sum(geom.ring_area(r) for p in u for r in p)
+        assert abs(ua - W * H) < 1e-6 * W * H, seed
+        assert len(u) == 1, seed
+
+        parent = [[np.array([[x0, y0], [x0 + W, y0], [x0 + W, y0 + H],
+                             [x0, y0 + H], [x0, y0]])]]
+        keep = {k: v for k, v in children.items() if rng.random() < 0.7}
+        if not keep or len(keep) == len(children):
+            continue
+        dropped = sum(geom.ring_area(t[0][0])
+                      for k, t in children.items() if k not in keep)
+        _status, res = residual_classify(parent, keep)
+        ra = sum(geom.ring_area(r) for p in res for r in p)
+        assert abs(ra - dropped) < 1e-6 * max(dropped, 1), seed
