@@ -1012,7 +1012,6 @@ def simplify_mesh_global(spark, prepared, child_level: int,
 
     from posmspark import session as _session
 
-    _session.release_staged()
     pieces = _session.stage_persist(
         # feeds the chain dedupe AND the reassembly join
         edges.join(owners, "seg_key")

@@ -777,7 +777,6 @@ def q_ngram_jaccard_pairs(spark, sf):
     # invocations in one long session never accumulate entries.
     from posmspark import session as _session
 
-    _session.release_staged()
     sh = _session.stage_persist(_doc_shingles(spark, sf))
     hot = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -899,7 +898,6 @@ def q_minhash_band_candidates(spark, sf):
 
     from posmspark import session as _session
 
-    _session.release_staged()
     sh = _session.stage_persist(_doc_shingles(spark, sf))
     sigs = dedup.minhash_signatures(
         sh, n_bands=4, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
@@ -945,7 +943,6 @@ def q_minhash_verified_dups(spark, sf):
 
     from posmspark import session as _session
 
-    _session.release_staged()
     sh = _session.stage_persist(_doc_shingles(spark, sf))
     sigs = dedup.minhash_signatures(
         sh, n_bands=8, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,

@@ -49,18 +49,20 @@ def get_spark(
     return spark
 
 
-#: persisted intermediates staged by the current query build — released
-#: by the NEXT query that stages (review r03: repeated invocations in a
-#: long driver session each pinned a fresh CacheManager entry; entries
-#: are plan-keyed and never garbage-collected without an explicit
-#: unpersist, unlike checkpoint RDDs)
+#: persisted multi-consumer intermediates, most recent last. Bounded
+#: LRU (review r03: CacheManager entries are plan-keyed and never
+#: garbage-collected without an explicit unpersist, so an unbounded
+#: session accumulates them) with sameResult REUSE so sibling queries
+#: sharing a stage (the three dedup queries all stage the same shingle
+#: table) hit one cache entry instead of rebuilding it.
 _STAGED: list = []
+_STAGED_MAX = 4
 
 
 def release_staged() -> None:
-    """Unpersist every DataFrame staged by the previous query build.
-    Safe while earlier results are still referenced — at worst a
-    late consumer recomputes the sub-plan."""
+    """Unpersist every staged DataFrame (explicit full flush, e.g.
+    between bench suites). Safe while earlier results are still
+    referenced — at worst a late consumer recomputes the sub-plan."""
     while _STAGED:
         try:
             _STAGED.pop().unpersist(blocking=False)
@@ -69,9 +71,25 @@ def release_staged() -> None:
 
 
 def stage_persist(df):
-    """persist() a multi-consumer intermediate and register it for
-    release by the next query build. Call release_staged() once at the
-    start of a query that stages, THEN stage its intermediates."""
+    """persist() a multi-consumer intermediate under the bounded LRU.
+    If an already-staged DataFrame has the same analyzed plan
+    (Catalyst sameResult), that entry is refreshed and returned —
+    sibling queries share one cache entry; otherwise the new frame is
+    persisted and the oldest entry beyond the cap is released."""
+    try:
+        an = df._jdf.queryExecution().analyzed()
+        for prev in _STAGED:
+            if prev._jdf.queryExecution().analyzed().sameResult(an):
+                _STAGED.remove(prev)
+                _STAGED.append(prev)
+                return prev
+    except Exception:
+        pass  # plan comparison is best-effort; fall through to persist
     df = df.persist()
     _STAGED.append(df)
+    while len(_STAGED) > _STAGED_MAX:
+        try:
+            _STAGED.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass
     return df
