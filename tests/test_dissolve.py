@@ -756,3 +756,74 @@ def test_dissolve_random_bsp_mesh_fuzz():
         _status, res = residual_classify(parent, keep)
         ra = sum(geom.ring_area(r) for p in res for r in p)
         assert abs(ra - dropped) < 1e-6 * max(dropped, 1), seed
+
+
+def test_shared_edge_simplify_random_mesh_watertight():
+    """Bounded in-suite version of the r03 simplify fuzz: random BSP
+    meshes, borders densified with deterministic noise, simplified with
+    shared_edge_simplify — every interior segment of the result must
+    appear exactly twice (watertight), and the union of the simplified
+    children must still cancel to one single-ring outline with ~the
+    original area."""
+    from collections import Counter
+
+    from posmspark.dissolve import _key, dissolve_union, shared_edge_simplify
+
+    def bsp(x0, y0, x1, y1, rng, depth):
+        if depth == 0 or rng.random() < 0.2:
+            return [[np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]]
+        if rng.random() < 0.5 and x1 - x0 > 0.5:
+            xm = x0 + (x1 - x0) * rng.uniform(0.3, 0.7)
+            return (bsp(x0, y0, xm, y1, rng, depth - 1)
+                    + bsp(xm, y0, x1, y1, rng, depth - 1))
+        elif y1 - y0 > 0.5:
+            ym = y0 + (y1 - y0) * rng.uniform(0.3, 0.7)
+            return (bsp(x0, y0, x1, ym, rng, depth - 1)
+                    + bsp(x0, ym, x1, y1, rng, depth - 1))
+        return [[np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]]
+
+    def noisy(ring):
+        pts = []
+        for i in range(len(ring) - 1):
+            a, b = ring[i], ring[i + 1]
+            for k in range(5):
+                t = k / 5
+                p = a + t * (b - a)
+                if k > 0:
+                    # deterministic per-point offset: both owners of a
+                    # shared border compute the identical polyline
+                    h = hash((round(p[0] / 1e-9), round(p[1] / 1e-9))) % 1000
+                    d = b - a
+                    ln = np.hypot(*d)
+                    p = p + np.array([-d[1], d[0]]) / ln * (
+                        (h / 1000 - 0.5) * 0.02)
+                pts.append(p.copy())
+        pts.append(pts[0].copy())
+        return np.array(pts)
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        x0, y0 = rng.uniform(0, 1, 2) * np.pi / 3
+        W, H = rng.uniform(5, 9, 2) * np.sqrt(2) / 1.3
+        tiles = bsp(x0, y0, x0 + W, y0 + H, rng, 3)
+        if len(tiles) < 3:
+            continue
+        children = {f"c{i}": [[noisy(t[0])]] for i, t in enumerate(tiles)}
+        simp = shared_edge_simplify(children, tol=0.05)
+
+        cnt = Counter()
+        for polys in simp.values():
+            for rings in polys:
+                for ring in rings:
+                    for i in range(len(ring) - 1):
+                        a, b = _key(ring[i]), _key(ring[i + 1])
+                        sk = (a, b) if a < b else (b, a)
+                        cnt[sk] += 1
+        assert all(c <= 2 for c in cnt.values()), seed
+
+        u = dissolve_union(simp)
+        assert len(u) == 1 and len(u[0]) == 1, seed
+        ua = sum(geom.ring_area(r) for p in u for r in p)
+        assert abs(ua - W * H) < 0.05 * W * H, seed
