@@ -170,10 +170,17 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
     broadcast builds regardless of Catalyst's size estimates.
     """
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle").hint("merge")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle").hint("merge")
+    # join on a 64-bit hash of the shingle, not the string: the two
+    # fact-fact shuffles below move every (doc, shingle) row, and long
+    # 3-gram strings dominate the shuffle bytes (~5x narrower as int64).
+    # Jaccard counts are unchanged unless xxhash64 collides WITHIN one
+    # candidate pair's shingle sets (~2^-64 per shingle pair; the
+    # portable-oracle parity at sf0.01 is collision-free by test).
+    shh = sh.select(id_col, F.xxhash64("shingle").alias("sh_h"))
+    sa = shh.select(F.col(id_col).alias("id_a"), "sh_h").hint("merge")
+    sb = shh.select(F.col(id_col).alias("id_b"), "sh_h").hint("merge")
     inter = (
-        pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+        pairs.join(sa, "id_a").join(sb, ["id_b", "sh_h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
