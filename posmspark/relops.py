@@ -778,11 +778,17 @@ def q_ngram_jaccard_pairs(spark, sf):
     from posmspark import session as _session
 
     sh = _session.stage_persist(_doc_shingles(spark, sf))
+    # every shuffle below keys on the shingle: hash the string to 64
+    # bits first so the exchanges move int64 keys, not 3-gram strings
+    # (~5x narrower; counts unchanged barring a 2^-64 within-pair
+    # collision — same trade as dedup.verify_jaccard, oracle parity
+    # value-exact by test)
+    shh = sh.select("doc_id", F.xxhash64("shingle").alias("sh_h"))
     hot = (
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > NGRAM_MAX_SHINGLE_FREQ).select("shingle")
+        shh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_SHINGLE_FREQ).select("sh_h")
     )
-    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    cold = shh.join(F.broadcast(hot), "sh_h", "left_anti")
     # fact-fact self-join: merge hint keeps Catalyst's under-estimated
     # explode output from being broadcast-built on the driver (measured
     # OOM at 600k docs; see dedup.lsh_candidate_pairs)
@@ -791,7 +797,7 @@ def q_ngram_jaccard_pairs(spark, sf):
     # cold-shared counts come straight off the self-join (one groupBy;
     # no distinct + re-join against the full shingle table)
     inter_cold = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
@@ -804,14 +810,14 @@ def q_ngram_jaccard_pairs(spark, sf):
     # hot-shared counts only for pairs that already share a cold
     # shingle: join the (tiny) hot shingle rows to both sides — exact
     # totals without ever self-joining on a hot key
-    hot_sh = sh.join(F.broadcast(hot), "shingle")
+    hot_sh = shh.join(F.broadcast(hot), "sh_h")
     ha = hot_sh.select(F.col("doc_id").alias("doc_a"),
-                       "shingle").hint("merge")
+                       "sh_h").hint("merge")
     hb = hot_sh.select(F.col("doc_id").alias("doc_b"),
-                       "shingle").hint("merge")
+                       "sh_h").hint("merge")
     inter_hot = (
         inter_cold.select("doc_a", "doc_b")
-        .join(ha, "doc_a").join(hb, ["doc_b", "shingle"])
+        .join(ha, "doc_a").join(hb, ["doc_b", "sh_h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_hot"))
     )
