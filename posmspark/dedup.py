@@ -106,17 +106,22 @@ def minhash_signatures(sh: DataFrame, n_bands: int = 8,
         # NOTE: sh feeds three branches here — callers persist it
         # (every in-repo caller does; at scale the shingle table is a
         # materialized stage anyway). The hot list is bounded by the
-        # corpus's boilerplate vocabulary -> broadcastable.
+        # corpus's boilerplate vocabulary -> broadcastable. Hot
+        # DETECTION keys on a 64-bit hash so the partial-agg exchange
+        # (one row per distinct shingle per partition) moves int64s,
+        # not 3-gram strings; a 2^-64 collision could at worst sample
+        # one cold shingle under the cap.
+        shh = sh.withColumn("_sh_h", F.xxhash64("shingle"))
         hot = (
-            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_freq).select("shingle")
+            shh.groupBy("_sh_h").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq).select("_sh_h")
         )
         hot_kept = cap_k_smallest(
-            sh.join(F.broadcast(hot), "shingle"), ["shingle"], id_col,
-            max_shingle_freq)
+            shh.join(F.broadcast(hot), "_sh_h"), ["_sh_h"], id_col,
+            max_shingle_freq).drop("_sh_h")
         sh = (
-            sh.join(F.broadcast(hot), "shingle", "left_anti")
-            .unionByName(hot_kept)
+            shh.join(F.broadcast(hot), "_sh_h", "left_anti")
+            .drop("_sh_h").unionByName(hot_kept)
         )
     if portable_hash:
         def band_hash(b):
