@@ -321,3 +321,23 @@ def test_cosine_near_pairs_short_arrays_not_dropped(spark):
     }
     assert got == _brute_cosine_pairs(list(range(40)), mat, 0.99)
     assert (10, 20) in got
+
+
+def test_fnv1a_batch_matches_scalar_definition():
+    """The vectorized byte-position sweep must reproduce the scalar
+    FNV-1a definition bit-for-bit (fingerprints feed the pigeonhole
+    join — any drift silently changes candidate sets)."""
+    def scalar(token):
+        h = 0xCBF29CE484222325
+        for byte in token.encode("utf-8"):
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    rng = np.random.default_rng(17)
+    toks = ["", "a", "hello", "naïve-ünïcode", "x" * 300] + [
+        "".join(chr(rng.integers(33, 1000)) for _ in range(rng.integers(1, 30)))
+        for _ in range(200)
+    ]
+    got = dedup._fnv1a_batch(toks)
+    want = np.array([scalar(t) for t in toks], dtype=np.uint64)
+    assert (got == want).all()
