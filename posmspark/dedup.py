@@ -223,14 +223,16 @@ def _fnv1a_batch(tokens: list) -> np.ndarray:
     # (n, maxlen) codepoint matrix with ZERO per-token Python work —
     # for codepoints < 128 the UTF-8 bytes ARE the codepoints. The
     # general path (any non-ASCII token in the batch) falls back to
-    # per-token encode.
+    # per-token encode. Char lengths come from map(len) (review r03:
+    # counting nonzero codepoints misreads tokens with embedded NULs,
+    # which DO occur in crawl text).
     arr = np.array(tokens, dtype="U")
     if arr.dtype.itemsize == 0:  # all-empty batch
         return h
     view = arr.view(np.uint32).reshape(n, -1)
     if int(view.max(initial=0)) < 128:
         mat = view.astype(np.uint8)
-        lens = (view != 0).sum(axis=1)  # tokens never contain NUL
+        lens = np.fromiter(map(len, tokens), dtype=np.int64, count=n)
     else:
         bs = [t.encode("utf-8") for t in tokens]
         lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
@@ -244,6 +246,15 @@ def _fnv1a_batch(tokens: list) -> np.ndarray:
             upd = (h ^ mat[:, pos].astype(np.uint64)) * prime
             h = np.where(lens > pos, upd, h)
     return h
+
+
+def _fnv1a_scalar(token: str) -> np.uint64:
+    """Scalar FNV-1a — the defining implementation, used for tokens too
+    long for the padded-matrix path (and by parity tests)."""
+    h = 0xCBF29CE484222325
+    for byte in token.encode("utf-8"):
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return np.uint64(h)
 
 
 @pandas_udf(T.LongType())
@@ -264,20 +275,43 @@ def _simhash_udf(tokens: pd.Series) -> pd.Series:
         return pd.Series(out)
     # hash each DISTINCT token once (crawl token frequencies are
     # Zipfian — the distinct set is a small fraction of occurrences),
-    # then gather per occurrence. Segment sums per doc via one bincount
-    # per bit column: both reduceat layouts and axis-0 cumsum measured
-    # 10-40x slower on the (tokens, 64) matrix (profiled r03).
-    uniq, inv = np.unique(np.array(flat, dtype="U"), return_inverse=True)
-    hs = _fnv1a_batch(list(uniq))
-    # bit matrix via unpackbits on the big-endian byte view, column
-    # order reversed so column k == (h >> k) & 1
-    bits_u = np.unpackbits(
-        hs.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)[:, ::-1]
+    # then gather per occurrence. Hashing is CHUNKED (the 'U' arrays
+    # pad every token to the chunk's longest) and tokens beyond 64
+    # chars take the scalar path, so one long outlier token can never
+    # blow the padded matrix up (review r03: a single 100KB no-space
+    # "token" made the batch matrix hundreds of GB). Segment sums per
+    # doc via one bincount per bit column: both reduceat layouts and
+    # axis-0 cumsum measured 10-40x slower on the (tokens, 64) matrix.
+    hs_occ = np.empty(len(flat), dtype=np.uint64)
+    HASH_CHUNK = 500_000
+    LONG_TOKEN = 64
+    for st in range(0, len(flat), HASH_CHUNK):
+        seg = flat[st:st + HASH_CHUNK]
+        seglens = np.fromiter(map(len, seg), dtype=np.int64,
+                              count=len(seg))
+        long_i = np.where(seglens > LONG_TOKEN)[0]
+        if len(long_i):
+            short_i = np.where(seglens <= LONG_TOKEN)[0]
+            if len(short_i):
+                uniq, inv = np.unique(
+                    np.array([seg[i] for i in short_i], dtype="U"),
+                    return_inverse=True)
+                hs_occ[st + short_i] = _fnv1a_batch(list(uniq))[inv]
+            for i in long_i:
+                hs_occ[st + i] = _fnv1a_scalar(seg[i])
+        else:
+            uniq, inv = np.unique(np.array(seg, dtype="U"),
+                                  return_inverse=True)
+            hs_occ[st:st + len(seg)] = _fnv1a_batch(list(uniq))[inv]
     doc_idx = np.repeat(np.arange(n_docs), lens)
     bitsum = np.zeros((n_docs, 64), dtype=np.int64)
     CHUNK = 2_000_000
-    for st in range(0, len(inv), CHUNK):
-        bits = bits_u[inv[st:st + CHUNK]]
+    for st in range(0, len(hs_occ), CHUNK):
+        # bit matrix via unpackbits on the big-endian byte view, column
+        # order reversed so column k == (h >> k) & 1
+        bits = np.unpackbits(
+            hs_occ[st:st + CHUNK].astype(">u8").view(np.uint8)
+            .reshape(-1, 8), axis=1)[:, ::-1]
         di = doc_idx[st:st + CHUNK]
         for b in range(64):
             bitsum[:, b] += np.bincount(

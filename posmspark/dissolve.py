@@ -507,7 +507,14 @@ def _split_at_intersections(segs: np.ndarray) -> list:
         p = segs[i, :2]
         r = segs[i, 2:] - segs[i, :2]
         t, u, noncol, col, li = _crossing_params(segs, i)
-        ok = noncol & (t > 1e-12) & (t < 1 - 1e-12) \
+        # interior cutoff MUST equal eps_end (review r03): with a
+        # smaller interior bound, a crossing at t in (interior, eps_end]
+        # on THIS segment is treated as a T-junction by the partner
+        # (cut at this segment's endpoint) but still split here at the
+        # parametrization point — two vertices ~eps apart that can
+        # straddle a snap-cell boundary, exactly the mismatch this
+        # function must never produce.
+        ok = noncol & (t > eps_end) & (t < 1 - eps_end) \
             & (u >= -1e-12) & (u <= 1 + 1e-12)
         ok[i] = False
         cuts: list[tuple[float, np.ndarray]] = []

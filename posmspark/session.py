@@ -76,6 +76,21 @@ def stage_persist(df):
     (Catalyst sameResult), that entry is refreshed and returned —
     sibling queries share one cache entry; otherwise the new frame is
     persisted and the oldest entry beyond the cap is released."""
+    # purge entries from other (possibly stopped) sessions first —
+    # sameResult compares already-built JVM plans, so a stale entry
+    # from a stopped session would otherwise be handed back and fail
+    # only at execution time (review r03)
+    for prev in list(_STAGED):
+        try:
+            same_session = prev.sparkSession is df.sparkSession
+        except Exception:
+            same_session = False
+        if not same_session:
+            _STAGED.remove(prev)
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass
     try:
         an = df._jdf.queryExecution().analyzed()
         for prev in _STAGED:

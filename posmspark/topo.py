@@ -145,13 +145,16 @@ def topology_tree_by_parent(spark, prepared, out_dir: str | None = None,
     import pandas as pd
     from pyspark.sql import types as T
 
-    if out_dir is not None:
-        # the artifact tree is a per-run product: clear any previous
-        # build so removed parents can't survive as stale directories
-        # (review r03)
+    # the artifact tree is a per-run product: build into a sibling
+    # temp dir and swap it in only AFTER the job succeeds, so removed
+    # parents can't survive as stale directories AND a failed rebuild
+    # can't destroy the previous good tree (review r03: the earlier
+    # eager rmtree wiped the tree at plan-construction time)
+    build_dir = None if out_dir is None else out_dir + ".build"
+    if build_dir is not None:
         import shutil
 
-        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(build_dir, ignore_errors=True)
 
     bc = spark.sparkContext.broadcast(prepared.polys_by_id)
     lp = prepared.levels_pdf
@@ -190,8 +193,8 @@ def topology_tree_by_parent(spark, prepared, out_dir: str | None = None,
                 if oid in polys_by_id}
         t = topology(mesh, quantization=quantization)
         payload = json.dumps(t, separators=(",", ":")).encode()
-        if out_dir is not None:
-            d = os.path.join(out_dir, parent)
+        if build_dir is not None:
+            d = os.path.join(build_dir, parent)
             os.makedirs(d, exist_ok=True)
             final = os.path.join(d, "geometry.topojson.json")
             tmp = final + f".tmp{os.getpid()}"
@@ -213,7 +216,20 @@ def topology_tree_by_parent(spark, prepared, out_dir: str | None = None,
             for oid, s in sorted(stats.items())
         ])
 
-    return src.groupBy("parent_osm_id").applyInPandas(run, schema=schema)
+    result = src.groupBy("parent_osm_id").applyInPandas(run, schema=schema)
+    if build_dir is None:
+        return result
+    # artifacts require the swap: run the job NOW (the checkpoint also
+    # makes re-reads of the returned frame cheap), then promote the
+    # finished build atomically-enough (old tree stays intact on any
+    # executor failure above)
+    import shutil
+
+    result = result.localCheckpoint()
+    os.makedirs(build_dir, exist_ok=True)  # degenerate: zero groups
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(build_dir, out_dir)
+    return result
 
 
 def arc_stats(topo: dict, object_name: str = "boundaries") -> list[dict]:

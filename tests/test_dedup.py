@@ -341,3 +341,30 @@ def test_fnv1a_batch_matches_scalar_definition():
     got = dedup._fnv1a_batch(toks)
     want = np.array([scalar(t) for t in toks], dtype=np.uint64)
     assert (got == want).all()
+
+
+def test_simhash_long_and_nul_tokens(spark):
+    """Review r03: (a) a single huge no-space 'token' must not blow up
+    the padded hashing matrix (routes through the scalar path), and
+    (b) tokens with embedded NULs hash all their bytes identically on
+    the ASCII fast path, the fallback path, and the scalar definition."""
+    long_tok = "x" * 100_000
+    nul_tok = "a\x00b"
+    docs = pd.Series(
+        [[long_tok, "hello"], [nul_tok, "world"],
+         [nul_tok, "naïve"], ["plain", "tokens"]], dtype=object)
+    got = dedup._simhash_udf.func(docs).to_numpy()
+
+    def scalar_fp(toks):
+        hs = np.array([dedup._fnv1a_scalar(t) for t in toks],
+                      dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int32)
+        score = (2 * bits - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for b in np.nonzero(score > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(b)
+        return np.int64(fp.astype(np.int64))
+
+    want = np.array([scalar_fp(toks) for toks in docs])
+    assert (got == want).all()

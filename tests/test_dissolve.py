@@ -827,3 +827,27 @@ def test_shared_edge_simplify_random_mesh_watertight():
         assert len(u) == 1 and len(u[0]) == 1, seed
         ua = sum(geom.ring_area(r) for p in u for r in p)
         assert abs(ua - W * H) < 0.05 * W * H, seed
+
+
+def test_split_near_endpoint_crossings_stay_connected():
+    """Review r03: a crossing whose parameter on one segment falls in
+    the (1e-12, 1e-9] band was treated as a T-junction by one side but
+    split at a different float by the other — the thresholds now agree,
+    so the union of a near-endpoint-crossing pair must produce closed
+    rings (no degree-1 vertices / open chains)."""
+    from posmspark.dissolve import dissolve_union
+
+    # B starts a hair short of A's carrier so their crossing lands at
+    # parameter ~5e-10 on B
+    eps = 5e-10
+    a = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 2.0], [0.0, 2.0],
+                  [0.0, 0.0]])
+    b = np.array([[2.0, -eps], [6.0, -eps], [6.0, 1.0], [2.0 + eps, 1.0],
+                  [2.0, -eps]])
+    u = dissolve_union({"A": [[a]], "B": [[b]]})
+    area = sum(geom.ring_area(r) for p in u for r in p)
+    # union of the two overlapping boxes ~ 8 + 4 - 2 = 10
+    assert abs(area - 10.0) < 1e-3
+    for p in u:
+        for r in p:
+            assert (r[0] == r[-1]).all()  # closed rings only
