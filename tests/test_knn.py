@@ -169,3 +169,24 @@ def test_cellring_exact_when_ring_budget_too_small(spark):
          for r in brute.collect()}
     assert g == b
     assert all(len(v) == 2 for v in g.values())
+
+
+def test_cellring_antimeridian_exact(spark):
+    """r03 fuzz class: sites and points straddling lon=+-180 must match
+    brute force exactly (cell ring expansion wraps the lon axis)."""
+    rng = np.random.default_rng(6)
+    sites = pd.DataFrame({
+        "site_id": [f"s{i}" for i in range(15)],
+        "lon": ((rng.uniform(170, 190, 15) + 180) % 360) - 180,
+        "lat": rng.uniform(-50, 50, 15),
+    })
+    pts = spark.createDataFrame(pd.DataFrame({
+        "url": [f"u{i}" for i in range(200)],
+        "lon": ((rng.uniform(165, 195, 200) + 180) % 360) - 180,
+        "lat": rng.uniform(-50, 50, 200),
+    }))
+    b = {r["url"]: [(e["site_id"], round(e["dist_m"], 6)) for e in r["knn"]]
+         for r in knn_bruteforce(pts, sites, 4, spark).collect()}
+    g = {r["url"]: [(e["site_id"], round(e["dist_m"], 6)) for e in r["knn"]]
+         for r in knn_cellring(pts, sites, 4, spark).collect()}
+    assert b == g
