@@ -174,3 +174,92 @@ def test_jvm_ingest_matches_arrow_kernel(spark, pages):
     assert py.exceptAll(jvm).count() == 0
     plan = jvm._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan, plan[:800]
+
+
+def _bsp_rects(x0, y0, x1, y1, rng, depth):
+    if depth == 0 or rng.random() < 0.25:
+        return [(x0, y0, x1, y1)]
+    if rng.random() < 0.5 and x1 - x0 > 1:
+        xm = x0 + (x1 - x0) * rng.uniform(0.3, 0.7)
+        return (_bsp_rects(x0, y0, xm, y1, rng, depth - 1)
+                + _bsp_rects(xm, y0, x1, y1, rng, depth - 1))
+    elif y1 - y0 > 1:
+        ym = y0 + (y1 - y0) * rng.uniform(0.3, 0.7)
+        return (_bsp_rects(x0, y0, x1, ym, rng, depth - 1)
+                + _bsp_rects(x0, ym, x1, y1, rng, depth - 1))
+    return [(x0, y0, x1, y1)]
+
+
+def test_pip_join_random_hierarchy_fuzz(spark):
+    """r03 fuzz class: the cover-map + PIP assignment must match the
+    first-insert_order-match oracle on RANDOM hierarchies too — BSP
+    countries at irrational coords, shuffled input order, overlapping
+    duplicate level-1 regions (8-seed external run clean; 2 pinned)."""
+    for seed in (0, 3):
+        rng = np.random.default_rng(seed)
+        rows, order = [], iter(range(10000))
+        cid = 0
+        for c in range(2):
+            cx = c * 40 + rng.uniform(0, 3) * np.pi
+            cy = rng.uniform(-20, 20)
+            W, H = rng.uniform(8, 14, 2)
+            rows.append(synth._row(f"C{cid}", f"c{c}", f"c{c}", "2", "aa",
+                                   "administrative",
+                                   [[synth.rect(cx, cy, cx + W, cy + H)]],
+                                   next(order)))
+            cid += 1
+            for i, (a, b, x, y) in enumerate(
+                    _bsp_rects(cx, cy, cx + W, cy + H, rng, 2)):
+                rows.append(synth._row(f"C{cid}", f"l1-{c}-{i}", None, "4",
+                                       None, "administrative",
+                                       [[synth.rect(a, b, x, y)]],
+                                       next(order)))
+                cid += 1
+                for j, (p, q, r, s) in enumerate(
+                        _bsp_rects(a, b, x, y, rng, 2)):
+                    rows.append(synth._row(f"C{cid}", f"l2-{c}-{i}-{j}",
+                                           None, "6", None,
+                                           "administrative",
+                                           [[synth.rect(p, q, r, s)]],
+                                           next(order)))
+                    cid += 1
+            aa = cx + rng.uniform(0, W / 2)
+            bb = cy + rng.uniform(0, H / 2)
+            rows.append(synth._row(f"C{cid}", f"dup-{c}", None, "4", None,
+                                   "administrative",
+                                   [[synth.rect(aa, bb, aa + W / 3,
+                                                bb + H / 3)]], next(order)))
+            cid += 1
+        bpdf = pd.DataFrame(rows).sample(
+            frac=1, random_state=seed).reset_index(drop=True)
+        prepared = prepare_boundaries(bpdf, synth.gen_admin_mapping_pdf())
+
+        prng = np.random.default_rng(seed + 999)
+        lon = np.concatenate([prng.uniform(-10, 100, 150),
+                              prng.uniform(0, 14, 100)])
+        lat = np.concatenate([prng.uniform(-40, 40, 150),
+                              prng.uniform(-20, 20, 100)])
+        pts = spark.createDataFrame(pd.DataFrame({
+            "url": [f"u{i}" for i in range(len(lon))],
+            "lon": lon, "lat": lat}))
+        lcols = [f"osm_id_l{lv}" for lv in range(prepared.n_levels)]
+        got = (pip_join(with_cell(pts), prepared, spark)
+               .select("url", "lon", "lat", *lcols)
+               .toPandas().set_index("url"))
+
+        ordered = prepared.levels_pdf.sort_values("insert_order")
+
+        def oracle(lo, la, level):
+            for r in ordered[ordered.adminlevel == level].itertuples(
+                    index=False):
+                if geom.points_in_multipolygon(
+                        np.array([lo]), np.array([la]),
+                        prepared.polys_by_id[r.osm_id])[0]:
+                    return r.osm_id
+            return None
+
+        for url, row in got.iterrows():
+            for lv, col in enumerate(lcols):
+                exp = oracle(row.lon, row.lat, lv)
+                assert row[col] == exp or (
+                    exp is None and pd.isna(row[col])), (seed, url, lv)
