@@ -210,6 +210,17 @@ def commit_overwrite_partitions(df: DataFrame, table_dir: str,
     rel = os.path.relpath(data_dir, table_dir)
     for f in files:
         f["path"] = os.path.join(rel, f["path"])
+    # files without the partition keys (e.g. an earlier commit_append
+    # with no partition_by) may MIX rows of touched and untouched
+    # partitions — carrying them over would silently resurrect rows the
+    # overwrite should replace (fuzz r03). Refuse instead of corrupting.
+    for f in base:
+        missing = [k for k in partition_by if k not in f["partition"]]
+        if missing:
+            raise ValueError(
+                f"snapshot file {f['path']} has no partition value for "
+                f"{missing}: dynamic partition overwrite requires every "
+                "prior commit on this table to use the same partition_by")
     touched = {tuple(sorted(f["partition"].items())) for f in files}
     kept = [f for f in base
             if tuple(sorted(f["partition"].items())) not in touched]
