@@ -296,3 +296,57 @@ def test_incremental_null_partition_key_valueerror(spark, tmp_path):
     with pytest.raises(ValueError, match="hive path escaping"):
         lineage.run_stage_incremental(
             spark, "s", df, str(tmp_path / "out"), lambda d: d, "k")
+
+
+def test_incremental_random_mutation_sequence(spark, tmp_path):
+    """Fuzz r03 (bounded): random add/modify/delete partition mutations
+    across reruns — the incremental output must equal a from-scratch
+    build after every step (5-seed external run clean; 2 pinned)."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    for seed in (2, 4):
+        rng = np.random.default_rng(seed)
+        in_dir = str(tmp_path / f"in{seed}")
+        out_dir = str(tmp_path / f"out{seed}")
+        state = {}
+        ids = iter(range(100000))
+
+        def write_partition(key):
+            pdf = pd.DataFrame(state[key], columns=["id", "val"])
+            pdf["k"] = key
+            spark.createDataFrame(pdf).coalesce(1).write.mode(
+                "overwrite").parquet(os.path.join(in_dir, f"k={key}"))
+
+        def build(df):
+            return df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("val").alias("sval"))
+
+        for key in "abc":
+            state[key] = [(next(ids), int(rng.integers(0, 50)))
+                          for _ in range(int(rng.integers(2, 6)))]
+            write_partition(key)
+
+        for step in range(5):
+            lineage.run_stage_incremental(
+                spark, "agg", in_dir, out_dir, build, "k")
+            got = {r["k"]: (r["n"], r["sval"])
+                   for r in spark.read.parquet(out_dir).collect()}
+            want = {k: (len(v), sum(x[1] for x in v))
+                    for k, v in state.items()}
+            assert got == want, (seed, step)
+            op = rng.choice(["add", "modify", "delete", "noop"])
+            if op == "add":
+                key = f"n{seed}{step}"
+                state[key] = [(next(ids), int(rng.integers(0, 50)))]
+                write_partition(key)
+            elif op == "modify" and state:
+                key = rng.choice(sorted(state))
+                state[key].append((next(ids), int(rng.integers(0, 50))))
+                write_partition(key)
+            elif op == "delete" and len(state) > 1:
+                key = rng.choice(sorted(state))
+                del state[key]
+                shutil.rmtree(os.path.join(in_dir, f"k={key}"))
