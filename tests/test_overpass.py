@@ -101,3 +101,35 @@ def test_open_ring_rejected():
         outer_ways=[[(0, 0), (4, 0), (4, 4)]]))
     with pytest.raises(ValueError, match="open ring"):
         overpass.assemble_rings(parsed["outer_ways"])
+
+
+def test_assemble_rings_random_fragment_fuzz():
+    """r03 fuzz (bounded): random polygons cut into shuffled/reversed
+    way fragments must reassemble to one ring with the original area
+    (300-seed run clean; 40 pinned)."""
+    import numpy as np
+
+    from posmspark import geom
+
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        k = int(rng.integers(6, 20))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(1, 5, k)
+        ring = np.column_stack(
+            [10 + rad * np.cos(ang), 20 + rad * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        nfrag = int(rng.integers(1, min(6, k)))
+        cuts = np.sort(rng.choice(np.arange(k), size=nfrag, replace=False))
+        closed = np.vstack([ring[:-1], ring[:1]])
+        idx = list(cuts) + [cuts[0] + k]
+        frags = [np.array([closed[i % k] for i in range(a, b + 1)])
+                 for a, b in zip(idx[:-1], idx[1:])]
+        frags = [f[::-1].copy() if rng.random() < 0.5 else f for f in frags]
+        frags = [frags[i] for i in rng.permutation(len(frags))]
+        rings = overpass.assemble_rings(
+            [[(float(x), float(y)) for x, y in f] for f in frags])
+        assert len(rings) == 1, seed
+        got_area = abs(geom.ring_area(np.array(rings[0])))
+        want_area = abs(geom.ring_area(ring))
+        assert abs(got_area - want_area) <= 1e-9 * max(want_area, 1), seed

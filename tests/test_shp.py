@@ -79,3 +79,45 @@ def test_shapefile_zip_prepares_identical_hierarchy(tmp_path):
         for gp, ep in zip(got, polys):
             for gr, er in zip(gp, ep):
                 assert np.array_equal(gr, er), oid
+
+
+def test_shp_roundtrip_random_fuzz():
+    """r03 fuzz (bounded): random multi-part multipolygons with holes
+    at irrational coords must survive the write->read round trip
+    (200-seed external run clean; 30 pinned)."""
+    from posmspark import geom
+
+    def rand_ring(rng, cx, cy, r0, ccw):
+        k = rng.integers(4, 10)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.3, 1.0, k) * r0
+        ring = np.column_stack(
+            [cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        if (geom.ring_area(ring) > 0) != ccw:
+            ring = ring[::-1].copy()
+        return ring
+
+    def canon(ps):
+        return sorted(
+            tuple(map(tuple, np.round(r, 9))) for rr in ps for r in rr)
+
+    for seed in range(30):
+        rng = np.random.default_rng(seed)
+        polys_list = []
+        for _f in range(rng.integers(1, 4)):
+            polys = []
+            for _p in range(rng.integers(1, 3)):
+                cx = rng.uniform(-170, 170)
+                cy = rng.uniform(-80, 80)
+                outer = rand_ring(rng, cx, cy,
+                                  rng.uniform(1, 5) * np.pi / 3, ccw=True)
+                rings = [outer]
+                if rng.random() < 0.5:
+                    rings.append(rand_ring(rng, cx, cy, 0.2, ccw=False))
+                polys.append(rings)
+            polys_list.append(polys)
+        back = shp.read_shp_polygons(shp.write_shp_polygons(polys_list))
+        assert len(back) == len(polys_list), seed
+        for (_rid, polys), orig in zip(back, polys_list):
+            assert canon(polys) == canon(orig), seed
