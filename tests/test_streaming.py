@@ -97,3 +97,41 @@ def test_dedup_stream_first_seen_across_batches(spark, tmp_path):
     streaming.run_dedup_stream_once(pages_dir, out_dir, ckpt, spark, schema)
     out2 = {r["url"] for r in spark.read.parquet(out_dir).collect()}
     assert out2 == {"https://a/1", "https://b/1", "https://c/1"}
+
+
+def test_dedup_stream_random_fuzz(spark, tmp_path):
+    """r03 fuzz (bounded): random batches with heavy content reuse
+    across two checkpointed runs — output must equal the first-seen
+    oracle (earliest (warc_ts, url) occurrence per content, state
+    carried across runs). 4-seed/3-run external fuzz clean."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(1)
+    pages_dir = str(tmp_path / "fz_in")
+    out_dir = str(tmp_path / "fz_out")
+    ckpt = str(tmp_path / "fz_ck")
+    os.makedirs(pages_dir)
+    contents = [f"content-{i}" for i in range(4)]
+    all_rows, uid, schema = [], iter(range(1000)), None
+    for run in range(2):
+        rows = []
+        for _ in range(int(rng.integers(3, 7))):
+            c = contents[rng.integers(0, len(contents))]
+            ts = pd.Timestamp("2025-01-01", tz="UTC") + pd.Timedelta(
+                seconds=int(rng.integers(0, 100000)))
+            rows.append((f"https://u/{next(uid)}", ts, c))
+        all_rows.append(sorted(rows, key=lambda r: (r[1], r[0])))
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append").parquet(pages_dir)
+        if schema is None:
+            schema = spark.read.parquet(pages_dir).schema
+        streaming.run_dedup_stream_once(
+            pages_dir, out_dir, ckpt, spark, schema)
+        seen = {}
+        for batch in all_rows:
+            for u, _ts, c in batch:
+                seen.setdefault(c, u)
+        got = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+        assert got == set(seen.values()), run
