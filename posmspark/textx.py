@@ -85,8 +85,13 @@ def ingest_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
 
     from posmspark import cells
 
-    extracted = html.str[_PRE_LEN:-_POST_LEN].str.decode("utf-8")
-    ok = extracted.eq(text) & extracted.notna()
+    # compare RAW BYTES (slice vs encode(text)) like the JVM kernel:
+    # decoding the slice crashed the whole task on any row whose html
+    # isn't valid UTF-8 at the cut (fuzz r03) — malformed rows must
+    # ROUTE OUT as text_ok=False, never kill the job
+    sliced = html.str[_PRE_LEN:-_POST_LEN]
+    claim = text.str.encode("utf-8")
+    ok = sliced.eq(claim) & sliced.notna() & claim.notna()
     ext = text.str.extract(GEO_RE)
     lat = pd.to_numeric(ext[0], errors="coerce")
     lon = pd.to_numeric(ext[1], errors="coerce")

@@ -263,3 +263,36 @@ def test_pip_join_random_hierarchy_fuzz(spark):
                 exp = oracle(row.lon, row.lat, lv)
                 assert row[col] == exp or (
                     exp is None and pd.isna(row[col])), (seed, url, lv)
+
+
+def test_ingest_kernels_agree_on_adversarial_html(spark):
+    """r03 fuzz: the Arrow and JVM ingest kernels must agree cell-for-
+    cell on adversarial inputs — malformed UTF-8 at the slice cut and
+    raw binary junk ROUTE OUT as text_ok=False rather than crashing the
+    task (the old Arrow kernel decoded the slice and died)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        body = " ".join(rng.choice([
+            "plain", "ümlaut ßharp", "日本語", "emoji 😀", "<p>tag</p>",
+            "lat=1.5 lon=2.5", "x" * 200]) for _ in range(rng.randint(1, 6)))
+        rows.append((f"u{i}", pd.Timestamp("2025-01-01", tz="UTC"),
+                     body.encode(), body if i % 2 else body + "X", "en"))
+    for i in range(80, 100):
+        rows.append((f"u{i}", pd.Timestamp("2025-01-01", tz="UTC"),
+                     bytes([rng.randrange(256)
+                            for _ in range(rng.randint(0, 40))]),
+                     "claim", "en"))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang"]))
+    cols = ["text_ok", "lat", "lon", "cell"]
+    a = textx.with_ingest(df).select("url", *cols).toPandas().set_index(
+        "url").sort_index()
+    b = textx.with_ingest_jvm(df).select("url", *cols).toPandas().set_index(
+        "url").sort_index()
+    for u in a.index:
+        for c in cols:
+            va, vb = a.loc[u, c], b.loc[u, c]
+            assert (pd.isna(va) and pd.isna(vb)) or va == vb, (u, c, va, vb)
