@@ -500,8 +500,12 @@ _VERIFY_FIRST = [
     "streaming_tile_counts",
     "streaming_dedup",
     "embedding_cosine_dups",   # new oracle this round
-    "minhash_band_candidates",  # skew-cap change this round
-    "topojson_export",          # distributed build this round
+    "minhash_band_candidates",  # skew-cap + hash-narrow this round
+    "topojson_export",          # distributed build + tmp-swap this round
+    "table_snapshots",          # partition-layout guard this round
+    "byte_identity_audit",      # Arrow kernel byte-compare this round
+    "pip_assignment",           # ingest path changed this round
+    "pip_tile_rollup",          # ingest path changed this round
 ]
 
 
