@@ -156,3 +156,34 @@ def test_boundary_tile_areas_multipart_no_double_count(spark):
            .agg(F.sum("tile_area")).collect()[0][0])
     exp = 2 * (0.01 * 0.01)
     assert got == pytest.approx(exp, rel=1e-9)
+
+
+def test_cells_random_fuzz_bounds_parent_ring():
+    """r03 fuzz (bounded): random coords incl. poles/antimeridian —
+    every point lies inside its cell's bounds, child centers lie inside
+    the parent's bounds, and k_ring adjacency is symmetric (50-trial
+    external run clean)."""
+    rng = np.random.default_rng(0)
+    for _trial in range(6):
+        lon = np.concatenate([rng.uniform(-180, 180, 300),
+                              [-180.0, 180.0, 0.0],
+                              rng.uniform(179.99, 180, 10),
+                              rng.uniform(-180, -179.99, 10)])
+        lat = np.concatenate([rng.uniform(-90, 90, 300),
+                              [-90.0, 90.0, 0.0],
+                              rng.uniform(89.9, 90, 10),
+                              rng.uniform(-90, -89.9, 10)])
+        c = cells.encode(lon, lat)
+        assert (c >= 0).all()
+        idx = rng.choice(len(lon), 30, replace=False)
+        x0, y0, x1, y1 = cells.cell_bounds(c[idx])
+        assert ((x0 - 1e-9 <= lon[idx]) & (lon[idx] <= x1 + 1e-9)
+                & (y0 - 1e-9 <= lat[idx]) & (lat[idx] <= y1 + 1e-9)).all()
+        pc = cells.parent(c[idx])
+        cx, cy = cells.cell_center(c[idx])
+        px0, py0, px1, py1 = cells.cell_bounds(pc)
+        assert ((px0 <= cx) & (cx <= px1)
+                & (py0 <= cy) & (cy <= py1)).all()
+        for i in rng.choice(len(lon), 5, replace=False):
+            for nb in cells.k_ring(int(c[i]), 1):
+                assert int(c[i]) in {int(x) for x in cells.k_ring(int(nb), 1)}
