@@ -119,7 +119,12 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-block random-collision rate at 2^-16, so candidate volume
     # stays near-linear; the old k=8/16-blocks setting (4-bit blocks,
     # collision ~1/16 per block) was a cross join in disguise at scale.
-    return dedup.simhash_near_pairs(fps, max_hamming=3, n_blocks=4)
+    # max_bucket_size caps the other quadratic corner: an exact-dup
+    # cluster of M docs shares all four block values (M^2/2 pairs) —
+    # the corpus is 10% exact-dup clusters by design, so the production
+    # path keeps K smallest ids per (block, value) bucket like minhash.
+    return dedup.simhash_near_pairs(
+        fps, max_hamming=3, n_blocks=4, max_bucket_size=50)
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

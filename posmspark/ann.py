@@ -148,17 +148,29 @@ def train_ivf_centroids(vectors: DataFrame, n_centroids: int,
                         id_col: str = "vec_id",
                         emb_col: str = "embedding",
                         sample_mod: int = 4, n_iter: int = 10,
+                        sample_budget: int = 65536,
                         seed: int = SEED) -> np.ndarray:
-    """Spherical k-means coarse quantizer on a DETERMINISTIC hash
-    sample of the vectors (pmod(xxhash64(id)) — pushdown-able, no full
-    collect). Lloyd's in numpy on the driver: the sample is bounded,
-    the codebook is tiny, and the result broadcasts. Deterministic
-    init: first n_centroids sample rows by id."""
+    """Spherical k-means coarse quantizer on a DETERMINISTIC, ABSOLUTELY
+    BOUNDED sample of the vectors. Two-stage sample: a hash thin
+    (pmod(xxhash64(id)) — pushdown-able) followed by orderBy(id).limit(
+    sample_budget), which Spark executes as TakeOrderedAndProject — a
+    distributed top-N, so the driver materializes O(sample_budget) rows
+    regardless of table size (never a fixed FRACTION of the table; at
+    1e9 vectors the old 1/sample_mod sample was a driver OOM). Both
+    stages are deterministic (hash filter + total order on id), so the
+    codebook — and everything downstream — is reproducible. Lloyd's in
+    numpy on the driver: the sample is O(sample_budget), the codebook
+    is tiny, and the result broadcasts. Deterministic init: first
+    n_centroids sample rows by id."""
+    if sample_budget < n_centroids:
+        raise ValueError(
+            f"sample_budget ({sample_budget}) < n_centroids ({n_centroids})")
     sample = (
         vectors.filter(
             F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
                    F.lit(sample_mod)) == 0)
         .orderBy(id_col)
+        .limit(sample_budget)
         .select(id_col, emb_col)
         .toPandas()
     )

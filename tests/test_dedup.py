@@ -234,6 +234,30 @@ def test_minhash_band_query_skew_guard(spark, tmp_path):
     assert n <= 5000
 
 
+def test_simhash_registry_query_skew_guard(spark, tmp_path):
+    """VERDICT r03 wrong #1: the production registry query passed no
+    max_bucket_size, so a 1k-doc exact-dup cluster (identical
+    fingerprints -> all four block values shared) emitted ~500k
+    candidate pairs. Through the registry path the candidate count
+    must stay near-linear: 50 representatives -> <= 50*49/2 pairs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_test", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    text = " ".join("tok%d" % j for j in range(30))
+    rows = [(i, text, "en", "synth", len(text)) for i in range(1000)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.coalesce(4).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    n = mod._q_simhash_near_pairs(spark, sf).count()
+    assert 0 < n <= 50 * 49 // 2
+
+
 def test_simhash_bucket_cap_keeps_representatives(spark):
     """Exact-dup clusters share every simhash block value; the bucket
     cap bounds the pigeonhole join while keeping the K smallest ids
