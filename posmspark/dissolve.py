@@ -681,7 +681,7 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
         new_polys = []
         for rings in polys:
             new_rings = []
-            for ring in rings:
+            for ri, ring in enumerate(rings):
                 rebuilt = []
                 for _oset, path in ring_chain_pieces(ring, seg_owners):
                     simp = simplify_chain(path)
@@ -690,7 +690,14 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
                 arr = np.array(rebuilt)
                 if len(arr) >= 4:
                     new_rings.append(arr)
-            new_polys.append(new_rings)
+                elif ri == 0:
+                    # OUTER ring degenerated: drop the whole polygon —
+                    # keeping surviving holes would promote one into
+                    # shell position (inverted geometry, ADVICE r03)
+                    new_rings = None
+                    break
+            if new_rings is not None:
+                new_polys.append(new_rings)
         result[oid] = new_polys
     return result
 
@@ -1064,9 +1071,14 @@ def simplify_mesh_global(spark, prepared, child_level: int,
             arr = np.array(rebuilt)
             if len(arr) >= 4:
                 new_polys.setdefault(int(pi), {})[int(ri)] = arr
+        # a polygon whose OUTER ring (ri=0) degenerated below 4 points
+        # must drop entirely: re-packing its surviving holes would
+        # promote a hole into shell position — inverted geometry
+        # (ADVICE r03)
         polys = [
             [rings[ri] for ri in sorted(rings)]
             for _pi, rings in sorted(new_polys.items())
+            if 0 in rings
         ]
         before = sum(len(r) for rings in bc.value[oid] for r in rings)
         after = sum(len(r) for rings in polys for r in rings)

@@ -210,17 +210,20 @@ def commit_overwrite_partitions(df: DataFrame, table_dir: str,
     rel = os.path.relpath(data_dir, table_dir)
     for f in files:
         f["path"] = os.path.join(rel, f["path"])
-    # files without the partition keys (e.g. an earlier commit_append
-    # with no partition_by) may MIX rows of touched and untouched
-    # partitions — carrying them over would silently resurrect rows the
-    # overwrite should replace (fuzz r03). Refuse instead of corrupting.
+    # files whose partition key set differs from partition_by in EITHER
+    # direction corrupt the overwrite: missing keys (e.g. an earlier
+    # commit_append with no partition_by) mix rows of touched and
+    # untouched partitions (fuzz r03); extra keys (an earlier commit
+    # partitioned by a superset, e.g. [lang, day] vs [lang]) never
+    # tuple-match `touched`, so stale files for overwritten values
+    # would silently carry over. Refuse instead of corrupting.
     for f in base:
-        missing = [k for k in partition_by if k not in f["partition"]]
-        if missing:
+        if set(f["partition"].keys()) != set(partition_by):
             raise ValueError(
-                f"snapshot file {f['path']} has no partition value for "
-                f"{missing}: dynamic partition overwrite requires every "
-                "prior commit on this table to use the same partition_by")
+                f"snapshot file {f['path']} is partitioned by "
+                f"{sorted(f['partition'].keys())}, not {sorted(partition_by)}: "
+                "dynamic partition overwrite requires every prior commit on "
+                "this table to use the same partition_by")
     touched = {tuple(sorted(f["partition"].items())) for f in files}
     kept = [f for f in base
             if tuple(sorted(f["partition"].items())) not in touched]

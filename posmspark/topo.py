@@ -171,9 +171,13 @@ def topology_tree_by_parent(spark, prepared, out_dir: str | None = None,
                 continue  # leaf: no directory/topology of its own
             rows.append((parent, parent, True))
             rows.extend((parent, m, False) for m in members)
+    # explicit schema: an all-object empty pandas frame (zero groups)
+    # fails inference — same class of bug as the simplify_mesh_global
+    # empty-input fix (ADVICE r03)
     src = spark.createDataFrame(
         pd.DataFrame(rows, columns=["parent_osm_id", "osm_id",
-                                    "is_boundary"])
+                                    "is_boundary"]),
+        schema="parent_osm_id string, osm_id string, is_boundary boolean",
     )
 
     schema = T.StructType([
@@ -227,6 +231,25 @@ def topology_tree_by_parent(spark, prepared, out_dir: str | None = None,
 
     result = result.localCheckpoint()
     os.makedirs(build_dir, exist_ok=True)  # degenerate: zero groups
+    # the applyInPandas tasks wrote artifacts into build_dir from the
+    # EXECUTORS; the swap below runs on the driver. On a deployment
+    # where they don't share a filesystem (a real cluster writes to
+    # object storage instead — S11 docstring), build_dir would be
+    # empty/partial here and the swap would replace a good tree with a
+    # broken one. Verify every parent directory the job reported
+    # actually landed before destroying anything (ADVICE r03).
+    expected = {r["parent_osm_id"]
+                for r in result.select("parent_osm_id").distinct().collect()}
+    landed_missing = sorted(
+        p for p in expected
+        if not os.path.isfile(
+            os.path.join(build_dir, p, "geometry.topojson.json")))
+    if landed_missing:
+        raise RuntimeError(
+            f"topology artifacts for {landed_missing} not visible in "
+            f"{build_dir}: executors and driver do not share a "
+            "filesystem — point out_dir at shared storage; the previous "
+            "tree was left untouched")
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(build_dir, out_dir)
     return result

@@ -270,6 +270,57 @@ def test_shared_edge_simplify_enclave_watertight():
     assert geom.multipolygon_bbox(u) == (0.0, 0.0, 10.0, 10.0)
 
 
+def test_simplify_dropped_shell_drops_whole_polygon(spark):
+    """ADVICE r03: if a polygon's OUTER ring simplifies below 4 points
+    while a hole survives, the hole must NOT be re-packed into shell
+    position (inverted geometry) — the polygon drops entirely.
+
+    Fixture: A is a thin straight sliver (its shell rebuilds to 3
+    points: two junctions with neighbor N, both chains within tol of
+    straight) containing a hole tiled by three enclaves, whose
+    junctions pin 4+ points on the hole ring so the hole survives."""
+    import types
+
+    import pandas as pd
+
+    def rect(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+
+    polys = {
+        "A": [[rect(0, 0, 10, 0.01),
+               rect(1, 0.002, 9, 0.008)[::-1].copy()]],
+        "N": [[rect(0, -1, 10, 0)]],
+        "E1": [[rect(1, 0.002, 3, 0.008)]],
+        "E2": [[rect(3, 0.002, 6, 0.008)]],
+        "E3": [[rect(6, 0.002, 9, 0.008)]],
+    }
+    out = dissolve.shared_edge_simplify(polys, tol=0.05)
+    assert out["A"] == []  # dropped, not hole-promoted-to-shell
+    for oid in ("N", "E1", "E2", "E3"):
+        for poly in out[oid]:
+            assert len(poly) >= 1 and len(poly[0]) >= 4
+
+    # distributed path must agree: A's row carries zero surviving points
+    kids = pd.DataFrame({
+        "osm_id": list(polys), "is_in": "P",
+        "adminlevel": 2,
+    })
+    prepared = types.SimpleNamespace(levels_pdf=kids, polys_by_id=polys)
+    from posmspark.dissolve import simplify_mesh_global
+
+    rows = {r["osm_id"]: r
+            for r in simplify_mesh_global(
+                spark, prepared, child_level=2, tol=0.05).collect()}
+    assert rows["A"]["n_points_after"] == 0
+    for oid in ("N", "E1", "E2", "E3"):
+        dr = {tuple(np.round(p, 9)) for poly in out[oid] for ring in poly
+              for p in ring}
+        wk = geom.wkb_to_multipolygon(rows[oid]["geom_wkb"])
+        sp = {tuple(np.round(p, 9)) for poly in wk for ring in poly
+              for p in ring}
+        assert dr == sp, oid
+
+
 def test_topology_enclave_shares_one_arc():
     """Same enclave through the TopoJSON builder: the border must be
     ONE arc referenced by both owners with opposite directions."""

@@ -171,9 +171,34 @@ def test_partition_overwrite_rejects_unpartitioned_base(spark, tmp_path):
     d = str(tmp_path / "tbl")
     tablefmt.commit_append(
         spark.createDataFrame([("a", 1), ("c", 2)], "k string, v long"), d)
-    with pytest.raises(ValueError, match="partition value"):
+    with pytest.raises(ValueError, match="partitioned by"):
         tablefmt.commit_overwrite_partitions(
             spark.createDataFrame([("c", 9)], "k string, v long"), d, ["k"])
+
+
+def test_partition_overwrite_rejects_superset_partitioned_base(
+        spark, tmp_path):
+    """ADVICE r03: base files partitioned by a SUPERSET (e.g. [k, j])
+    of a later overwrite's partition_by ([k]) never tuple-match the
+    touched set, so stale files for overwritten k values would silently
+    carry over — the same row-resurrection class as the unpartitioned
+    case. Mismatched key sets in either direction must raise."""
+    d = str(tmp_path / "tbl")
+    tablefmt.commit_append(
+        spark.createDataFrame([("a", "x", 1), ("c", "y", 2)],
+                              "k string, j string, v long"),
+        d, partition_by=["k", "j"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        tablefmt.commit_overwrite_partitions(
+            spark.createDataFrame([("c", "y", 9)],
+                                  "k string, j string, v long"), d, ["k"])
+    # matching key set still commits
+    sid = tablefmt.commit_overwrite_partitions(
+        spark.createDataFrame([("c", "y", 9)],
+                              "k string, j string, v long"), d, ["k", "j"])
+    got = sorted(map(tuple, tablefmt.read_table(spark, d)
+                     .select("k", "j", "v").collect()))
+    assert got == [("a", "x", 1), ("c", "y", 9)] and sid >= 2
 
 
 def test_random_op_sequence_matches_replay(spark, tmp_path):

@@ -2,6 +2,7 @@
 once, watertight by structure, quantization-bounded round trip."""
 
 import numpy as np
+import pytest
 
 from posmspark import dissolve, geom, synth, topo
 from posmspark.joins import prepare_boundaries
@@ -155,6 +156,68 @@ def test_topology_tree_by_parent_distributed(spark, tmp_path):
             has_kids = (lp.is_in == parent).any()
             assert os.path.isdir(os.path.join(out, parent)) == bool(
                 has_kids), parent
+
+
+def test_topology_tree_zero_groups_no_crash(spark, tmp_path):
+    """ADVICE r03: a hierarchy with no (parent, children) pairs — e.g.
+    only leaf features — used to crash createDataFrame schema inference
+    on the all-object empty pandas frame. Must return an empty typed
+    result and leave an empty (but present) artifact tree."""
+    import os
+    import types
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+        n_levels=4)
+    lp = prepared.levels_pdf
+    leaves_only = types.SimpleNamespace(
+        levels_pdf=lp[lp.adminlevel == lp.adminlevel.max()],
+        polys_by_id=prepared.polys_by_id)
+    out = str(tmp_path / "topotree")
+    rows = topo.topology_tree_by_parent(
+        spark, leaves_only, out_dir=out).collect()
+    assert rows == []
+    assert os.path.isdir(out) and os.listdir(out) == []
+
+    # and without an out_dir at all
+    assert topo.topology_tree_by_parent(
+        spark, leaves_only, out_dir=None).collect() == []
+
+
+def test_topology_tree_swap_guarded_on_missing_artifacts(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r03: the build/promote swap assumes executors share the
+    driver's filesystem. If the reported parent artifacts did not land
+    in build_dir (non-shared storage), the swap must raise and leave
+    the previous good tree untouched instead of replacing it with an
+    empty one."""
+    import os
+    import shutil
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+        n_levels=4)
+    out = str(tmp_path / "topotree")
+    topo.topology_tree_by_parent(spark, prepared, out_dir=out).collect()
+    good = sorted(os.listdir(out))
+    assert good
+
+    # simulate executor-side writes invisible to the driver (non-shared
+    # filesystem): empty build_dir right before the promote-time
+    # verification by hooking the makedirs that runs just ahead of it
+    real_makedirs = os.makedirs
+
+    def wipe_build(path, *args, **kwargs):
+        real_makedirs(path, *args, **kwargs)
+        if str(path).endswith(".build"):
+            for d in os.listdir(path):
+                shutil.rmtree(os.path.join(path, d))
+
+    monkeypatch.setattr(os, "makedirs", wipe_build)
+    with pytest.raises(RuntimeError, match="share a filesystem"):
+        topo.topology_tree_by_parent(spark, prepared, out_dir=out)
+    # previous tree intact
+    assert sorted(os.listdir(out)) == good
 
 
 def test_topology_tree_rebuild_clears_stale_dirs(spark, tmp_path):
