@@ -37,10 +37,19 @@ def _q_pip_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pip_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship broadcast PIP join, oracle-checked (VERDICT r03
+    item 4): the DuckDB side re-derives every page point from the
+    portable md5 draws and ray-crosses the same boundary edge table
+    (pipeline.pip_assignment_oracle_sql). Projection: the portable
+    columns (cell ids are the engine's own encoding — pinned by the
+    numpy goldens instead; warc_ts compared as epoch seconds so
+    timestamp-zone printing differences can't false-positive)."""
     from posmspark.pipeline import pages_from_documents, run_pipeline
 
     out = run_pipeline(spark, pages_from_documents(spark, sf_dir))
-    return out["assigned"]
+    return out["assigned"].select(
+        "url", "lang", F.col("warc_ts").cast("long").alias("warc_s"),
+        "lon", "lat", "osm_id_l0", "osm_id_l1", "osm_id_l2", "osm_id_l3")
 
 
 def _q_cell_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,29 +497,37 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: Driver-budget ordering (VERDICT r02 item 1): the driver verifies
-#: registry entries IN ORDER with a ~50-query budget, so entries that
-#: are new this round, changed this round, or lacked a CORRECTNESS_r02
-#: row come first; long-green oracle repeats fill the tail.
+#: registry entries IN ORDER with a ~50-query budget. Round-4 window
+#: (VERDICT r03 item 3): the 13 entries whose latest driver row is r02
+#: (skipped by the r03 budget, unchanged since) come FIRST, then every
+#: entry whose behavior or module changed this round; long-green r03
+#: oracle repeats fill the tail.
 _VERIFY_FIRST = [
-    "residual_holes",          # round-1 crash fix, never driver-verified
-    "dissolve_parents",
-    "simplify_mesh_stats",
-    "poly_export",
-    "minhash_verified_dups",   # promoted to oracle this round
-    "simhash_pigeonhole_pairs",  # new oracle this round
-    "simhash_near_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "multimodal_features",
-    "streaming_tile_counts",
-    "streaming_dedup",
-    "embedding_cosine_dups",   # new oracle this round
-    "minhash_band_candidates",  # skew-cap + hash-narrow this round
-    "topojson_export",          # distributed build + tmp-swap this round
-    "table_snapshots",          # partition-layout guard this round
-    "byte_identity_audit",      # Arrow kernel byte-compare this round
-    "pip_assignment",           # ingest path changed this round
-    "pip_tile_rollup",          # ingest path changed this round
+    # --- stale since r02 (rotation, VERDICT r03 item 3)
+    "embedding_label_centroids",
+    "ann_cosine_topk",
+    "knn_topk_flat",
+    "langid_ngram",
+    "doc_fingerprint",
+    "incremental_manifest",
+    "dual_export",
+    "shapefile_source",
+    "zip_package_manifest",
+    "tile_clip_areas",
+    "cell_tile_stats",        # also changed: portable ingest draws
+    "knn_cellring",           # also changed: portable ingest draws
+    "problems_routing",
+    # --- changed in round 4
+    "pip_assignment",         # NEW DuckDB ray-crossing oracle
+    "pip_tile_rollup",        # NEW DuckDB rollup oracle
+    "byte_identity_audit",    # ingest draws now md5-portable
+    "streaming_tile_counts",  # ingest draws now md5-portable
+    "streaming_dedup",        # ingest draws now md5-portable
+    "simhash_near_pairs",     # bucket cap wired into registry query
+    "ann_ivf_topk",           # centroid training sample now bounded
+    "topojson_export",        # artifact-swap guard + empty-schema fix
+    "table_snapshots",        # partition key-set guard
+    "simplify_mesh_stats",    # shell-drop ring assembly fix
 ]
 
 
@@ -527,6 +544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from posmspark.pipeline import (pip_assignment_oracle_sql,
+                                    pip_tile_rollup_oracle_sql)
+
+    out = {
         name: sql for name, (_fn, sql) in relops.QUERIES.items() if sql
     }
+    out["pip_assignment"] = pip_assignment_oracle_sql()
+    out["pip_tile_rollup"] = pip_tile_rollup_oracle_sql()
+    return out
