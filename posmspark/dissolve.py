@@ -437,18 +437,67 @@ def _has_proper_crossing(segs: np.ndarray) -> bool:
     return False
 
 
-def _segment_side_probes(segs: np.ndarray):
+def _segment_side_probes(segs: np.ndarray, eps: np.ndarray | None = None):
     """Probe points just off both sides of every segment midpoint.
     Returns (px, py, n) with the first n points on the +normal side and
-    the last n on the -normal side, index-aligned per segment."""
+    the last n on the -normal side, index-aligned per segment.
+
+    eps: per-segment probe offset override (the overlay passes the
+    clearance-bounded offsets from _adaptive_probe_eps; the default
+    len-proportional offset remains for the disjointness dispatch,
+    where raw mesh segments legitimately overlap and a clearance is
+    undefined)."""
     mid = (segs[:, :2] + segs[:, 2:]) / 2.0
     d = segs[:, 2:] - segs[:, :2]
     ln = np.hypot(d[:, 0], d[:, 1])
     nx, ny = -d[:, 1] / ln, d[:, 0] / ln
-    eps = np.maximum(ln * 1e-5, 1e-9)
+    if eps is None:
+        eps = np.maximum(ln * 1e-5, 1e-9)
     px = np.concatenate([mid[:, 0] + eps * nx, mid[:, 0] - eps * nx])
     py = np.concatenate([mid[:, 1] + eps * ny, mid[:, 1] - eps * ny])
     return px, py, len(segs)
+
+
+def _adaptive_probe_eps(ab: np.ndarray) -> np.ndarray:
+    """Clearance-bounded probe offsets for the ARRANGED sub-segments
+    (VERDICT r03 item 6 — the exact-side-classification fix).
+
+    After _split_at_intersections + dedup, no other sub-segment passes
+    through a sub-segment's open interior: every region boundary near a
+    midpoint is either the sub-segment's own carrier or at least the
+    midpoint clearance away. A probe at less than that clearance
+    therefore CANNOT cross any other boundary, so its membership equals
+    the true one-sided limit at the midpoint — side classification is
+    exact for every feature representable above the snap quantum,
+    including slivers far thinner than the old fixed len*1e-5 offset
+    (which probed straight across them).
+
+    offset_i = min(len_i * 1e-5, 0.49 * clearance_i), floored at 1e-13
+    (numeric guard; distinct snapped carriers are >= ~SNAP apart, so
+    the floor only engages on geometry degenerate below the snap
+    quantum, where classification is meaningless anyway).
+    """
+    n = len(ab)
+    mid = (ab[:, :2] + ab[:, 2:]) / 2.0
+    p = ab[:, :2]
+    d = ab[:, 2:] - ab[:, :2]
+    len2 = (d ** 2).sum(axis=1)
+    dmin = np.full(n, np.inf)
+    chunk = max(1, 4_000_000 // max(n, 1))
+    for s in range(0, n, chunk):
+        m = mid[s:s + chunk]
+        w = m[:, None, :] - p[None, :, :]
+        with np.errstate(invalid="ignore"):
+            t = np.clip((w * d[None, :, :]).sum(axis=-1)
+                        / np.maximum(len2[None, :], 1e-300), 0.0, 1.0)
+        proj = p[None, :, :] + t[..., None] * d[None, :, :]
+        diff = m[:, None, :] - proj
+        dist = np.hypot(diff[..., 0], diff[..., 1])
+        rows = np.arange(len(m))
+        dist[rows, np.arange(s, s + len(m))] = np.inf  # self
+        dmin[s:s + len(m)] = dist.min(axis=1)
+    ln = np.sqrt(len2)
+    return np.maximum(np.minimum(ln * 1e-5, 0.49 * dmin), 1e-13)
 
 
 def _max_coverage(polys_list: list, px: np.ndarray, py: np.ndarray) -> int:
@@ -560,10 +609,12 @@ def residual_overlay(parent: list[list[np.ndarray]],
        inside the parent and outside every child
     3. chain boundary sub-segments into rings, group holes
 
-    The side probes sit at max(len*1e-5, 1e-9) off the midpoint, so
-    features narrower than that probe distance around a sub-segment
-    can misclassify — document-level limitation; the conformal path
-    (exact cancellation) stays the default in residual_classify.
+    Side probes are clearance-bounded (_adaptive_probe_eps): each probe
+    sits closer to its sub-segment than ANY other boundary, so the
+    classification equals the exact one-sided limit — slivers thinner
+    than len*1e-5 (the old fixed offset, which probed straight across
+    them) classify correctly down to the snap quantum. The conformal
+    path (exact cancellation) stays the default in residual_classify.
     """
     child_list = list(children.values())
     if segs is None:
@@ -617,7 +668,7 @@ def _overlay_by_predicate(segs: np.ndarray, region_pred
         return []
     keys = list(uniq)
     ab = np.array([[*uniq[k][0], *uniq[k][1]] for k in keys])
-    px, py, n = _segment_side_probes(ab)
+    px, py, n = _segment_side_probes(ab, eps=_adaptive_probe_eps(ab))
     inside = region_pred(px, py)
     boundary = [k for k, keep in zip(keys, inside[:n] != inside[n:]) if keep]
     if not boundary:

@@ -512,6 +512,57 @@ def test_residual_overlay_annular_hole():
     assert abs(area - 15.0) < 1e-9
 
 
+def test_residual_overlay_thin_sliver_exact():
+    """VERDICT r03 item 6: a residual sliver FAR thinner than the old
+    fixed probe offset (len*1e-5) must classify exactly. The probe
+    offsets are now clearance-bounded (_adaptive_probe_eps), so no
+    probe can cross another boundary — the old fixed offsets probed
+    straight across this 1e-6-thick sliver and returned an empty
+    residual."""
+    from posmspark.dissolve import residual_overlay
+
+    parent = _mp_rect(0, 0, 10, 1)
+    children = {"A": _mp_rect(0, 0, 10, 1 - 1e-6)}
+    residual = residual_overlay(parent, children)
+    assert len(residual) == 1 and len(residual[0]) == 1
+    area = sum(geom.ring_area(r) for r in residual[0])
+    assert abs(area - 10 * 1e-6) < 1e-12
+
+    # and the mirror case through the union: two rects overlapping in a
+    # 1e-6-thin horizontal band must still union to ONE polygon of the
+    # exact combined area (thin-overlap probes stay on the right side)
+    from posmspark.dissolve import union_overlay
+
+    u = union_overlay([_mp_rect(0, 0, 10, 1), _mp_rect(0, 1 - 1e-6, 10, 2)])
+    assert len(u) == 1
+    ua = sum(geom.ring_area(r) for polys in u for r in polys)
+    assert abs(ua - 10 * 2) < 1e-12  # 10 + (10+1e-5) - 1e-5 overlap
+
+
+def test_residual_overlay_sliver_fuzz_bounded():
+    """Bounded in-suite version of the r04 thin-sliver fuzz (500
+    external seeds clean): random sliver thicknesses in [1e-7, 1e-5] —
+    the exact regime the old fixed probes straddled. Area tolerance
+    5e-8 covers SNAP(1e-9)-quantization noise along the ~20-unit
+    perimeter; a misclassified sub-segment would err by >= ~1e-6."""
+    from posmspark.dissolve import residual_overlay, union_overlay
+
+    for seed in (2, 3, 14, 17, 31, 101, 202):
+        rng = np.random.default_rng(seed)
+        delta = 10 ** rng.uniform(-7, -5)
+        x0 = round(rng.uniform(0, 3), 3)
+        x1 = round(rng.uniform(7, 10), 3)
+        parent = _mp_rect(0, 0, 10, 1)
+        child = _mp_rect(x0, 0, x1, 1 - delta)
+        res = residual_overlay(parent, {"A": child})
+        want = 10.0 - (x1 - x0) * (1 - delta)
+        got = sum(geom.ring_area(r) for polys in res for r in polys)
+        assert abs(got - want) < 5e-8, (seed, want, got)
+        u = union_overlay([parent, child])
+        ua = sum(geom.ring_area(r) for polys in u for r in polys)
+        assert abs(ua - 10.0) < 5e-8, (seed, ua)
+
+
 def test_residual_crossing_detection_negative():
     """The conformal fixture meshes must NOT trip the crossing scan
     (they'd silently lose the exact-cancellation path)."""
