@@ -135,3 +135,53 @@ def test_dedup_stream_random_fuzz(spark, tmp_path):
                 seen.setdefault(c, u)
         got = {r["url"] for r in spark.read.parquet(out_dir).collect()}
         assert got == set(seen.values()), run
+
+
+def test_dedup_stream_ttl_expiry_and_bounded_state(spark, tmp_path):
+    """VERDICT r03 item 8: optional EVENT-TIME TTL on the dedup state.
+    Content not re-seen within the TTL (by warc_ts/watermark, so the
+    behavior is deterministic for a given input sequence) is re-admitted
+    on its next delivery, and its idle marker row is dropped from the
+    state store by the event-time timer; content re-seen WITHIN the TTL
+    stays deduped with its window extended. NoTimeout remains the
+    default contract (covered by the tests above)."""
+    import pandas as pd
+
+    pages_dir = str(tmp_path / "ttl_in")
+    out_dir = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ck")
+    os.makedirs(pages_dir)
+    TTL = "1 hour"
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True)
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append").parquet(pages_dir)
+
+    write_batch([("https://a/1", "2025-01-01T00:00:01Z", "alpha content")])
+    schema = spark.read.parquet(pages_dir).schema
+    ops1 = streaming.run_dedup_stream_once(
+        pages_dir, out_dir, ckpt, spark, schema, ttl=TTL)
+    assert ops1.get("numRowsTotal") == 1
+
+    # within the TTL: still a duplicate, and the dedup window extends
+    write_batch([("https://a/2", "2025-01-01T00:30:00Z", "alpha content")])
+    streaming.run_dedup_stream_once(
+        pages_dir, out_dir, ckpt, spark, schema, ttl=TTL)
+    got = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"https://a/1"}
+
+    # a day later (far past the extended TTL): beta advances the
+    # watermark past alpha's expiry; alpha's next delivery re-admits
+    write_batch([("https://b/1", "2025-01-02T00:00:01Z", "beta content")])
+    ops3 = streaming.run_dedup_stream_once(
+        pages_dir, out_dir, ckpt, spark, schema, ttl=TTL)
+    write_batch([("https://a/9", "2025-01-02T00:00:02Z", "alpha content")])
+    ops4 = streaming.run_dedup_stream_once(
+        pages_dir, out_dir, ckpt, spark, schema, ttl=TTL)
+    got = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"https://a/1", "https://b/1", "https://a/9"}
+    # bounded state: alpha's stale marker was timer-dropped once the
+    # watermark passed it, so the store holds only the live keys
+    assert ops4.get("numRowsTotal") <= 2, (ops3, ops4)
