@@ -66,11 +66,15 @@ print("RESULT " + json.dumps({"n_docs": n_docs, "queries": out,
 """
 
 
-def run_size(n_docs: int, names: list[str]) -> dict:
+def run_size(n_docs: int, names: list[str],
+             cpus: int | None = None) -> dict:
     code = CHILD % {"repo": REPO}
+    env = dict(os.environ)
+    if cpus is not None:
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
     p = subprocess.run(
         [sys.executable, "-c", code, str(n_docs), json.dumps(names)],
-        capture_output=True, text=True, timeout=7200,
+        capture_output=True, text=True, timeout=7200, env=env,
     )
     if p.returncode != 0:
         raise RuntimeError(p.stderr[-3000:])
@@ -79,12 +83,62 @@ def run_size(n_docs: int, names: list[str]) -> dict:
     return json.loads(line[len("RESULT "):])
 
 
+def run_core_scaling(n_docs: int, lo: int, hi: int, reps: int,
+                     write_md: bool) -> None:
+    """N -> 4N core-scaling evidence for the dedup family (VERDICT r03
+    item 7): the flagship job's efficiency table (BENCH/scaling.py)
+    only covers the spatial pipeline; this runs the shuffle-heavy dedup
+    suite at local[lo] vs local[hi] on the SAME input, alternated
+    back-to-back in one window (same-window pairs, best-of-K per level
+    — the only measurement protocol that survives this host's
+    CPU-steal noise), and reports per-query scaling efficiency
+    speedup / (hi/lo)."""
+    best: dict[int, dict[str, float]] = {lo: {}, hi: {}}
+    for rep in range(reps):
+        for cpus in (lo, hi):  # alternate inside the same window
+            r = run_size(n_docs, QUERIES, cpus=cpus)
+            for q, t in r["queries"].items():
+                cur = best[cpus].get(q)
+                best[cpus][q] = t if cur is None else min(cur, t)
+            print(json.dumps({"rep": rep, **r}), flush=True)
+    factor = hi / lo
+    lines = [
+        "",
+        f"## Dedup/near-dup core scaling (local[{lo}] -> local[{hi}], "
+        f"{n_docs:,} docs, same-window alternated pairs, "
+        f"best-of-{reps}, fresh JVM per run)",
+        "",
+        f"| query | t @ local[{lo}] | t @ local[{hi}] | speedup |"
+        f" efficiency (>=0.8) |",
+        "|---|---|---|---|---|",
+    ]
+    for q in QUERIES:
+        sp = best[lo][q] / max(best[hi][q], 1e-9)
+        lines.append(
+            f"| {q} | {best[lo][q]:.2f}s | {best[hi][q]:.2f}s"
+            f" | {sp:.2f}x | {sp / factor:.3f} |")
+    lines.append("")
+    md = "\n".join(lines)
+    print(md)
+    if write_md:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(md + "\n")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="600000,6000000")
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--core-pair", default=None,
+                    help="'2,8': run the N->4N core-scaling mode at the "
+                         "first --sizes entry instead of data scaling")
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    if args.core_pair:
+        lo, hi = (int(x) for x in args.core_pair.split(","))
+        run_core_scaling(sizes[0], lo, hi, args.reps, args.write_md)
+        return
 
     results = [run_size(n, QUERIES) for n in sizes]
     for r in results:

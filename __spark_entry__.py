@@ -528,6 +528,8 @@ _VERIFY_FIRST = [
     "topojson_export",        # artifact-swap guard + empty-schema fix
     "table_snapshots",        # partition key-set guard
     "simplify_mesh_stats",    # shell-drop ring assembly fix
+    "residual_holes",         # overlay probes now clearance-bounded
+    "dissolve_parents",       # overlay probes now clearance-bounded
 ]
 
 

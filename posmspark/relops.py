@@ -775,15 +775,20 @@ def q_ngram_jaccard_pairs(spark, sf):
     # recompute the explode per branch. stage_persist registers the
     # cache for release by the next staging query, so repeated
     # invocations in one long session never accumulate entries.
+    #
+    # The STAGED table is the hashed narrow form (doc_id, sh_h int64),
+    # not the 3-gram strings (r04): every consumer below keys on the
+    # hash anyway, per-doc row counts are hash-invariant (the distinct
+    # runs per-doc BEFORE hashing), and the string cache was ~5x wider
+    # — its materialization was memory-bandwidth-bound and the worst
+    # scaler in the 2->8 core pair (0.63 efficiency vs 0.79 for the
+    # cached-input query). Counts carry the same 2^-64 cross-doc
+    # collision corner as before; oracle parity stays value-exact.
     from posmspark import session as _session
 
-    sh = _session.stage_persist(_doc_shingles(spark, sf))
-    # every shuffle below keys on the shingle: hash the string to 64
-    # bits first so the exchanges move int64 keys, not 3-gram strings
-    # (~5x narrower; counts unchanged barring a 2^-64 within-pair
-    # collision — same trade as dedup.verify_jaccard, oracle parity
-    # value-exact by test)
-    shh = sh.select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+    shh = _session.stage_persist(
+        _doc_shingles(spark, sf).select(
+            "doc_id", F.xxhash64("shingle").alias("sh_h")))
     hot = (
         shh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > NGRAM_MAX_SHINGLE_FREQ).select("sh_h")
@@ -829,7 +834,7 @@ def q_ngram_jaccard_pairs(spark, sf):
             .alias("n_inter"),
         )
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    counts = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ca = counts.select(F.col("doc_id").alias("doc_a"),
                        F.col("n_sh").alias("n_a")).hint("merge")
     cb = counts.select(F.col("doc_id").alias("doc_b"),
