@@ -476,16 +476,27 @@ def _adaptive_probe_eps(ab: np.ndarray) -> np.ndarray:
     (numeric guard; distinct snapped carriers are >= ~SNAP apart, so
     the floor only engages on geometry degenerate below the snap
     quantum, where classification is meaningless anyway).
+
+    Segments COLLINEAR with segment i's own carrier are excluded from
+    i's clearance: the probes move perpendicular to the carrier, so
+    they can never cross anything lying ON it — without the exclusion
+    a duplicated shared border (clearance 0, the normal conformal-mesh
+    case) would collapse the offset to the floor. This makes the same
+    function valid for RAW mesh segments too (the disjointness
+    dispatch), where exact duplicates are expected.
     """
     n = len(ab)
     mid = (ab[:, :2] + ab[:, 2:]) / 2.0
     p = ab[:, :2]
     d = ab[:, 2:] - ab[:, :2]
     len2 = (d ** 2).sum(axis=1)
+    ln = np.sqrt(len2)
     dmin = np.full(n, np.inf)
     chunk = max(1, 4_000_000 // max(n, 1))
     for s in range(0, n, chunk):
         m = mid[s:s + chunk]
+        dm = d[s:s + chunk]
+        lm = ln[s:s + chunk]
         w = m[:, None, :] - p[None, :, :]
         with np.errstate(invalid="ignore"):
             t = np.clip((w * d[None, :, :]).sum(axis=-1)
@@ -493,10 +504,20 @@ def _adaptive_probe_eps(ab: np.ndarray) -> np.ndarray:
         proj = p[None, :, :] + t[..., None] * d[None, :, :]
         diff = m[:, None, :] - proj
         dist = np.hypot(diff[..., 0], diff[..., 1])
+        # collinear-with-own-carrier mask: parallel directions AND the
+        # midpoint within ~snap of segment j's infinite line
+        cross_dir = np.abs(dm[:, None, 0] * d[None, :, 1]
+                           - dm[:, None, 1] * d[None, :, 0])
+        parallel = cross_dir <= 1e-9 * np.maximum(
+            lm[:, None] * ln[None, :], 1e-300)
+        wp = m[:, None, :] - p[None, :, :]
+        line_dist = np.abs(wp[..., 0] * d[None, :, 1]
+                           - wp[..., 1] * d[None, :, 0]) / np.maximum(
+            ln[None, :], 1e-300)
+        dist[parallel & (line_dist <= 1e-9)] = np.inf
         rows = np.arange(len(m))
         dist[rows, np.arange(s, s + len(m))] = np.inf  # self
         dmin[s:s + len(m)] = dist.min(axis=1)
-    ln = np.sqrt(len2)
     return np.maximum(np.minimum(ln * 1e-5, 0.49 * dmin), 1e-13)
 
 
@@ -522,15 +543,18 @@ def _disjoint_interiors(polys_list: list, segs: np.ndarray) -> bool:
     proper edge crossings, (b) no segment side-probe covered by more
     than one input (catches containment, duplicates, and collinear
     partial overlap, which have NO interior-interior crossing — review
-    r03 reproduced silently-wrong unions on all three). False positives
-    (probe within eps of a neighbor on very thin slivers) only cost a
-    detour through the exact overlay; false negatives need an overlap
-    thinner than the probe offset everywhere along its boundary."""
+    r03 reproduced silently-wrong unions on all three). Probe offsets
+    are clearance-bounded (_adaptive_probe_eps, r04): the old fixed
+    len*1e-5 offset probed straight ACROSS overlap bands thinner than
+    itself, dispatching two rects overlapping in a 1e-6 band to exact
+    cancellation — a silently-wrong union (the band classified OUTSIDE
+    under even-odd). False positives (conservatively routing to the
+    exact overlay) only cost the slower path."""
     if _has_proper_crossing(segs):
         return False
     if len(polys_list) < 2 or not len(segs):
         return True
-    px, py, _n = _segment_side_probes(segs)
+    px, py, _n = _segment_side_probes(segs, eps=_adaptive_probe_eps(segs))
     return _max_coverage(polys_list, px, py) <= 1
 
 

@@ -539,6 +539,31 @@ def test_residual_overlay_thin_sliver_exact():
     assert abs(ua - 10 * 2) < 1e-12  # 10 + (10+1e-5) - 1e-5 overlap
 
 
+def test_dispatch_detects_thin_overlap():
+    """r04: the disjointness DISPATCH itself must catch an overlap band
+    thinner than the old fixed probe offset — it used to route two
+    rects overlapping in a 1e-6 band to exact cancellation, whose union
+    classified the band OUTSIDE under even-odd (silent wrong). With
+    clearance-bounded dispatch probes the pair routes through the exact
+    overlay; a conformal mesh (duplicate shared border, clearance 0 on
+    the carrier) must still dispatch to cancellation."""
+    from posmspark.dissolve import (_collect_segments, _disjoint_interiors,
+                                    dissolve_union)
+
+    thin = [_mp_rect(0, 0, 10, 1), _mp_rect(0, 1 - 1e-6, 10, 2)]
+    assert not _disjoint_interiors(thin, _collect_segments(thin))
+    u = dissolve_union({"A": thin[0], "B": thin[1]})
+    assert len(u) == 1
+    band = geom.points_in_multipolygon(
+        np.array([5.0]), np.array([1 - 5e-7]), u)
+    assert bool(band[0])
+    area = sum(geom.ring_area(r) for polys in u for r in polys)
+    assert abs(area - 20.0) < 5e-8
+
+    conformal = [_mp_rect(0, 0, 2, 2), _mp_rect(2, 0, 4, 2)]
+    assert _disjoint_interiors(conformal, _collect_segments(conformal))
+
+
 def test_residual_overlay_sliver_fuzz_bounded():
     """Bounded in-suite version of the r04 thin-sliver fuzz (500
     external seeds clean): random sliver thicknesses in [1e-7, 1e-5] —
