@@ -294,7 +294,14 @@ def residual_classify(parent: list[list[np.ndarray]],
     nonconformal = _has_proper_crossing(all_segs)
     if not nonconformal:
         if len(child_segs):
-            px, py, n = _segment_side_probes(child_segs)
+            # clearance-bounded probes vs ALL segments (parent too):
+            # fixed offsets probed straight across child-child overlap
+            # bands thinner than len*1e-5, misrouting them to exact
+            # cancellation — the same class as the _disjoint_interiors
+            # fix (review r04)
+            px, py, n = _segment_side_probes(
+                child_segs,
+                eps=_adaptive_probe_eps(child_segs, others=all_segs))
             if _max_coverage(child_list, px, py) > 1:
                 nonconformal = True
             else:
@@ -442,11 +449,11 @@ def _segment_side_probes(segs: np.ndarray, eps: np.ndarray | None = None):
     Returns (px, py, n) with the first n points on the +normal side and
     the last n on the -normal side, index-aligned per segment.
 
-    eps: per-segment probe offset override (the overlay passes the
-    clearance-bounded offsets from _adaptive_probe_eps; the default
-    len-proportional offset remains for the disjointness dispatch,
-    where raw mesh segments legitimately overlap and a clearance is
-    undefined)."""
+    eps: per-segment probe offset override. Every side-classification
+    caller (the overlay, the disjointness dispatch, residual_classify's
+    conformality check) passes clearance-bounded offsets from
+    _adaptive_probe_eps; the len-proportional default only remains as
+    the fallback for callers with no clearance context."""
     mid = (segs[:, :2] + segs[:, 2:]) / 2.0
     d = segs[:, 2:] - segs[:, :2]
     ln = np.hypot(d[:, 0], d[:, 1])
@@ -458,7 +465,8 @@ def _segment_side_probes(segs: np.ndarray, eps: np.ndarray | None = None):
     return px, py, len(segs)
 
 
-def _adaptive_probe_eps(ab: np.ndarray) -> np.ndarray:
+def _adaptive_probe_eps(ab: np.ndarray,
+                        others: np.ndarray | None = None) -> np.ndarray:
     """Clearance-bounded probe offsets for the ARRANGED sub-segments
     (VERDICT r03 item 6 — the exact-side-classification fix).
 
@@ -483,42 +491,85 @@ def _adaptive_probe_eps(ab: np.ndarray) -> np.ndarray:
     a duplicated shared border (clearance 0, the normal conformal-mesh
     case) would collapse the offset to the floor. This makes the same
     function valid for RAW mesh segments too (the disjointness
-    dispatch), where exact duplicates are expected.
+    dispatch), where exact duplicates are expected — and the own row in
+    `others` needs no special-casing (it is collinear with itself).
+
+    others: the segment set clearance is measured AGAINST (defaults to
+    ab itself; residual_classify probes child segments but must respect
+    the parent's boundary too). Clearance is only relevant below
+    cap_i = len_i*1e-5/0.49 (beyond that the len-based offset wins), so
+    the large-n path prunes candidate pairs to an x-window of that cap
+    before computing distances — near-linear on real meshes instead of
+    the dense O(n*m) sweep, which is kept for small inputs.
     """
     n = len(ab)
     mid = (ab[:, :2] + ab[:, 2:]) / 2.0
-    p = ab[:, :2]
-    d = ab[:, 2:] - ab[:, :2]
+    own_d = ab[:, 2:] - ab[:, :2]
+    own_ln = np.hypot(own_d[:, 0], own_d[:, 1])
+    if others is None:
+        others = ab
+    p = others[:, :2]
+    d = others[:, 2:] - others[:, :2]
     len2 = (d ** 2).sum(axis=1)
     ln = np.sqrt(len2)
-    dmin = np.full(n, np.inf)
-    chunk = max(1, 4_000_000 // max(n, 1))
-    for s in range(0, n, chunk):
-        m = mid[s:s + chunk]
-        dm = d[s:s + chunk]
-        lm = ln[s:s + chunk]
-        w = m[:, None, :] - p[None, :, :]
+    cap = own_ln * (1e-5 / 0.49)
+
+    def pair_dist(mi, ji):
+        """Distances mid[mi] -> others[ji], inf where collinear with
+        mid's own carrier (index-aligned 1-D arrays)."""
+        m = mid[mi]
+        w = m - p[ji]
         with np.errstate(invalid="ignore"):
-            t = np.clip((w * d[None, :, :]).sum(axis=-1)
-                        / np.maximum(len2[None, :], 1e-300), 0.0, 1.0)
-        proj = p[None, :, :] + t[..., None] * d[None, :, :]
-        diff = m[:, None, :] - proj
-        dist = np.hypot(diff[..., 0], diff[..., 1])
-        # collinear-with-own-carrier mask: parallel directions AND the
-        # midpoint within ~snap of segment j's infinite line
-        cross_dir = np.abs(dm[:, None, 0] * d[None, :, 1]
-                           - dm[:, None, 1] * d[None, :, 0])
+            t = np.clip((w * d[ji]).sum(axis=-1)
+                        / np.maximum(len2[ji], 1e-300), 0.0, 1.0)
+        proj = p[ji] + t[:, None] * d[ji]
+        dist = np.hypot(m[:, 0] - proj[:, 0], m[:, 1] - proj[:, 1])
+        cross_dir = np.abs(own_d[mi, 0] * d[ji, 1]
+                           - own_d[mi, 1] * d[ji, 0])
         parallel = cross_dir <= 1e-9 * np.maximum(
-            lm[:, None] * ln[None, :], 1e-300)
-        wp = m[:, None, :] - p[None, :, :]
-        line_dist = np.abs(wp[..., 0] * d[None, :, 1]
-                           - wp[..., 1] * d[None, :, 0]) / np.maximum(
-            ln[None, :], 1e-300)
+            own_ln[mi] * ln[ji], 1e-300)
+        line_dist = np.abs(w[:, 0] * d[ji, 1] - w[:, 1] * d[ji, 0]) \
+            / np.maximum(ln[ji], 1e-300)
         dist[parallel & (line_dist <= 1e-9)] = np.inf
-        rows = np.arange(len(m))
-        dist[rows, np.arange(s, s + len(m))] = np.inf  # self
-        dmin[s:s + len(m)] = dist.min(axis=1)
-    return np.maximum(np.minimum(ln * 1e-5, 0.49 * dmin), 1e-13)
+        return dist
+
+    m_others = len(others)
+    dmin = np.full(n, np.inf)
+    if n * m_others <= 4_000_000:
+        chunk = max(1, 4_000_000 // max(m_others, 1))
+        for s in range(0, n, chunk):
+            c = min(chunk, n - s)
+            mi = np.repeat(np.arange(s, s + c), m_others)
+            ji = np.tile(np.arange(m_others), c)
+            dist = pair_dist(mi, ji).reshape(c, m_others)
+            dmin[s:s + c] = dist.min(axis=1)
+    else:
+        # prune: only others within an x-window of cap_max around the
+        # midpoint can have distance < cap (plus the max x-extent so an
+        # interval-stab reduces to one sorted-range query)
+        x0 = np.minimum(p[:, 0], p[:, 0] + d[:, 0])
+        x1 = np.maximum(p[:, 0], p[:, 0] + d[:, 0])
+        y0 = np.minimum(p[:, 1], p[:, 1] + d[:, 1])
+        y1 = np.maximum(p[:, 1], p[:, 1] + d[:, 1])
+        order = np.argsort(x0)
+        x0s = x0[order]
+        max_ext = float((x1 - x0).max()) if m_others else 0.0
+        cap_max = float(cap.max()) if n else 0.0
+        for i in range(n):
+            mx, my = mid[i]
+            lo = np.searchsorted(x0s, mx - cap_max - max_ext)
+            hi = np.searchsorted(x0s, mx + cap_max, side="right")
+            cand = order[lo:hi]
+            if not len(cand):
+                continue
+            cand = cand[(x1[cand] >= mx - cap_max)
+                        & (y0[cand] - cap_max <= my)
+                        & (my <= y1[cand] + cap_max)]
+            if not len(cand):
+                continue
+            dist = pair_dist(np.full(len(cand), i), cand)
+            dmin[i] = dist.min()
+    return np.maximum(np.minimum(own_ln * 1e-5, 0.49 * dmin), 1e-13)
 
 
 def _max_coverage(polys_list: list, px: np.ndarray, py: np.ndarray) -> int:

@@ -14,6 +14,7 @@ broadcast or map-side, and each stage checkpoint is a resume point
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,9 +65,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 5-decimal grid, where %.5f rounding sits on half-way
     # boundaries — not portable across engines.
     def draw(salt):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), url)), 1, 12), 16, 10
-        ).cast("long") % 1000000
+        return synth.md5_draw_expr(url, salt, 1000000)
 
     k1, k2, k3, k4 = draw("p1|"), draw("p2|"), draw("p3|"), draw("p4|")
     has_geo = k1 < 700000
@@ -272,12 +271,20 @@ def _sql_pip_edge_values(prepared) -> str:
     return ",\n".join(rows)
 
 
+@functools.lru_cache(maxsize=1)
 def _sql_pip_assign_ctes() -> str:
     from posmspark import synth
 
     prepared = default_prepared()
     hot_lon_e5 = int(round(synth.HOT_LON * 100000))
     hot_lat_e5 = int(round(synth.HOT_LAT * 100000))
+
+    def draw_sql(salt):
+        # the DuckDB twin of the Spark-side synth.md5_draw_expr draws
+        # in pages_from_documents — one shared helper, no hand-copied
+        # idiom to drift (review r04)
+        return synth.md5_draw_sql("url", salt, 1000000)
+
     return f"""
 WITH u AS (
   SELECT 'https://crawl.example/' || source || '/' ||
@@ -286,14 +293,10 @@ WITH u AS (
   FROM documents),
 k AS (
   SELECT url, doc_id, lang,
-    CAST('0x' || substring(md5('p1|' || url), 1, 12) AS BIGINT)
-      % 1000000 AS k1,
-    CAST('0x' || substring(md5('p2|' || url), 1, 12) AS BIGINT)
-      % 1000000 AS k2,
-    CAST('0x' || substring(md5('p3|' || url), 1, 12) AS BIGINT)
-      % 1000000 AS k3,
-    CAST('0x' || substring(md5('p4|' || url), 1, 12) AS BIGINT)
-      % 1000000 AS k4
+    {draw_sql("p1|")} AS k1,
+    {draw_sql("p2|")} AS k2,
+    {draw_sql("p3|")} AS k3,
+    {draw_sql("p4|")} AS k4
   FROM u),
 pts AS (
   SELECT url, lang, 1735689600 + doc_id * 137 AS warc_s,

@@ -95,14 +95,21 @@ def dedup_stream(pages_stream: DataFrame,
     """
     import pandas as pd
 
-    ttl_delta = pd.to_timedelta(ttl) if ttl is not None else None
+    ttl_ms = (int(pd.to_timedelta(ttl).total_seconds() * 1000)
+              if ttl is not None else None)
     keyed = pages_stream.withColumn(
         "content_hash", F.sha2(F.col("text").cast("binary"), 256)
     ).select("content_hash", "url", "warc_ts", "text")
+    out_cols = ["content_hash", "url", "warc_ts", "text"]
     if ttl is not None:
         # EventTimeTimeout requires a watermark; 0s delay = timers fire
-        # as soon as max(seen warc_ts) passes them
-        keyed = keyed.withWatermark("warc_ts", "0 seconds")
+        # as soon as max(seen warc_ts) passes them. Event millis are
+        # computed JVM-SIDE (unix_millis is timezone-correct) — a naive
+        # pandas .timestamp() on the Arrow-converted column would read
+        # session-local wall time as UTC and shift every expiry by the
+        # session's UTC offset (review r04).
+        keyed = keyed.withWatermark("warc_ts", "0 seconds").withColumn(
+            "warc_ms", F.unix_millis("warc_ts"))
 
     def first_seen(key, pdf_iter, state):
         if state.hasTimedOut:
@@ -110,22 +117,6 @@ def dedup_stream(pages_stream: DataFrame,
             for _ in pdf_iter:
                 pass
             state.remove()
-            return
-        best = None
-        ts_max = None
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            cand = pdf.sort_values(["warc_ts", "url"]).head(1)
-            if best is None or (
-                tuple(cand.iloc[0][["warc_ts", "url"]])
-                < tuple(best.iloc[0][["warc_ts", "url"]])
-            ):
-                best = cand
-            if ttl_delta is not None:
-                m = pdf["warc_ts"].max()
-                ts_max = m if ts_max is None else max(ts_max, m)
-        if best is None:
             return
         # expiry is checked IN-BAND against the stored timestamp, not
         # only via the timer: the engine fires event-time timers in
@@ -136,28 +127,53 @@ def dedup_stream(pages_stream: DataFrame,
         # long an idle marker row survives in the store.
         live = state.exists
         old_expire = 0
-        if live and ttl_delta is not None:
+        if live and ttl_ms is not None:
             (old_expire,) = state.get
             live = state.getCurrentWatermarkMs() < old_expire
-        if ttl_delta is not None:
+        if live and ttl_ms is None:
+            for _ in pdf_iter:  # fast path: all rows are re-deliveries
+                pass
+            return
+        best = None
+        ms_max = None
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            if not live:
+                cand = pdf.sort_values(["warc_ts", "url"]).head(1)
+                if best is None or (
+                    tuple(cand.iloc[0][["warc_ts", "url"]])
+                    < tuple(best.iloc[0][["warc_ts", "url"]])
+                ):
+                    best = cand
+            if ttl_ms is not None:
+                m = int(pdf["warc_ms"].max())
+                ms_max = m if ms_max is None else max(ms_max, m)
+        if best is None and not live:
+            return
+        if ttl_ms is not None:
             expire_ms = max(
-                int(ts_max.timestamp() * 1000
-                    + ttl_delta.total_seconds() * 1000),
-                old_expire)
+                ms_max + ttl_ms if ms_max is not None else 0, old_expire)
             state.update((expire_ms,))
             state.setTimeoutTimestamp(
                 max(expire_ms, state.getCurrentWatermarkMs() + 1))
         else:
-            state.update((0,))
+            state.update((1,))
         if not live:
-            yield best
+            yield best[out_cols]
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # state schema: the no-TTL default keeps the original 'seen int'
+    # marker, so pre-existing checkpoints keep resuming (an int->long
+    # schema change is rejected by the state store's compatibility
+    # check); the TTL variant stores its expiry and is a NEW operator
+    # configuration with its own checkpoints.
     return keyed.groupBy("content_hash").applyInPandasWithState(
         first_seen,
         outputStructType=DEDUP_OUT_SCHEMA,
-        stateStructType="expire_ms long",
+        stateStructType=("expire_ms long" if ttl is not None
+                         else "seen int"),
         outputMode="append",
         timeoutConf=(GroupStateTimeout.EventTimeTimeout
                      if ttl is not None

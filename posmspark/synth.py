@@ -39,6 +39,24 @@ HTML_POST = b"</article><footer>crawl 2025</footer></body></html>"
 HOT_LON, HOT_LAT = 6.13, 6.87  # inside country R1000 / strip R1100 / R1120
 
 
+def md5_draw_expr(col, salt: str, mod: int):
+    """Portable deterministic integer draw in [0, mod): md5 of the
+    salted column, first 12 hex digits as an integer, mod. The SAME
+    value is computable in DuckDB via md5_draw_sql — this pair is the
+    load-bearing portability contract behind every hash-checked oracle
+    that re-derives synthetic draws (pip_assignment/pip_tile_rollup,
+    rand_indicators' variant); keep the two in lockstep."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 12), 16, 10
+    ).cast("long") % mod
+
+
+def md5_draw_sql(col_sql: str, salt: str, mod: int) -> str:
+    """DuckDB twin of md5_draw_expr (see its docstring)."""
+    return (f"CAST('0x' || substring(md5('{salt}' || {col_sql}), 1, 12)"
+            f" AS BIGINT) % {mod}")
+
+
 def rect(x0, y0, x1, y1) -> np.ndarray:
     """Closed CCW rectangle ring."""
     return np.array(
