@@ -83,3 +83,28 @@ def test_query_matches_oracle(spark, ddb, name):
     b = _rows_to_sorted(duck_rows, duck_cols)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_md5_draw_pair_identical(spark):
+    """The shared portable-draw helper pair (synth.md5_draw_expr /
+    md5_draw_sql) is the load-bearing contract behind the hash-checked
+    flagship oracles — pin Spark and DuckDB producing the identical
+    integer for the same inputs."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from posmspark import synth
+
+    df = spark.range(0, 200).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("u"))
+    got = {r["u"]: r["k"] for r in df.select(
+        "u", synth.md5_draw_expr(F.col("u"), "s|", 1000000).alias("k")
+    ).collect()}
+    con = _duckdb.connect()
+    sql = synth.md5_draw_sql("u", "s|", 1000000)
+    exp = dict(con.sql(
+        f"SELECT u, {sql} AS k FROM "
+        f"(SELECT 'u' || CAST(range AS VARCHAR) AS u FROM range(200))"
+    ).fetchall())
+    assert got == exp
