@@ -569,7 +569,17 @@ def _adaptive_probe_eps(ab: np.ndarray,
                 continue
             dist = pair_dist(np.full(len(cand), i), cand)
             dmin[i] = dist.min()
-    return np.maximum(np.minimum(own_ln * 1e-5, 0.49 * dmin), 1e-13)
+    # floor is SCALE-AWARE (review r04): a T-junction vertex landing on
+    # a midpoint gives clearance 0, and a fixed 1e-13 floor is below
+    # one ulp at projected-coordinate magnitudes (UTM ~1e5-1e7), so the
+    # probe would round exactly onto the boundary — harmless for the
+    # overlay (arranged segments have no such junctions) but it
+    # misrouted conformal meshes off the cancellation fast path. A
+    # 1e-12 relative floor keeps probes numerically off the carrier
+    # (~4000 ulps) while staying far below any representable feature.
+    floor = np.maximum(
+        1e-13, 1e-12 * np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
+    return np.maximum(np.minimum(own_ln * 1e-5, 0.49 * dmin), floor)
 
 
 def _max_coverage(polys_list: list, px: np.ndarray, py: np.ndarray) -> int:

@@ -564,6 +564,28 @@ def test_dispatch_detects_thin_overlap():
     assert _disjoint_interiors(conformal, _collect_segments(conformal))
 
 
+def test_dispatch_conformal_at_projected_scales():
+    """r04 review: a T-junction vertex ON a segment midpoint gives
+    clearance 0; with a fixed 1e-13 probe floor the probe rounded onto
+    the boundary at projected-coordinate magnitudes (UTM ~1e5) and
+    conformal meshes misrouted off the cancellation fast path. The
+    scale-aware floor must keep them dispatching to cancellation while
+    thin overlaps stay detected at the same scales."""
+    from posmspark.dissolve import _collect_segments, _disjoint_interiors
+
+    for s in (1.0, 1e4, 1e6):
+        conformal = [
+            _mp_rect(0, 0, 10 * s, s),
+            _mp_rect(0, s, 5 * s, 2 * s),      # split at the midpoint
+            _mp_rect(5 * s, s, 10 * s, 2 * s),  # -> T-junction at (5s, s)
+        ]
+        assert _disjoint_interiors(
+            conformal, _collect_segments(conformal)), s
+        thin = [_mp_rect(0, 0, 10 * s, s),
+                _mp_rect(0, s * (1 - 1e-6), 10 * s, 2 * s)]
+        assert not _disjoint_interiors(thin, _collect_segments(thin)), s
+
+
 def test_residual_overlay_sliver_fuzz_bounded():
     """Bounded in-suite version of the r04 thin-sliver fuzz (500
     external seeds clean): random sliver thicknesses in [1e-7, 1e-5] —
