@@ -61,6 +61,13 @@ def _q_cell_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 on the flagship points, DuckDB-oracle-checked (VERDICT r04
+    item 1): points come from the portable md5 draws, sites are the
+    deterministic fixture representative points, and the oracle brute-
+    forces the same kNN with the identical haversine expression tree
+    (pipeline.knn_cellring_oracle_sql) — flattened to rank rows like
+    knn_topk_flat so the whole distributed ring expansion hash-checks.
+    """
     import pandas as pd
 
     from posmspark import geom, synth
@@ -85,11 +92,12 @@ def _q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "lon", "lat")
     out = knn_cellring(pts, sites, k=3, spark=spark)
     return out.select(
+        "url", F.posexplode("knn").alias("pos", "nn")
+    ).select(
         "url",
-        F.col("knn")[0]["site_id"].alias("nn1"),
-        F.round(F.col("knn")[0]["dist_m"], 2).alias("nn1_dist_m"),
-        F.col("knn")[1]["site_id"].alias("nn2"),
-        F.col("knn")[2]["site_id"].alias("nn3"),
+        (F.col("pos") + 1).alias("rank"),
+        F.col("nn.site_id").alias("site_id"),
+        F.round(F.col("nn.dist_m"), 4).alias("dist_m"),
     )
 
 
@@ -187,25 +195,56 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming op surfaced as its batch-parity transform (same code
-    path the stream runs; structured-streaming plumbing tested in
-    tests/test_streaming.py)."""
-    from posmspark import streaming, synth
-    from posmspark.joins import prepare_boundaries
-    from posmspark.pipeline import pages_from_documents
+#: far-future sentinel epoch second for the streaming flush row: its
+#: arrival pushes the watermark past every real window, so append mode
+#: emits them all within one availableNow drain (the tail would
+#: otherwise stay held in state — tests/test_streaming.py pins that).
+_STC_SENTINEL_S = 1735689600 + 1_000_000_000
 
-    prepared = prepare_boundaries(
-        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf()
+
+def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked windowed tile aggregation run through the REAL
+    streaming engine (VERDICT r04 item 5): pages land as parquet files,
+    a readStream + availableNow drain processes them through the shared
+    transform into an append-mode windowed count with a checkpoint, and
+    the emitted windows hash-check against a batch DuckDB oracle
+    (pipeline.streaming_tile_counts_oracle_sql). A far-future sentinel
+    page (geotagged inside the hot boundary so it survives ingest +
+    PIP) advances the watermark past every real window; its own window
+    stays held in state and is excluded by construction."""
+    import os
+    import shutil
+    import tempfile
+
+    from posmspark import streaming
+    from posmspark.pipeline import default_prepared, pages_from_documents
+    from posmspark.synth import HOT_LAT, HOT_LON, HTML_POST, HTML_PRE
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wd = os.path.join(tempfile.gettempdir(), f"posmspark_stcq_{tag}")
+    shutil.rmtree(wd, ignore_errors=True)
+    pages_dir = os.path.join(wd, "in")
+    sent_text = F.format_string(
+        "flush geo: %.5f, %.5f", F.lit(float(HOT_LAT)), F.lit(float(HOT_LON)))
+    sentinel = spark.range(1).select(
+        F.lit("https://crawl.example/sentinel/flush").alias("url"),
+        F.timestamp_seconds(F.lit(_STC_SENTINEL_S)).alias("warc_ts"),
+        F.concat(F.lit(HTML_PRE), F.encode(sent_text, "UTF-8"),
+                 F.lit(HTML_POST)).alias("html"),
+        sent_text.alias("text"),
+        F.lit("en").alias("lang"),
     )
-    assigned = streaming.transform_pages(
-        pages_from_documents(spark, sf_dir), prepared, spark)
+    pages = pages_from_documents(spark, sf_dir).unionByName(sentinel)
+    pages.write.mode("overwrite").parquet(pages_dir)
+    schema = spark.read.parquet(pages_dir).schema
+    streaming.run_stream_once(
+        pages_dir, os.path.join(wd, "out"), os.path.join(wd, "ckpt"),
+        default_prepared(), spark, schema)
     return (
-        assigned.groupBy(
-            F.window("warc_ts", "5 minutes").alias("win"), "cell", "osm_id_l0")
-        .agg(F.count(F.lit(1)).alias("doc_count"))
-        .select(F.col("win.start").alias("window_start"), "cell",
-                "osm_id_l0", "doc_count")
+        spark.read.parquet(os.path.join(wd, "out"))
+        .select(F.col("window_start").cast("long").alias("win_s"),
+                "cell", "osm_id_l0", "doc_count")
+        .filter(F.col("win_s") < _STC_SENTINEL_S - 1_000_000)
     )
 
 
@@ -497,39 +536,36 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: Driver-budget ordering (VERDICT r02 item 1): the driver verifies
-#: registry entries IN ORDER with a ~50-query budget. Round-4 window
-#: (VERDICT r03 item 3): the 13 entries whose latest driver row is r02
-#: (skipped by the r03 budget, unchanged since) come FIRST, then every
-#: entry whose behavior or module changed this round; long-green r03
-#: oracle repeats fill the tail.
+#: registry entries IN ORDER with a ~50-query budget. Round-5 window
+#: (VERDICT r04 item 3): the 13 entries whose latest driver row is r03
+#: (skipped by the r04 budget, unchanged since) come FIRST, then every
+#: entry whose behavior changed this round; long-green r04 repeats fill
+#: the tail.
 _VERIFY_FIRST = [
-    # --- stale since r02 (rotation, VERDICT r03 item 3)
-    "embedding_label_centroids",
-    "ann_cosine_topk",
-    "knn_topk_flat",
-    "langid_ngram",
-    "doc_fingerprint",
-    "incremental_manifest",
-    "dual_export",
-    "shapefile_source",
-    "zip_package_manifest",
-    "tile_clip_areas",
-    "cell_tile_stats",        # also changed: portable ingest draws
-    "knn_cellring",           # also changed: portable ingest draws
-    "problems_routing",
-    # --- changed in round 4
-    "pip_assignment",         # NEW DuckDB ray-crossing oracle
-    "pip_tile_rollup",        # NEW DuckDB rollup oracle
-    "byte_identity_audit",    # ingest draws now md5-portable
-    "streaming_tile_counts",  # ingest draws now md5-portable
-    "streaming_dedup",        # ingest draws now md5-portable
-    "simhash_near_pairs",     # bucket cap wired into registry query
-    "ann_ivf_topk",           # centroid training sample now bounded
-    "topojson_export",        # artifact-swap guard + empty-schema fix
-    "table_snapshots",        # partition key-set guard
-    "simplify_mesh_stats",    # shell-drop ring assembly fix
-    "residual_holes",         # overlay probes now clearance-bounded
-    "dissolve_parents",       # overlay probes now clearance-bounded
+    # --- stale since r03 (rotation, VERDICT r04 item 3)
+    "dedup_exact",
+    "token_stats",
+    "lang_quality",
+    "minhash_band_candidates",
+    "minhash_verified_dups",
+    "ngram_jaccard_pairs",    # also changed r05: array-form shingle cache
+    "embedding_cosine_dups",
+    "simhash_pigeonhole_pairs",
+    "rand_indicators",
+    "problem_url",
+    "ann_lsh_topk",
+    "multimodal_features",
+    "poly_export",
+    # --- changed in round 5
+    "cell_tile_stats",        # NEW DuckDB oracle (SQL morton cell ids)
+    "streaming_tile_counts",  # NEW oracle + real availableNow stream run
+    "knn_cellring",           # NEW DuckDB haversine brute-force oracle
+    "dissolve_parents",       # overlay magnitude-extreme hardening
+    "residual_holes",         # overlay magnitude-extreme hardening
+    "simplify_mesh_stats",    # shares the dissolve mesh machinery
+    "tile_clip_areas",        # shares the clip/overlay kernels
+    "pip_assignment",         # anchor oracle for the new rollup oracles
+    "pip_tile_rollup",
 ]
 
 
@@ -546,12 +582,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from posmspark.pipeline import (pip_assignment_oracle_sql,
-                                    pip_tile_rollup_oracle_sql)
+    from posmspark.pipeline import (cell_tile_stats_oracle_sql,
+                                    knn_cellring_oracle_sql,
+                                    pip_assignment_oracle_sql,
+                                    pip_tile_rollup_oracle_sql,
+                                    streaming_tile_counts_oracle_sql)
 
     out = {
         name: sql for name, (_fn, sql) in relops.QUERIES.items() if sql
     }
     out["pip_assignment"] = pip_assignment_oracle_sql()
     out["pip_tile_rollup"] = pip_tile_rollup_oracle_sql()
+    out["cell_tile_stats"] = cell_tile_stats_oracle_sql()
+    out["streaming_tile_counts"] = streaming_tile_counts_oracle_sql()
+    out["knn_cellring"] = knn_cellring_oracle_sql()
     return out

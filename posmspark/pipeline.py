@@ -344,6 +344,118 @@ WHERE osm_id_l0 IS NOT NULL OR osm_id_l1 IS NOT NULL
 """
 
 
+def _sql_cell_ctes(src: str, res: int = 12) -> str:
+    """The cells.cell_column Morton encoder as a DuckDB CTE chain over
+    source relation `src` (must expose lon/lat): EXACT same arithmetic
+    as the JVM expression — (v+off)/span*nf floor, clamp to [0, 2^res),
+    the five spread steps, res tag in bits 58+ — so cell ids agree
+    bit-for-bit across engines. Yields a relation `cellx` carrying all
+    of src's columns plus `cell`."""
+    nmax = (1 << res) - 1
+    nf = float(2 ** res)
+
+    def grid(v, off, span):
+        return (f"CAST(greatest(0, least({nmax}, floor(({v} + "
+                f"CAST({off!r} AS DOUBLE)) / CAST({span!r} AS DOUBLE) * "
+                f"CAST({nf!r} AS DOUBLE)))) AS BIGINT)")
+
+    masks = [
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    ctes = [f"""c0 AS (
+  SELECT *, {grid('lon', 180.0, 360.0)} AS ci,
+         {grid('lat', 90.0, 180.0)} AS cj
+  FROM {src})"""]
+    for step, (shift, mask) in enumerate(masks):
+        ctes.append(f"""c{step + 1} AS (
+  SELECT * REPLACE ((((ci << {shift}) | ci) & {mask}) AS ci,
+                    (((cj << {shift}) | cj) & {mask}) AS cj)
+  FROM c{step})""")
+    ctes.append(f"""cellx AS (
+  SELECT *, ((ci | (cj << 1)) | {res << 58}) AS cell FROM c{len(masks)})""")
+    return ",\n".join(ctes)
+
+
+_SQL_ASSIGN_MATCHED = """
+matched AS (
+  SELECT * FROM assign
+  WHERE osm_id_l0 IS NOT NULL OR osm_id_l1 IS NOT NULL
+     OR osm_id_l2 IS NOT NULL OR osm_id_l3 IS NOT NULL)"""
+
+
+def cell_tile_stats_oracle_sql() -> str:
+    """O22 raster side under the oracle gate: per-cell doc stats over
+    the matched assignment, with the cell id itself re-derived in SQL
+    (VERDICT r04 item 1 — promotes the r04 rows-only entry)."""
+    return (_sql_pip_assign_ctes() + "," + _SQL_ASSIGN_MATCHED + ",\n"
+            + _sql_cell_ctes("matched") + """
+SELECT cell, COUNT(*) AS doc_count, COUNT(DISTINCT url) AS distinct_urls
+FROM cellx GROUP BY cell
+""")
+
+
+def streaming_tile_counts_oracle_sql() -> str:
+    """The watermarked 5-minute windowed tile aggregation, re-derived
+    batch-side in DuckDB: window start = warc_s - warc_s % 300 (epoch-
+    aligned tumbling windows, exactly F.window's bucketing). The Spark
+    side runs a REAL availableNow stream (sentinel-flushed, so append
+    mode emits every real window) — counts must match this batch SQL.
+    """
+    return (_sql_pip_assign_ctes() + "," + _SQL_ASSIGN_MATCHED + ",\n"
+            + _sql_cell_ctes("matched") + """
+SELECT (warc_s - warc_s % 300) AS win_s, cell, osm_id_l0,
+       COUNT(*) AS doc_count
+FROM cellx GROUP BY 1, 2, 3
+""")
+
+
+def knn_cellring_oracle_sql() -> str:
+    """O16 on the flagship points under the oracle gate: DuckDB brute-
+    forces the same kNN with the EXACT haversine expression tree of
+    joins.haversine_expr (radians per operand, pow/sin/cos order, the
+    12742017.6 = 2R literal, least(a, 1.0) clamp), ties broken by
+    site_id — the same ordering knn_cellring's window uses. Sites are
+    the deterministic fixture representative points, embedded as
+    VALUES (their derivation is pinned separately in tests/test_geom).
+    """
+    import pandas as pd  # noqa: F401  (geom deps)
+
+    from posmspark import geom, synth as _synth
+    from posmspark.joins import prepare_boundaries as _prep
+
+    prepared = _prep(_synth.gen_boundaries_pdf(),
+                     _synth.gen_admin_mapping_pdf())
+    sites = ",\n".join(
+        f"  ('{oid}', CAST({float(lon)!r} AS DOUBLE), "
+        f"CAST({float(lat)!r} AS DOUBLE))"
+        for oid, (lon, lat) in (
+            (oid, geom.representative_point(polys))
+            for oid, polys in sorted(prepared.polys_by_id.items()))
+    )
+    return _sql_pip_assign_ctes() + f""",
+sites(site_id, slon, slat) AS (VALUES
+{sites}),
+d AS (
+  SELECT p.url, s.site_id,
+         CAST(12742017.6 AS DOUBLE) * asin(sqrt(least(
+             pow(sin((radians(s.slat) - radians(p.lat)) / 2), 2)
+             + cos(radians(p.lat)) * cos(radians(s.slat))
+               * pow(sin((radians(s.slon) - radians(p.lon)) / 2), 2),
+             CAST(1.0 AS DOUBLE)))) AS dist_m
+  FROM pts p CROSS JOIN sites s),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY url ORDER BY dist_m, site_id) AS rank
+  FROM d)
+SELECT url, rank, site_id, round(dist_m, 4) AS dist_m
+FROM r WHERE rank <= 3
+"""
+
+
 def pip_tile_rollup_oracle_sql() -> str:
     prepared = default_prepared()
     lp = prepared.levels_pdf

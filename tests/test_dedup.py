@@ -1,6 +1,8 @@
 """Dedup operator tests: MinHash-LSH recall vs exact Jaccard, SimHash
 bucketing correctness vs brute-force Hamming."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -243,7 +245,8 @@ def test_simhash_registry_query_skew_guard(spark, tmp_path):
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
-        "spark_entry_for_test", "/root/repo/__spark_entry__.py")
+        "spark_entry_for_test",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 

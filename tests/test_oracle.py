@@ -50,21 +50,25 @@ def _kind(dtype):
     return "other"
 
 
-@pytest.mark.parametrize("name", [n for n, (_, sql) in QUERIES.items() if sql])
-def test_query_matches_oracle(spark, ddb, name):
-    fn, sql = QUERIES[name]
-    sdf = fn(spark, SF_DIR)
+#: Spatial/streaming registry entries whose oracle SQL lives in
+#: pipeline.py (not relops.QUERIES) — mirror the driver gate for them
+#: too, so a drift in the portable-draw/cell/haversine SQL twins is
+#: caught in-suite before the driver runs (VERDICT r04 item 1).
+SPATIAL_ORACLE_NAMES = [
+    "pip_assignment",
+    "pip_tile_rollup",
+    "cell_tile_stats",
+    "knn_cellring",
+    "streaming_tile_counts",
+]
+
+
+def _compare(name, sdf, ddb, sql):
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
-
     rel = ddb.sql(sql)
     duck_cols = [c.lower() for c in rel.columns]
     duck_rows = rel.fetchall()
-
-    # The driver compares via pandas, where DuckDB HUGEINT (sum of INT)
-    # becomes float64 while Spark's BIGINT stays int64 — stringified cells
-    # then hash-mismatch ("180.0" vs "180") even when values are equal.
-    # Mirror that: dtype *kind* must agree per column through pandas.
     spdf = sdf.toPandas()
     dpdf = rel.df()
     for c in spdf.columns:
@@ -73,16 +77,33 @@ def test_query_matches_oracle(spark, ddb, name):
         assert _kind(spdf[c].dtype) == _kind(dpdf[dc].dtype), (
             f"{name}.{c}: pandas dtype kind {spdf[c].dtype} (spark) vs "
             f"{dpdf[dc].dtype} (oracle) — driver hasher would mismatch")
-
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}")
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}")
-
     a = _rows_to_sorted(spark_rows, spark_cols)
     b = _rows_to_sorted(duck_rows, duck_cols)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", SPATIAL_ORACLE_NAMES)
+def test_spatial_query_matches_oracle(spark, ddb, name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_under_test",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sdf = entry.queries()[name](spark, SF_DIR)
+    _compare(name, sdf, ddb, entry.oracle_sql()[name])
+
+
+@pytest.mark.parametrize("name", [n for n, (_, sql) in QUERIES.items() if sql])
+def test_query_matches_oracle(spark, ddb, name):
+    fn, sql = QUERIES[name]
+    _compare(name, fn(spark, SF_DIR), ddb, sql)
 
 
 def test_md5_draw_pair_identical(spark):
