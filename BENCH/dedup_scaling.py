@@ -84,7 +84,7 @@ def run_size(n_docs: int, names: list[str],
 
 
 def run_core_scaling(n_docs: int, lo: int, hi: int, reps: int,
-                     write_md: bool) -> None:
+                     write_md: bool, queries: list[str] | None = None) -> None:
     """N -> 4N core-scaling evidence for the dedup family (VERDICT r03
     item 7): the flagship job's efficiency table (BENCH/scaling.py)
     only covers the spatial pipeline; this runs the shuffle-heavy dedup
@@ -93,10 +93,11 @@ def run_core_scaling(n_docs: int, lo: int, hi: int, reps: int,
     — the only measurement protocol that survives this host's
     CPU-steal noise), and reports per-query scaling efficiency
     speedup / (hi/lo)."""
+    queries = queries or QUERIES
     best: dict[int, dict[str, float]] = {lo: {}, hi: {}}
     for rep in range(reps):
         for cpus in (lo, hi):  # alternate inside the same window
-            r = run_size(n_docs, QUERIES, cpus=cpus)
+            r = run_size(n_docs, queries, cpus=cpus)
             for q, t in r["queries"].items():
                 cur = best[cpus].get(q)
                 best[cpus][q] = t if cur is None else min(cur, t)
@@ -112,7 +113,7 @@ def run_core_scaling(n_docs: int, lo: int, hi: int, reps: int,
         f" efficiency (>=0.8) |",
         "|---|---|---|---|---|",
     ]
-    for q in QUERIES:
+    for q in queries:
         sp = best[lo][q] / max(best[hi][q], 1e-9)
         lines.append(
             f"| {q} | {best[lo][q]:.2f}s | {best[hi][q]:.2f}s"
@@ -133,14 +134,18 @@ def main() -> None:
                     help="'2,8': run the N->4N core-scaling mode at the "
                          "first --sizes entry instead of data scaling")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of the query list")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    names = args.queries.split(",") if args.queries else QUERIES
     if args.core_pair:
         lo, hi = (int(x) for x in args.core_pair.split(","))
-        run_core_scaling(sizes[0], lo, hi, args.reps, args.write_md)
+        run_core_scaling(sizes[0], lo, hi, args.reps, args.write_md,
+                         queries=names)
         return
 
-    results = [run_size(n, QUERIES) for n in sizes]
+    results = [run_size(n, names) for n in sizes]
     for r in results:
         print(json.dumps(r))
     if len(results) >= 2:
@@ -156,7 +161,7 @@ def main() -> None:
             .format(lo["n_docs"], hi["n_docs"]),
             "|---|---|---|---|---|",
         ]
-        for q in QUERIES:
+        for q in names:
             g = hi["queries"][q] / max(lo["queries"][q], 1e-9)
             lines.append(
                 f"| {q} | {lo['queries'][q]:.2f}s | {hi['queries'][q]:.2f}s"

@@ -58,6 +58,34 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     )
 
 
+def shingle_hash_arrays(df: DataFrame, text_col: str = "text", n: int = 3,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-doc array of xxhash64'd distinct word n-grams — the NARROW
+    staged form of the shingle table: one row per document, int64
+    elements (r05 rework of the r04 (doc_id, sh_h) row cache).
+
+    Why arrays: the exploded row form materialized ~60 rows/doc into
+    the cache — that write is memory-bandwidth-bound and was the
+    low-core-count scaling bottleneck of q_ngram_jaccard_pairs (2->8
+    efficiency 0.711, VERDICT r04). The array form caches one row per
+    doc; consumers explode from cached int arrays (cheap CPU, no
+    string work), and per-doc shingle counts become F.size(shs) — no
+    groupBy shuffle at all. Distinct runs on the STRING grams before
+    hashing, so counts are hash-collision-proof exactly like the row
+    form, and every downstream value is unchanged (oracle parity)."""
+    grams = F.expr(
+        f"CASE WHEN size(_toks) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n}))) END"
+    )
+    return (
+        df.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
+        .select(id_col,
+                F.transform(F.array_distinct(grams),
+                            lambda g: F.xxhash64(g)).alias("shs"))
+    )
+
+
 def cap_k_smallest(df: DataFrame, key_cols: list[str], id_col: str,
                    k: int) -> DataFrame:
     """Keep only the k smallest id_col values per key — THE hot-key

@@ -31,6 +31,7 @@ hundreds of thousands of independent groups.
 
 from __future__ import annotations
 
+import math
 from collections import defaultdict
 
 import numpy as np
@@ -299,10 +300,12 @@ def residual_classify(parent: list[list[np.ndarray]],
             # bands thinner than len*1e-5, misrouting them to exact
             # cancellation — the same class as the _disjoint_interiors
             # fix (review r04)
-            px, py, n = _segment_side_probes(
-                child_segs,
-                eps=_adaptive_probe_eps(child_segs, others=all_segs))
-            if _max_coverage(child_list, px, py) > 1:
+            eps, clamped, _ = _adaptive_probe_eps(
+                child_segs, others=all_segs, return_clamped=True)
+            px, py, n = _segment_side_probes(child_segs, eps=eps)
+            if clamped.any() or _max_coverage(child_list, px, py) > 1:
+                # clamped probes can't be trusted across thin bands
+                # (ADVICE r04) — route conservatively to the overlay
                 nonconformal = True
             else:
                 in_par = geom.points_in_multipolygon(px, py, parent)
@@ -466,7 +469,8 @@ def _segment_side_probes(segs: np.ndarray, eps: np.ndarray | None = None):
 
 
 def _adaptive_probe_eps(ab: np.ndarray,
-                        others: np.ndarray | None = None) -> np.ndarray:
+                        others: np.ndarray | None = None,
+                        return_clamped: bool = False):
     """Clearance-bounded probe offsets for the ARRANGED sub-segments
     (VERDICT r03 item 6 — the exact-side-classification fix).
 
@@ -501,6 +505,11 @@ def _adaptive_probe_eps(ab: np.ndarray,
     the large-n path prunes candidate pairs to an x-window of that cap
     before computing distances — near-linear on real meshes instead of
     the dense O(n*m) sweep, which is kept for small inputs.
+
+    return_clamped=True additionally returns (clamped mask, dmin): a
+    segment is clamped when the scale-aware floor overrode its
+    clearance bound — its float probe offset may exceed the true
+    clearance, so the caller must not trust its probe classification.
     """
     n = len(ab)
     mid = (ab[:, :2] + ab[:, 2:]) / 2.0
@@ -530,7 +539,23 @@ def _adaptive_probe_eps(ab: np.ndarray,
             own_ln[mi] * ln[ji], 1e-300)
         line_dist = np.abs(w[:, 0] * d[ji, 1] - w[:, 1] * d[ji, 0]) \
             / np.maximum(ln[ji], 1e-300)
-        dist[parallel & (line_dist <= 1e-9)] = np.inf
+        # SCALE-RELATIVE carrier tolerance (ADVICE r04): the midpoint
+        # rounding of (a+b)/2 is ~1 ulp of the coordinate magnitude,
+        # so at magnitudes >= ~1e7 an exact duplicate shared border
+        # shows line_dist ~2e-9 > the old absolute 1e-9 and failed the
+        # exclusion — conformal meshes then stayed on the fast path
+        # only through the floor clamp, an implicit coupling of two
+        # thresholds. 32 ulps is a wide margin over the ~1-ulp rounding
+        # while staying far below any band the clamped machinery must
+        # see: a parallel segment at separation > col_tol contributes
+        # its distance to dmin, and separations below the floor then
+        # raise the `clamped` flag. Residual blind spot: true bands
+        # thinner than 32 ulps of the coordinate magnitude (geometry at
+        # the representability edge) read as duplicate carriers.
+        mag = np.maximum(
+            np.maximum(np.abs(mid[mi, 0]), np.abs(mid[mi, 1])), 1.0)
+        col_tol = np.maximum(1e-9, 32.0 * np.spacing(mag))
+        dist[parallel & (line_dist <= col_tol)] = np.inf
         return dist
 
     m_others = len(others)
@@ -574,12 +599,29 @@ def _adaptive_probe_eps(ab: np.ndarray,
     # one ulp at projected-coordinate magnitudes (UTM ~1e5-1e7), so the
     # probe would round exactly onto the boundary — harmless for the
     # overlay (arranged segments have no such junctions) but it
-    # misrouted conformal meshes off the cancellation fast path. A
+    # misrouted conformal meshes off the cancellation fast path. The
     # 1e-12 relative floor keeps probes numerically off the carrier
-    # (~4000 ulps) while staying far below any representable feature.
+    # (~4000 ulps); features thinner than ~1e-12 of the coordinate
+    # magnitude are still representable (ulp is ~1e-16 relative), so
+    # where the floor OVERRIDES the clearance bound (floor > 0.49*dmin
+    # with a non-collinear neighbor) the float probe may cross a thin
+    # band and classify wrong — those segments are flagged `clamped`
+    # and callers must not trust their probes (ADVICE r04): the
+    # dispatches route to the general overlay, and the overlay itself
+    # re-classifies them with exact rational probes
+    # (_overlay_by_predicate).
     floor = np.maximum(
         1e-13, 1e-12 * np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
-    return np.maximum(np.minimum(own_ln * 1e-5, 0.49 * dmin), floor)
+    eps = np.maximum(np.minimum(own_ln * 1e-5, 0.49 * dmin), floor)
+    if return_clamped:
+        # dmin > 0 strictly: the flagged class is a thin BAND (near-
+        # parallel boundary at positive separation below the floor) —
+        # dmin == 0 is a transversal vertex landing exactly ON the
+        # midpoint (the conformal T-junction case the floor exists
+        # for), which must keep the fast path (r04 fuzz-clean).
+        clamped = np.isfinite(dmin) & (dmin > 0) & (floor > 0.49 * dmin)
+        return eps, clamped, dmin
+    return eps
 
 
 def _max_coverage(polys_list: list, px: np.ndarray, py: np.ndarray) -> int:
@@ -615,7 +657,14 @@ def _disjoint_interiors(polys_list: list, segs: np.ndarray) -> bool:
         return False
     if len(polys_list) < 2 or not len(segs):
         return True
-    px, py, _n = _segment_side_probes(segs, eps=_adaptive_probe_eps(segs))
+    eps, clamped, _ = _adaptive_probe_eps(segs, return_clamped=True)
+    if clamped.any():
+        # a probe whose floor exceeded its clearance bound could step
+        # straight across a representable thin band (coords ~1e7,
+        # band ~1e-7 — ADVICE r04); conservatively refuse the exact-
+        # cancellation dispatch. Cost: the slower general overlay.
+        return False
+    px, py, _n = _segment_side_probes(segs, eps=eps)
     return _max_coverage(polys_list, px, py) <= 1
 
 
@@ -711,7 +760,14 @@ def residual_overlay(parent: list[list[np.ndarray]],
             inside &= ~geom.points_in_multipolygon(px, py, ch)
         return inside
 
-    return _overlay_by_predicate(segs, in_residual)
+    def in_residual_exact(xs, ys):
+        inside = _points_in_multipolygon_exact(xs, ys, parent)
+        for ch in child_list:
+            in_ch = _points_in_multipolygon_exact(xs, ys, ch)
+            inside = [a and not b for a, b in zip(inside, in_ch)]
+        return inside
+
+    return _overlay_by_predicate(segs, in_residual, in_residual_exact)
 
 
 def union_overlay(polys_list: list[list[list[np.ndarray]]],
@@ -731,15 +787,93 @@ def union_overlay(polys_list: list[list[list[np.ndarray]]],
             inside |= geom.points_in_multipolygon(px, py, polys)
         return inside
 
-    return _overlay_by_predicate(segs, in_any)
+    def in_any_exact(xs, ys):
+        inside = [False] * len(xs)
+        for polys in polys_list:
+            got = _points_in_multipolygon_exact(xs, ys, polys)
+            inside = [a or b for a, b in zip(inside, got)]
+        return inside
+
+    return _overlay_by_predicate(segs, in_any, in_any_exact)
 
 
-def _overlay_by_predicate(segs: np.ndarray, region_pred
+def _points_in_multipolygon_exact(xs, ys, polys) -> list[bool]:
+    """EXACT even-odd containment of exact-rational query points
+    (fractions.Fraction coordinate pairs) vs float-coordinate
+    multipolygons — same semantics as geom.points_in_multipolygon
+    (per-polygon even-odd over its rings, OR across polygons) but with
+    zero rounding: floats are exact rationals, so every crossing test
+    is a rational sign comparison. Only used on the handful of probe
+    points whose float offsets were floor-clamped; cost is
+    O(points * edges) Fraction ops."""
+    from fractions import Fraction
+
+    out = [False] * len(xs)
+    for i, (px, py) in enumerate(zip(xs, ys)):
+        for rings in polys:
+            cnt = 0
+            for ring in rings:
+                for k in range(len(ring) - 1):
+                    y1 = float(ring[k][1])
+                    y2 = float(ring[k + 1][1])
+                    if (y1 > py) == (y2 > py):
+                        continue
+                    x1 = Fraction(float(ring[k][0]))
+                    x2 = Fraction(float(ring[k + 1][0]))
+                    # crossing iff px < x1 + (py-y1)(x2-x1)/(y2-y1);
+                    # cross-multiplied by (y2-y1) with sign handling
+                    dy = Fraction(y2) - Fraction(y1)
+                    lhs = (px - x1) * dy
+                    rhs = (py - Fraction(y1)) * (x2 - x1)
+                    if (lhs < rhs) if dy > 0 else (lhs > rhs):
+                        cnt += 1
+            if cnt % 2 == 1:
+                out[i] = True
+                break
+    return out
+
+
+def _exact_side_membership(ab: np.ndarray, idx: np.ndarray,
+                           dmin: np.ndarray, region_pred_exact):
+    """Exact one-sided region membership for floor-clamped arranged
+    sub-segments: probe at EXACT rational points mid +- h*(-dy, dx)
+    with h = 0.49*dmin/len — offset distance 0.49*clearance, strictly
+    inside the clearance disk, so membership equals the true one-sided
+    limit with no floating-point probe to go wrong (VERDICT r04 item 7
+    for the thin-band class the relative floor cannot reach).
+    Returns (plus_inside, minus_inside) boolean lists over idx."""
+    from fractions import Fraction
+
+    xs_p, ys_p, xs_m, ys_m = [], [], [], []
+    for i in idx:
+        ax, ay, bx, by = (float(v) for v in ab[i])
+        mx = (Fraction(ax) + Fraction(bx)) / 2
+        my = (Fraction(ay) + Fraction(by)) / 2
+        dx = Fraction(bx) - Fraction(ax)
+        dy = Fraction(by) - Fraction(ay)
+        ln = math.hypot(bx - ax, by - ay)
+        h = Fraction(float(0.49 * dmin[i])) / Fraction(ln)
+        xs_p.append(mx - h * dy)
+        ys_p.append(my + h * dx)
+        xs_m.append(mx + h * dy)
+        ys_m.append(my - h * dx)
+    return (region_pred_exact(xs_p, ys_p), region_pred_exact(xs_m, ys_m))
+
+
+def _overlay_by_predicate(segs: np.ndarray, region_pred,
+                          region_pred_exact=None
                           ) -> list[list[np.ndarray]]:
     """Shared overlay core: split all edges at pairwise intersections,
     keep the sub-segments whose two sides disagree under region_pred
     (vectorized: ONE predicate evaluation over every probe point), and
-    chain them into hole-grouped rings."""
+    chain them into hole-grouped rings.
+
+    Sub-segments whose probe offset was floor-clamped (the scale-aware
+    floor exceeded the clearance bound — possible for representable
+    bands thinner than ~1e-12 of the coordinate magnitude, ADVICE r04)
+    are re-classified with exact rational probes when the caller
+    supplies region_pred_exact — the float probe could step straight
+    across such a band."""
     subs = _split_at_intersections(segs)
     uniq: dict[tuple, tuple] = {}
     for a, b in subs:
@@ -753,9 +887,18 @@ def _overlay_by_predicate(segs: np.ndarray, region_pred
         return []
     keys = list(uniq)
     ab = np.array([[*uniq[k][0], *uniq[k][1]] for k in keys])
-    px, py, n = _segment_side_probes(ab, eps=_adaptive_probe_eps(ab))
+    eps, clamped, dmin = _adaptive_probe_eps(ab, return_clamped=True)
+    px, py, n = _segment_side_probes(ab, eps=eps)
     inside = region_pred(px, py)
-    boundary = [k for k, keep in zip(keys, inside[:n] != inside[n:]) if keep]
+    plus, minus = inside[:n].copy(), inside[n:].copy()
+    if region_pred_exact is not None and clamped.any():
+        idx = np.where(clamped & (dmin > 0))[0]
+        if len(idx):
+            ex_p, ex_m = _exact_side_membership(
+                ab, idx, dmin, region_pred_exact)
+            plus[idx] = ex_p
+            minus[idx] = ex_m
+    boundary = [k for k, keep in zip(keys, plus != minus) if keep]
     if not boundary:
         return []
     return dissolve_union_from_boundary(boundary)

@@ -772,43 +772,48 @@ def q_ngram_jaccard_pairs(spark, sf):
     # The shingle stage feeds five downstream branches (hot filter,
     # both candidate-join sides, counts, the verify join); stage it
     # once — at 100 TB you materialize the shingle table, you don't
-    # recompute the explode per branch. stage_persist registers the
+    # redo the string work per branch. stage_persist registers the
     # cache for release by the next staging query, so repeated
     # invocations in one long session never accumulate entries.
     #
-    # The STAGED table is the hashed narrow form (doc_id, sh_h int64),
-    # not the 3-gram strings (r04): every consumer below keys on the
-    # hash anyway, per-doc row counts are hash-invariant (the distinct
-    # runs per-doc BEFORE hashing), and the string cache was ~5x wider
-    # — its materialization was memory-bandwidth-bound and the worst
-    # scaler in the 2->8 core pair (0.63 efficiency vs 0.79 for the
-    # cached-input query). Counts carry the same 2^-64 cross-doc
-    # collision corner as before; oracle parity stays value-exact.
+    # The STAGED form is per-doc int64 hash ARRAYS (r05; see
+    # dedup.shingle_hash_arrays): caching the exploded rows — even the
+    # r04 hashed narrow ones — was memory-bandwidth-bound and held the
+    # query's 2->8 core scaling at 0.711 (VERDICT r04 weak item).
+    # Consumers explode from the cached arrays (cheap int work, no
+    # strings), and per-doc counts fall out of F.size with NO shuffle.
+    # Values are unchanged: distinct runs on strings before hashing,
+    # same 2^-64 cross-doc collision corner, oracle parity intact.
+    from posmspark import dedup
     from posmspark import session as _session
 
-    shh = _session.stage_persist(
-        _doc_shingles(spark, sf).select(
-            "doc_id", F.xxhash64("shingle").alias("sh_h")))
+    sha = _session.stage_persist(
+        dedup.shingle_hash_arrays(_t(spark, sf, "documents"), n=3))
+    shh = sha.select("doc_id", F.explode("shs").alias("sh_h"))
     hot = (
         shh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > NGRAM_MAX_SHINGLE_FREQ).select("sh_h")
     )
     cold = shh.join(F.broadcast(hot), "sh_h", "left_anti")
-    # fact-fact self-join: merge hint keeps Catalyst's under-estimated
-    # explode output from being broadcast-built on the driver (measured
-    # OOM at 600k docs; see dedup.lsh_candidate_pairs)
-    a = cold.alias("a").hint("merge")
-    b = cold.alias("b")
-    # cold-shared counts come straight off the self-join (one groupBy;
-    # no distinct + re-join against the full shingle table)
+    # pair generation WITHOUT a fact-fact self-join (r05): cold
+    # shingles have df <= NGRAM_MAX_SHINGLE_FREQ by construction, so
+    # per-shingle doc lists are bounded arrays — ONE groupBy +
+    # in-JVM combination expansion replaces the sort-merge self-join,
+    # which exchanged AND sorted the exploded shingle table twice.
+    # Same (doc_a < doc_b, count) semantics: doc ids are distinct
+    # within a shingle (per-doc distinct upstream), arrays sorted.
+    grp = cold.groupBy("sh_h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    pair = grp.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )).alias("p")).select("p.doc_a", "p.doc_b")
     inter_cold = (
-        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        pair.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_cold"))
         # feeds BOTH the hot-recovery join and the final left join —
-        # unpersisted, the whole cold self-join sub-plan executes twice
+        # unpersisted, the whole pair sub-plan executes twice
         # (plan-verified at 600k docs); pair rows are small
     )
     inter_cold = _session.stage_persist(inter_cold)
@@ -834,7 +839,7 @@ def q_ngram_jaccard_pairs(spark, sf):
             .alias("n_inter"),
         )
     )
-    counts = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    counts = sha.select("doc_id", F.size("shs").alias("n_sh"))
     ca = counts.select(F.col("doc_id").alias("doc_a"),
                        F.col("n_sh").alias("n_a")).hint("merge")
     cb = counts.select(F.col("doc_id").alias("doc_b"),

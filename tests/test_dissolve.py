@@ -1000,3 +1000,131 @@ def test_split_near_endpoint_crossings_stay_connected():
     for p in u:
         for r in p:
             assert (r[0] == r[-1]).all()  # closed rings only
+
+
+def test_overlay_utm_magnitude_thin_bands_exact_probes():
+    """VERDICT r04 item 6 + ADVICE r04: at UTM coordinate magnitudes
+    (~1e7) the scale-aware probe floor is 1e-5 absolute, yet bands of
+    absolute thickness 1e-7..1e-6 are perfectly representable (ulp
+    ~2e-9). The float probe would step straight across them — those
+    arranged sub-segments must re-classify through the exact rational
+    probes, and the dispatches must refuse exact cancellation."""
+    from posmspark.dissolve import (_collect_segments, _disjoint_interiors,
+                                    residual_classify, residual_overlay,
+                                    union_overlay)
+
+    B = 1.0e7
+    for seed in (3, 11, 29, 47):
+        rng = np.random.default_rng(seed)
+        delta = 10 ** rng.uniform(-7, -6)
+        parent = _mp_rect(B, B, B + 10, B + 1)
+        child = _mp_rect(B + 2, B, B + 8, B + 1 - delta)
+
+        # dispatch: the thin overlap band between two near-duplicate
+        # rects must NOT be routed to exact cancellation
+        thin = [_mp_rect(B, B, B + 10, B + 1),
+                _mp_rect(B, B + 1 - delta, B + 10, B + 2)]
+        assert not _disjoint_interiors(thin, _collect_segments(thin)), seed
+
+        # residual: a point INSIDE the band is residual, a point just
+        # below it (inside the child) is not — area asserts are
+        # meaningless at this magnitude (shoelace noise ~0.05 >> band
+        # area), membership is the exact observable
+        res = residual_overlay(parent, {"A": child})
+        assert res, seed
+        bx = np.array([B + 5.0])
+        in_band = geom.points_in_multipolygon(
+            bx, np.array([B + 1 - delta / 2]), res)
+        below = geom.points_in_multipolygon(
+            bx, np.array([B + 0.5]), res)
+        assert bool(in_band[0]), (seed, delta)
+        assert not bool(below[0]), (seed, delta)
+        # the wide side strips ARE residual
+        side = geom.points_in_multipolygon(
+            np.array([B + 1.0]), np.array([B + 0.5]), res)
+        assert bool(side[0]), seed
+
+        # union of the two thin-overlap rects covers the band region
+        u = union_overlay(thin)
+        got = geom.points_in_multipolygon(
+            bx, np.array([B + 1 - delta / 2]), u)
+        assert bool(got[0]), seed
+
+        # conformal meshes at the same magnitude still dispatch exact
+        conformal = [_mp_rect(B, B, B + 5, B + 1),
+                     _mp_rect(B + 5, B, B + 10, B + 1)]
+        assert _disjoint_interiors(
+            conformal, _collect_segments(conformal)), seed
+
+
+def test_overlay_micro_degree_magnitude():
+    """Micro-degree coordinates (~1e-6, VERDICT r04 item 6): features
+    sit only 2-4 decades above the SNAP quantum (1e-9). Residual and
+    union must stay correct with SNAP-scaled area tolerances."""
+    from posmspark.dissolve import residual_overlay, union_overlay
+
+    s = 1e-6
+    for seed in (2, 7, 19):
+        rng = np.random.default_rng(seed)
+        delta = 10 ** rng.uniform(-7.3, -6.7) * s * 100  # 5e-6..2e-5 rel
+        parent = _mp_rect(0, 0, 10 * s, s)
+        child = _mp_rect(2 * s, 0, 8 * s, s - delta)
+        res = residual_overlay(parent, {"A": child})
+        want = 10 * s * s - 6 * s * (s - delta)
+        got = sum(geom.ring_area(r) for p in res for r in p)
+        # SNAP quantization moves each boundary vertex <= 1e-9; the
+        # area error bound is perimeter * SNAP
+        tol = 44 * s * 1e-9 + 1e-24
+        assert abs(got - want) < tol, (seed, want, got)
+        u = union_overlay([parent, child])
+        ua = sum(geom.ring_area(r) for p in u for r in p)
+        assert abs(ua - 10 * s * s) < tol, (seed, ua)
+
+
+def test_bsp_area_conservation_invariant_across_magnitudes():
+    """The residual+dissolve conservation law (VERDICT r04 item 6):
+    for a conformal BSP tiling, area(kept children) + area(residual)
+    must equal area(parent) at unit, UTM (1e7 offset), and milli
+    (1e-3 scale) magnitudes, to an ulp/SNAP-scaled tolerance."""
+    from posmspark.dissolve import dissolve_union, residual_classify
+
+    def bsp(x0, y0, x1, y1, rng, depth):
+        if depth == 0 or rng.random() < 0.25:
+            return [[np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]]
+        if rng.random() < 0.5:
+            xm = x0 + (x1 - x0) * rng.uniform(0.3, 0.7)
+            return (bsp(x0, y0, xm, y1, rng, depth - 1)
+                    + bsp(xm, y0, x1, y1, rng, depth - 1))
+        ym = y0 + (y1 - y0) * rng.uniform(0.3, 0.7)
+        return (bsp(x0, y0, x1, ym, rng, depth - 1)
+                + bsp(x0, ym, x1, y1, rng, depth - 1))
+
+    for base, scale in ((0.0, 1.0), (1.0e7, 1.0), (0.0, 1e-3)):
+        for seed in (0, 4, 8):
+            rng = np.random.default_rng(seed)
+            W, H = rng.uniform(4, 8, 2) * np.sqrt(2) * scale
+            x0 = base + rng.uniform(0, 1) * scale
+            y0 = base + rng.uniform(0, 1) * scale
+            tiles = bsp(x0, y0, x0 + W, y0 + H, rng, 3)
+            if len(tiles) < 3:
+                continue
+            children = {f"c{i}": [t] for i, t in enumerate(tiles)}
+            parent = [[np.array(
+                [[x0, y0], [x0 + W, y0], [x0 + W, y0 + H],
+                 [x0, y0 + H], [x0, y0]])]]
+            keep = {k: v for k, v in children.items()
+                    if rng.random() < 0.7}
+            if not keep or len(keep) == len(children):
+                continue
+            kept_area = sum(geom.ring_area(t[0][0]) for t in keep.values())
+            _status, res = residual_classify(parent, keep)
+            res_area = sum(geom.ring_area(r) for p in res for r in p)
+            parent_area = W * H
+            # shoelace terms are ~(base+span)^2; conservation must hold
+            # to a few hundred ulps of that + SNAP-perimeter noise
+            ulp = np.spacing((base + W + H) ** 2)
+            tol = 512 * ulp * max(len(tiles) * 8, 1) \
+                + 8 * (W + H) * 1e-9
+            assert abs(kept_area + res_area - parent_area) < tol, (
+                base, scale, seed, kept_area, res_area, parent_area)
