@@ -557,6 +557,7 @@ _VERIFY_FIRST = [
     "multimodal_features",
     "poly_export",
     # --- changed in round 5
+    "embedding_cosine_dups_lsh",  # NEW: LSH scale path vs brute oracle
     "cell_tile_stats",        # NEW DuckDB oracle (SQL morton cell ids)
     "streaming_tile_counts",  # NEW oracle + real availableNow stream run
     "knn_cellring",           # NEW DuckDB haversine brute-force oracle

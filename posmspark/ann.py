@@ -383,3 +383,129 @@ def cosine_near_pairs(vectors: DataFrame, threshold: float,
             "cos_sim",
         )
     )
+
+
+def auto_n_planes(n_vectors: int, lo: int = 12, hi: int = 28) -> int:
+    """Signature width for a self-join LSH table: ~log2(n) bits keeps
+    the EXPECTED bucket size O(1) at any table size (buckets ~ 2^bits,
+    random mass per bucket ~ n / 2^bits), so candidate volume stays
+    ~n * n_tables instead of n^2 / 2^bits. Clamped: < lo wastes recall
+    tuning on tiny inputs, > hi exceeds what int64 packing + per-bit
+    recall loss can usefully spend."""
+    if n_vectors <= 1:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_vectors)) + 1))
+
+
+def cosine_near_pairs_lsh(vectors: DataFrame, threshold: float,
+                          spark: SparkSession, dim: int,
+                          id_col: str = "vec_id", emb_col: str = "emb",
+                          n_planes: int | None = None, n_tables: int = 8,
+                          seed: int = SEED,
+                          max_bucket_size: int = 64) -> DataFrame:
+    """Recall-controlled cosine near-duplicate self-join — the SCALE
+    path where `cosine_near_pairs`' exact grid blocking degenerates.
+
+    The exact variant's axis-projection cells stop pruning once the
+    per-axis spread (~1/sqrt(dim) for near-isotropic unit vectors)
+    falls under the cell width w = sqrt(2-2*threshold): at dim=64 /
+    threshold=0.99 every cell is dense and the candidate join is
+    effectively all-pairs (measured: 129s for 9.6k vectors — the ANN
+    scaling bench's motivating find). Signed-hyperplane band LSH keys
+    on ANGLE instead: n_tables independent int64 signatures of
+    n_planes sign bits each; a pair at cosine c agrees per bit with
+    p = 1 - acos(c)/pi, so recall = 1 - (1 - p^n_planes)^n_tables
+    (defaults at c=0.99, 16 bits x 8 tables: ~0.994; the exact-cosine
+    verify step makes precision 1.0 — candidates below threshold are
+    dropped, never emitted).
+
+    Scale shape (the 100-TB guard): candidates come from equi-joins on
+    (table, signature) ONLY. n_planes=None auto-scales the signature
+    width to ~log2(n) bits (`auto_n_planes`) so expected bucket size —
+    and with it candidate volume per row — is O(n_tables) at ANY table
+    size; `max_bucket_size` caps pathological buckets (exact-duplicate
+    mega-clusters, the simhash/minhash cap semantics: k smallest ids
+    kept, dedup.cap_k_smallest). Buckets pair in-JVM from bounded
+    collect_list arrays (no fact-fact self-join), pairs are
+    de-duplicated across tables BEFORE the exact verify, and the
+    verify joins embeddings back by id as SHUFFLE-HASH joins (a merge
+    join would sort the array-payload-wide intermediate — the 10x
+    bench's dominant cost; a broadcast build is the Catalyst-
+    underestimate OOM class) — every shuffle is a bounded equi-join,
+    never a cross join. Note the auto bit schedule's one intrinsic
+    tail: collision probability per bucket is E[p^bits] over the
+    data's angle distribution, which exceeds the uniform 2^-bits
+    estimate by a factor that grows with bits (Jensen; measured ~2.3x
+    at 18 bits, ~2.9x at 21 on near-uniform 64-dim draws) — candidate
+    counts therefore grow mildly supralinearly between sizes whose
+    auto widths differ, while per-candidate verify cost stays O(dim)
+    with no wide sort, keeping total growth under n*log(n) (measured
+    5.8x wall for 10x data; BENCH/BASELINE.md).
+
+    Deterministic end to end: planes from a fixed seed, bucket caps by
+    smallest id, output = set of (id_a, id_b, cos_sim) with id_a <
+    id_b and exact unrounded cosine — reproducible across runs,
+    partitionings, and parallelism levels.
+    """
+    from posmspark import dedup
+
+    if n_planes is None:
+        n_planes = auto_n_planes(vectors.count())
+
+    norm = F.expr(
+        f"sqrt(aggregate({emb_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v * v))"
+    )
+    keyed = (
+        vectors.select(id_col, emb_col)
+        .filter(norm > 0)  # zero-norm: cosine undefined (exact-path rule)
+    )
+    sigs = with_lsh_signature(keyed, spark, dim, n_planes, emb_col,
+                              out_col="_sigs", seed=seed,
+                              n_tables=n_tables)
+    postings = sigs.select(
+        id_col, F.posexplode("_sigs").alias("_table", "_sig"))
+    postings = dedup.cap_k_smallest(
+        postings, ["_table", "_sig"], id_col, max_bucket_size)
+
+    # bounded in-JVM pair expansion: bucket -> sorted id array ->
+    # i<j combinations. max_bucket_size bounds the quadratic term.
+    buckets = postings.groupBy("_table", "_sig").agg(
+        F.array_sort(F.collect_list(id_col)).alias("_ids"))
+    pairs = (
+        buckets.filter(F.size("_ids") >= 2)
+        .select(F.explode(F.expr(
+            "filter(flatten(transform(_ids,"
+            " a -> transform(_ids, b -> struct(a AS id_a, b AS id_b)))),"
+            " p -> p.id_a < p.id_b)")).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
+        .dropDuplicates(["id_a", "id_b"])  # a pair can hit many tables
+    )
+
+    # verify joins are SHUFFLE-HASH, not sort-merge: join-1's output
+    # rows carry a dim-sized embedding array, and a merge join-2 would
+    # SORT that wide stream by id_b (the 10x-bench attribution's
+    # dominant cost — ~GBs of array payload through a sort at 1M
+    # vectors). SHJ hash-partitions the wide stream instead and builds
+    # only the narrow embedding side per partition; broadcast stays off
+    # the table (Catalyst underestimates exploded/agg'd sizes — the
+    # minhash driver-OOM class). Norms are precomputed per VECTOR, not
+    # per pair; values are bit-identical either way (same expression).
+    nrm = F.expr(
+        f"sqrt(aggregate({emb_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v * v))")
+    ea = keyed.select(F.col(id_col).alias("id_a"),
+                      F.col(emb_col).alias("_ea"),
+                      nrm.alias("_na")).hint("shuffle_hash")
+    eb = keyed.select(F.col(id_col).alias("id_b"),
+                      F.col(emb_col).alias("_eb"),
+                      nrm.alias("_nb")).hint("shuffle_hash")
+    cand = pairs.join(ea, "id_a").join(eb, "id_b")
+    dot = F.expr(
+        "aggregate(zip_with(_ea, _eb, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    return (
+        cand.withColumn("cos_sim", dot / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

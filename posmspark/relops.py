@@ -1248,6 +1248,44 @@ SELECT id_a, id_b, round(c, 6) AS cos_sim FROM scored WHERE c >= 0.99
 """
 
 
+def q_embedding_cosine_dups_lsh(spark, sf):
+    """embedding near-dup dedup through the LSH SCALE path
+    (ann.cosine_near_pairs_lsh) over the SAME fixture — and the SAME
+    brute-force DuckDB oracle — as embedding_cosine_dups. The oracle
+    row is therefore a cross-engine RECALL proof: signed-hyperplane
+    band candidates (16 bits x 8 tables, fixed seed -> deterministic)
+    + exact cosine verify must reproduce the full exact pair set
+    DuckDB derives by O(n^2) brute force. Precision is structural
+    (exact verify); recall at the fixture's twin cosine (~0.99998,
+    per-bit agree ~0.998) has miss probability ~1e-12 per pair, and
+    with fixed planes the outcome is deterministic, so the hash gate
+    is stable. At 100 TB this is the variant that survives: the exact
+    grid blocker degenerates on high-dim near-isotropic embeddings
+    (see ann.cosine_near_pairs_lsh docstring + BENCH/ann_scaling.py).
+    """
+    from posmspark import ann
+
+    e = _t(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("emb"),
+    )
+    pert = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, size(embedding)),"
+            " i -> CAST(element_at(embedding, i) AS DOUBLE)"
+            " * (CAST(1.0 AS DOUBLE)"
+            "    + CAST(0.0001 AS DOUBLE) * CAST(i % 7 - 3 AS DOUBLE)))"
+        ).alias("emb"),
+    )
+    pairs = ann.cosine_near_pairs_lsh(
+        base.unionByName(pert), threshold=0.99, spark=spark, dim=64,
+        id_col="vec_id", emb_col="emb", n_planes=16, n_tables=8)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_knn_topk_flat(spark, sf):
     """O16 under the ORACLE gate: cell-ring-expansion kNN, flattened to
     (point, rank, site_id, dist_m) rows. Points and sites derive from
@@ -1460,6 +1498,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_cosine_dups": (q_embedding_cosine_dups,
                               SQL_EMBEDDING_COSINE_DUPS),
+    "embedding_cosine_dups_lsh": (q_embedding_cosine_dups_lsh,
+                                  SQL_EMBEDDING_COSINE_DUPS),
     "knn_topk_flat": (q_knn_topk_flat, SQL_KNN_TOPK_FLAT),
     "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

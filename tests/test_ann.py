@@ -185,3 +185,86 @@ def test_ivf_deterministic_and_bounded(spark, vectors, queries_pdf):
         vectors, queries_pdf, 5, spark, n_centroids=8, n_probe=3,
         centroids=c2).collect()))
     assert out1 == out2
+
+
+def _twin_fixture(spark, n=600, dim=DIM, seed=11):
+    """Deterministic vectors where every 5th gets a ~0.99998-cosine
+    perturbed twin — the near-dup regime cosine_near_pairs_lsh is for."""
+    rng = np.random.default_rng(seed)
+    mat = ann._normalize(rng.standard_normal((n, dim)))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    for i in range(0, n, 5):
+        v = mat[i] * (1.0 + 0.0001 * (np.arange(dim) % 7 - 3))
+        rows.append((i + 1_000_000, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    ids = np.array([r[0] for r in rows])
+    m = ann._normalize(np.vstack([r[1] for r in rows]).astype(np.float64))
+    return df, ids, m
+
+
+def _true_pairs(ids, m, threshold):
+    sims = m @ m.T
+    out = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if sims[a, b] >= threshold:
+                i, j = sorted((int(ids[a]), int(ids[b])))
+                out.add((i, j))
+    return out
+
+
+def test_cosine_near_pairs_lsh_matches_brute_force(spark):
+    """The LSH scale path must reproduce the exact brute-force pair set
+    on twin-planted data: precision is structural (exact cosine verify)
+    and recall at cosine ~0.99998 with 16 bits x 8 tables has miss
+    probability ~1e-12 per pair — so the comparison is exact-set
+    equality, same bar as the DuckDB oracle row."""
+    df, ids, m = _twin_fixture(spark)
+    got = {(r["id_a"], r["id_b"])
+           for r in ann.cosine_near_pairs_lsh(
+               df, 0.99, spark, DIM, id_col="vec_id", emb_col="emb",
+               n_planes=16, n_tables=8).collect()}
+    assert got == _true_pairs(ids, m, 0.99)
+
+
+def test_cosine_near_pairs_lsh_deterministic_across_partitioning(spark):
+    df, _, _ = _twin_fixture(spark, n=300)
+    base = ann.cosine_near_pairs_lsh(
+        df, 0.99, spark, DIM, id_col="vec_id", emb_col="emb",
+        n_planes=16, n_tables=8)
+    repart = ann.cosine_near_pairs_lsh(
+        df.repartition(17), 0.99, spark, DIM, id_col="vec_id",
+        emb_col="emb", n_planes=16, n_tables=8)
+    a = sorted(map(tuple, base.collect()))
+    assert a == sorted(map(tuple, repart.collect()))
+    assert a == sorted(map(tuple, base.collect()))  # re-run stable
+
+
+def test_cosine_near_pairs_lsh_bucket_cap_bounds_blowup(spark):
+    """Mega-cluster guard (the simhash/minhash cap semantics): 1000
+    identical vectors form one bucket in every table; the k-smallest-id
+    cap must bound output to C(cap, 2) pairs instead of C(1000, 2) —
+    the quadratic term a 100-TB exact-dup cluster would otherwise
+    explode."""
+    rows = [(i, [1.0] * DIM) for i in range(1000)]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cap = 64
+    out = ann.cosine_near_pairs_lsh(
+        df, 0.99, spark, DIM, id_col="vec_id", emb_col="emb",
+        n_planes=16, n_tables=8, max_bucket_size=cap).collect()
+    assert 0 < len(out) <= cap * (cap - 1) // 2
+    # capped by SMALLEST ids -> deterministic survivor set
+    kept = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert kept == set(range(cap))
+    assert all(r["cos_sim"] >= 0.99 for r in out)
+
+
+def test_auto_n_planes_scales_log2_and_clamps():
+    assert ann.auto_n_planes(0) == 12
+    assert ann.auto_n_planes(1000) == 12          # clamp lo
+    assert ann.auto_n_planes(100_000) == 18       # ceil(log2)+1
+    assert ann.auto_n_planes(10_000_000) == 25
+    assert ann.auto_n_planes(10**12) == 28        # clamp hi
+    # monotonic non-decreasing
+    vals = [ann.auto_n_planes(n) for n in (10, 1e3, 1e5, 1e7, 1e9, 1e12)]
+    assert vals == sorted(vals)

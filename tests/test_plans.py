@@ -231,3 +231,31 @@ def test_minhash_fact_joins_never_broadcast(spark):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "SortMergeJoin" in plan
+
+
+def test_cosine_near_pairs_lsh_plan_never_cartesian(spark):
+    """The LSH near-pairs scale path must candidate ONLY via
+    (table, signature) equi-joins with in-JVM bucket pair expansion —
+    never a cartesian / broadcast-nested-loop product, and the
+    embedding verify joins must stay shuffle-hash fact-fact (same
+    broadcast-OOM class the minhash family plan-asserts away)."""
+    import numpy as np
+
+    from posmspark import ann
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, emb array<double>")
+    plan = _plan(ann.cosine_near_pairs_lsh(
+        df, 0.95, spark, 16, id_col="vec_id", emb_col="emb",
+        n_planes=12, n_tables=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # verify joins must be shuffle-hash: a merge join would SORT the
+    # array-payload-wide join-1 output (the 10x bench's dominant cost),
+    # and a broadcast build of the full embedding table is the
+    # Catalyst-underestimate OOM class.
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
