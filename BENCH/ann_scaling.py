@@ -93,9 +93,13 @@ for op in ops:
             vecs, threshold=0.99, spark=spark, dim=DIM,
             id_col="vec_id", emb_col="embedding",
             n_planes=None, n_tables=8)  # auto ~log2(n) signature width
-    else:
+    elif op == "cosine_near_pairs":
         df = ann.cosine_near_pairs(vecs, threshold=0.99,
                                    emb_col="embedding")
+    else:
+        # a typo'd --ops name must not silently fall through to the
+        # quadratic exact path and report its timing under the typo
+        raise ValueError("unknown op: %%r" %% op)
     df.write.format("noop").mode("overwrite").save()
     out[op] = round(time.monotonic() - t0, 2)
 spark.catalog.clearCache()

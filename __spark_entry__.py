@@ -97,7 +97,7 @@ def _q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         (F.col("pos") + 1).alias("rank"),
         F.col("nn.site_id").alias("site_id"),
-        F.round(F.col("nn.dist_m"), 4).alias("dist_m"),
+        F.round(F.col("nn.dist_m"), 2).alias("dist_m"),
     )
 
 
@@ -195,11 +195,13 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: far-future sentinel epoch second for the streaming flush row: its
-#: arrival pushes the watermark past every real window, so append mode
-#: emits them all within one availableNow drain (the tail would
-#: otherwise stay held in state — tests/test_streaming.py pins that).
-_STC_SENTINEL_S = 1735689600 + 1_000_000_000
+#: margin between the newest REAL page and the sentinel flush row: far
+#: enough past the watermark delay (10 min) + window size (5 min) that
+#: every real window is emitted, and derived from the DATA's max
+#: timestamp rather than a fixed epoch (review r05: a fixed sentinel
+#: silently stopped flushing the tail once warc_s outgrew it at
+#: ~7.3M docs).
+_STC_SENTINEL_MARGIN_S = 86_400
 
 
 def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,18 +226,31 @@ def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = os.path.join(tempfile.gettempdir(), f"posmspark_stcq_{tag}")
     shutil.rmtree(wd, ignore_errors=True)
     pages_dir = os.path.join(wd, "in")
+    real = pages_from_documents(spark, sf_dir)
+    # sentinel sits a fixed margin past the DATA's newest timestamp
+    # (driver action on one max aggregate — column-stats-sized): at any
+    # n_docs, every real window ends before sentinel - watermark delay,
+    # so the drain flushes all of them, and `win_s <= max_real_s`
+    # exactly excludes the sentinel's own held-back window.
+    max_real_s = int(
+        real.agg(F.max(F.col("warc_ts").cast("long"))).collect()[0][0])
+    sentinel_s = max_real_s + _STC_SENTINEL_MARGIN_S
     sent_text = F.format_string(
         "flush geo: %.5f, %.5f", F.lit(float(HOT_LAT)), F.lit(float(HOT_LON)))
     sentinel = spark.range(1).select(
         F.lit("https://crawl.example/sentinel/flush").alias("url"),
-        F.timestamp_seconds(F.lit(_STC_SENTINEL_S)).alias("warc_ts"),
+        F.timestamp_seconds(F.lit(sentinel_s)).alias("warc_ts"),
         F.concat(F.lit(HTML_PRE), F.encode(sent_text, "UTF-8"),
                  F.lit(HTML_POST)).alias("html"),
         sent_text.alias("text"),
         F.lit("en").alias("lang"),
     )
-    pages = pages_from_documents(spark, sf_dir).unionByName(sentinel)
-    pages.write.mode("overwrite").parquet(pages_dir)
+    real.write.mode("overwrite").parquet(pages_dir)
+    # the sentinel file lands as a SEPARATE, LATER write: if the file
+    # source ever splits the availableNow drain into multiple batches
+    # (mtime-ordered), the watermark must not advance past real rows
+    # still unprocessed (review r05)
+    sentinel.write.mode("append").parquet(pages_dir)
     schema = spark.read.parquet(pages_dir).schema
     streaming.run_stream_once(
         pages_dir, os.path.join(wd, "out"), os.path.join(wd, "ckpt"),
@@ -244,7 +259,7 @@ def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(wd, "out"))
         .select(F.col("window_start").cast("long").alias("win_s"),
                 "cell", "osm_id_l0", "doc_count")
-        .filter(F.col("win_s") < _STC_SENTINEL_S - 1_000_000)
+        .filter(F.col("win_s") <= max_real_s)
     )
 
 

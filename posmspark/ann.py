@@ -425,7 +425,11 @@ def cosine_near_pairs_lsh(vectors: DataFrame, threshold: float,
     and with it candidate volume per row — is O(n_tables) at ANY table
     size; `max_bucket_size` caps pathological buckets (exact-duplicate
     mega-clusters, the simhash/minhash cap semantics: k smallest ids
-    kept, dedup.cap_k_smallest). Buckets pair in-JVM from bounded
+    kept) via the HOT-ONLY two-phase form — oversized buckets are
+    detected with a map-side-combinable count and only their rows go
+    through the row_number window, so no global postings sort and no
+    mega-bucket straggler task (the minhash_signatures shuffle-shape
+    rule). Buckets pair in-JVM from bounded
     collect_list arrays (no fact-fact self-join), pairs are
     de-duplicated across tables BEFORE the exact verify, and the
     verify joins embeddings back by id as SHUFFLE-HASH joins (a merge
@@ -448,9 +452,7 @@ def cosine_near_pairs_lsh(vectors: DataFrame, threshold: float,
     partitionings, and parallelism levels.
     """
     from posmspark import dedup
-
-    if n_planes is None:
-        n_planes = auto_n_planes(vectors.count())
+    from posmspark.session import stage_persist
 
     norm = F.expr(
         f"sqrt(aggregate({emb_col}, CAST(0.0 AS DOUBLE),"
@@ -460,13 +462,38 @@ def cosine_near_pairs_lsh(vectors: DataFrame, threshold: float,
         vectors.select(id_col, emb_col)
         .filter(norm > 0)  # zero-norm: cosine undefined (exact-path rule)
     )
+    if n_planes is None:
+        # count the INDEXED set (post zero-norm filter), so the width
+        # matches the data actually bucketed (review r05)
+        n_planes = auto_n_planes(keyed.count())
+
     sigs = with_lsh_signature(keyed, spark, dim, n_planes, emb_col,
                               out_col="_sigs", seed=seed,
                               n_tables=n_tables)
-    postings = sigs.select(
-        id_col, F.posexplode("_sigs").alias("_table", "_sig"))
-    postings = dedup.cap_k_smallest(
-        postings, ["_table", "_sig"], id_col, max_bucket_size)
+    # postings feed three branches below (hot detection, cold anti-join,
+    # hot cap) — persist so the signature UDF runs once, the same rule
+    # as the staged shingle table (minhash_signatures NOTE).
+    postings = stage_persist(sigs.select(
+        id_col, F.posexplode("_sigs").alias("_table", "_sig")))
+    # hot-ONLY cap (the minhash_signatures shuffle-shape rule): a
+    # global row_number would sort the whole postings table AND land
+    # every mega-bucket (exact-duplicate cluster) on one task; instead
+    # detect oversized buckets via a map-side-combinable count,
+    # broadcast that small list, and window only those rows. Cold
+    # buckets (<= max_bucket_size) pass through untouched — identical
+    # result to the unconditional cap, which keeps all rows at <= k.
+    bucket_keys = ["_table", "_sig"]
+    hot = (
+        postings.groupBy(*bucket_keys).agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size).select(*bucket_keys)
+    )
+    hot_kept = dedup.cap_k_smallest(
+        postings.join(F.broadcast(hot), bucket_keys), bucket_keys,
+        id_col, max_bucket_size)
+    postings = (
+        postings.join(F.broadcast(hot), bucket_keys, "left_anti")
+        .unionByName(hot_kept)
+    )
 
     # bounded in-JVM pair expansion: bucket -> sorted id array ->
     # i<j combinations. max_bucket_size bounds the quadratic term.

@@ -451,7 +451,7 @@ r AS (
   SELECT *, row_number() OVER (
       PARTITION BY url ORDER BY dist_m, site_id) AS rank
   FROM d)
-SELECT url, rank, site_id, round(dist_m, 4) AS dist_m
+SELECT url, rank, site_id, round(dist_m, 2) AS dist_m
 FROM r WHERE rank <= 3
 """
 

@@ -1188,19 +1188,13 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
-def q_embedding_cosine_dups(spark, sf):
-    """embedding-cosine near-dup dedup (north-rule LLM-pipeline op,
-    completing the dedup family: exact / minhash / simhash / ngram /
-    embedding). The synthetic embeddings table has no natural near-dups
-    (max pairwise cosine ~0.52), so the query first derives
-    deterministic perturbed copies of every 5th vector — per-element
-    double arithmetic both engines reproduce bit-identically — then
-    finds ALL pairs at cosine >= 0.99 via ann.cosine_near_pairs: an
-    EXACT grid-blocked equi-join (cell key = floored normalized axis
-    projections, one side explodes 3^2 neighbor offsets), never a cross
-    join. DuckDB brute-forces the same pairs for the hash gate."""
-    from posmspark import ann
-
+def _embedding_dup_fixture(spark, sf):
+    """Shared base+pert fixture for BOTH cosine-dup registry queries:
+    every 5th vector gets a deterministic perturbed twin (per-element
+    double arithmetic both engines reproduce bit-identically). The two
+    Spark queries and SQL_EMBEDDING_COSINE_DUPS's base/pert CTEs must
+    stay expression-identical — one helper so they cannot desync
+    (review r05)."""
     e = _t(spark, sf, "embeddings")
     base = e.select(
         "vec_id",
@@ -1215,9 +1209,25 @@ def q_embedding_cosine_dups(spark, sf):
             "    + CAST(0.0001 AS DOUBLE) * CAST(i % 7 - 3 AS DOUBLE)))"
         ).alias("emb"),
     )
+    return base.unionByName(pert)
+
+
+def q_embedding_cosine_dups(spark, sf):
+    """embedding-cosine near-dup dedup (north-rule LLM-pipeline op,
+    completing the dedup family: exact / minhash / simhash / ngram /
+    embedding). The synthetic embeddings table has no natural near-dups
+    (max pairwise cosine ~0.52), so the query first derives
+    deterministic perturbed copies of every 5th vector
+    (_embedding_dup_fixture), then finds ALL pairs at cosine >= 0.99
+    via ann.cosine_near_pairs: an EXACT grid-blocked equi-join (cell
+    key = floored normalized axis projections, one side explodes 3^2
+    neighbor offsets), never a cross join. DuckDB brute-forces the
+    same pairs for the hash gate."""
+    from posmspark import ann
+
     pairs = ann.cosine_near_pairs(
-        base.unionByName(pert), threshold=0.99, id_col="vec_id",
-        emb_col="emb")
+        _embedding_dup_fixture(spark, sf), threshold=0.99,
+        id_col="vec_id", emb_col="emb")
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
@@ -1265,23 +1275,9 @@ def q_embedding_cosine_dups_lsh(spark, sf):
     """
     from posmspark import ann
 
-    e = _t(spark, sf, "embeddings")
-    base = e.select(
-        "vec_id",
-        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("emb"),
-    )
-    pert = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.expr(
-            "transform(sequence(1, size(embedding)),"
-            " i -> CAST(element_at(embedding, i) AS DOUBLE)"
-            " * (CAST(1.0 AS DOUBLE)"
-            "    + CAST(0.0001 AS DOUBLE) * CAST(i % 7 - 3 AS DOUBLE)))"
-        ).alias("emb"),
-    )
     pairs = ann.cosine_near_pairs_lsh(
-        base.unionByName(pert), threshold=0.99, spark=spark, dim=64,
-        id_col="vec_id", emb_col="emb", n_planes=16, n_tables=8)
+        _embedding_dup_fixture(spark, sf), threshold=0.99, spark=spark,
+        dim=64, id_col="vec_id", emb_col="emb", n_planes=16, n_tables=8)
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
@@ -1320,7 +1316,7 @@ def q_knn_topk_flat(spark, sf):
         "c_custkey",
         (F.col("pos") + 1).alias("rank"),
         F.col("nn.site_id").alias("site_id"),
-        F.round(F.col("nn.dist_m"), 4).alias("dist_m"),
+        F.round(F.col("nn.dist_m"), 2).alias("dist_m"),
     )
 
 
@@ -1346,7 +1342,7 @@ r AS (
   SELECT *, row_number() OVER (
       PARTITION BY c_custkey ORDER BY dist_m, site_id) AS rank
   FROM d)
-SELECT c_custkey, rank, site_id, round(dist_m, 4) AS dist_m
+SELECT c_custkey, rank, site_id, round(dist_m, 2) AS dist_m
 FROM r WHERE rank <= 3
 """
 

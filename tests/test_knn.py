@@ -190,3 +190,58 @@ def test_cellring_antimeridian_exact(spark):
     g = {r["url"]: [(e["site_id"], round(e["dist_m"], 6)) for e in r["knn"]]
          for r in knn_cellring(pts, sites, 4, spark).collect()}
     assert b == g
+
+
+def test_registry_knn_rounding_margin(spark):
+    """The two kNN oracle entries print round(dist_m, 2); a cross-engine
+    hash flip would need a true distance within libm's cross-engine
+    error (~dist * 1e-15, i.e. <= ~1e-8 m here) of a 0.005 half-
+    boundary. Pin that the DETERMINISTIC fixtures keep every raw
+    distance >= 1e-6 m away from the nearest boundary — three orders of
+    margin, so the driver gate is provably stable for these inputs
+    (review r05; the old round(.,4) left only ~5e-5-wide safe bands)."""
+    def min_margin(dists):
+        # distance to the nearest k*0.01 + 0.005 rounding boundary
+        m = 1.0
+        for d in dists:
+            frac = (d * 100.0) % 1.0
+            m = min(m, abs(frac - 0.5) / 100.0)
+        return m
+
+    # raw distances via the underlying operator (same fixture paths the
+    # registry queries use)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from posmspark import geom, synth
+    from posmspark.joins import knn_cellring, prepare_boundaries
+    from posmspark.pipeline import pages_from_documents
+    from posmspark.textx import with_geocode
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+    sites = pd.DataFrame(
+        [{"site_id": oid, "lon": lon, "lat": lat}
+         for oid, (lon, lat) in ((oid, geom.representative_point(p))
+                                 for oid, p in
+                                 sorted(prepared.polys_by_id.items()))])
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        pts = with_geocode(pages_from_documents(spark, sf)).filter(
+            F.col("lat").isNotNull()).select("url", "lon", "lat")
+        out = knn_cellring(pts, sites, k=3, spark=spark)
+        dists = [e["dist_m"] for r in out.collect() for e in r["knn"]]
+        assert dists and min_margin(dists) > 1e-6, sf
+
+        cust = spark.read.parquet(f"{sf}/customer.parquet").filter(
+            F.col("c_custkey") % 10 == 0).select(
+            "c_custkey",
+            ((F.col("c_custkey") * 11 % 700) / 10.0 - 10.0).alias("lon"),
+            ((F.col("c_custkey") * 29 % 500) / 10.0 - 25.0).alias("lat"))
+        supp = spark.read.parquet(f"{sf}/supplier.parquet").select(
+            F.col("s_suppkey").cast("string").alias("site_id"),
+            ((F.col("s_suppkey") * 37 % 720) / 10.0 - 18.0).alias("lon"),
+            ((F.col("s_suppkey") * 53 % 400) / 10.0 - 20.0).alias("lat"))
+        out2 = knn_cellring(cust, supp.toPandas(), k=3, spark=spark,
+                            point_key="c_custkey")
+        dists2 = [e["dist_m"] for r in out2.collect() for e in r["knn"]]
+        assert dists2 and min_margin(dists2) > 1e-6, sf

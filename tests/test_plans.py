@@ -253,9 +253,10 @@ def test_cosine_near_pairs_lsh_plan_never_cartesian(spark):
         n_planes=12, n_tables=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # verify joins must be shuffle-hash: a merge join would SORT the
-    # array-payload-wide join-1 output (the 10x bench's dominant cost),
-    # and a broadcast build of the full embedding table is the
-    # Catalyst-underestimate OOM class.
-    assert "ShuffledHashJoin" in plan
-    assert "BroadcastHashJoin" not in plan
+    # BOTH verify joins must be shuffle-hash: a merge join would SORT
+    # the array-payload-wide join-1 output (the 10x bench's dominant
+    # cost), and a broadcast build of the full embedding table is the
+    # Catalyst-underestimate OOM class. (Broadcasts DO legitimately
+    # appear for the bounded hot-bucket list of the skew cap — so pin
+    # the verify joins by SHJ count, not by banning broadcast.)
+    assert plan.count("ShuffledHashJoin") >= 2
