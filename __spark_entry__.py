@@ -576,6 +576,8 @@ _VERIFY_FIRST = [
     "cell_tile_stats",        # NEW DuckDB oracle (SQL morton cell ids)
     "streaming_tile_counts",  # NEW oracle + real availableNow stream run
     "knn_cellring",           # NEW DuckDB haversine brute-force oracle
+    "byte_identity_audit",    # NEW oracle: DuckDB re-derives the audit
+    "knn_topk_flat",          # r05: dist_m rounding 4 -> 2 decimals
     "dissolve_parents",       # overlay magnitude-extreme hardening
     "residual_holes",         # overlay magnitude-extreme hardening
     "simplify_mesh_stats",    # shares the dissolve mesh machinery
@@ -598,7 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from posmspark.pipeline import (cell_tile_stats_oracle_sql,
+    from posmspark.pipeline import (byte_identity_audit_oracle_sql,
+                                    cell_tile_stats_oracle_sql,
                                     knn_cellring_oracle_sql,
                                     pip_assignment_oracle_sql,
                                     pip_tile_rollup_oracle_sql,
@@ -612,4 +615,5 @@ def oracle_sql() -> dict[str, str]:
     out["cell_tile_stats"] = cell_tile_stats_oracle_sql()
     out["streaming_tile_counts"] = streaming_tile_counts_oracle_sql()
     out["knn_cellring"] = knn_cellring_oracle_sql()
+    out["byte_identity_audit"] = byte_identity_audit_oracle_sql()
     return out

@@ -387,6 +387,64 @@ matched AS (
      OR osm_id_l2 IS NOT NULL OR osm_id_l3 IS NOT NULL)"""
 
 
+def byte_identity_audit_oracle_sql() -> str:
+    """T5 (byte-identity extraction) under the oracle gate (promotes
+    the r04 rows-only entry): DuckDB independently re-derives every
+    page's final text (documents.text + the md5-draw geotag printed
+    with the same %.5f grid-exact formatting), rebuilds the html
+    around it with the same fixed byte markers, re-extracts with its
+    OWN marker slice, and counts mismatches. Both engines must report
+    (n_pages=N, n_violations=0): a Spark ingest-kernel bug that broke
+    byte identity would make the Spark row nonzero while the oracle
+    stays zero — a real cross-engine check, not an echo."""
+    from posmspark import synth
+
+    hot_lon_e5 = int(round(synth.HOT_LON * 100000))
+    hot_lat_e5 = int(round(synth.HOT_LAT * 100000))
+    pre = synth.HTML_PRE.decode("ascii")
+    post = synth.HTML_POST.decode("ascii")
+
+    def draw_sql(salt):
+        return synth.md5_draw_sql("url", salt, 1000000)
+
+    return f"""
+WITH u AS (
+  SELECT 'https://crawl.example/' || source || '/' ||
+         CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents),
+k AS (
+  SELECT url, text,
+    {draw_sql("p1|")} AS k1,
+    {draw_sql("p2|")} AS k2,
+    {draw_sql("p3|")} AS k3,
+    {draw_sql("p4|")} AS k4
+  FROM u),
+t AS (
+  SELECT url, text || CASE WHEN k1 < 700000 THEN ' geo: ' ||
+    printf('%.5f',
+      CAST(CASE WHEN k2 < 100000 THEN {hot_lat_e5} + k4 % 2001 - 1000
+           ELSE k4 * 2 - 1000000 END AS DOUBLE)
+      / CAST(100000 AS DOUBLE)) || ', ' ||
+    printf('%.5f',
+      CAST(CASE WHEN k2 < 100000 THEN {hot_lon_e5} + k3 % 2001 - 1000
+           ELSE k3 * 5 END AS DOUBLE)
+      / CAST(100000 AS DOUBLE))
+    ELSE '' END AS text2
+  FROM k),
+h AS (
+  SELECT text2, '{pre}' || text2 || '{post}' AS html FROM t),
+e AS (
+  SELECT text2,
+         split_part(split_part(html, '<article>', 2),
+                    '</article>', 1) AS extracted
+  FROM h)
+SELECT COUNT(*) AS n_pages,
+       CAST(SUM(CASE WHEN extracted <> text2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+FROM e
+"""
+
+
 def cell_tile_stats_oracle_sql() -> str:
     """O22 raster side under the oracle gate: per-cell doc stats over
     the matched assignment, with the cell id itself re-derived in SQL
