@@ -425,11 +425,11 @@ def cosine_near_pairs_lsh(vectors: DataFrame, threshold: float,
     and with it candidate volume per row — is O(n_tables) at ANY table
     size; `max_bucket_size` caps pathological buckets (exact-duplicate
     mega-clusters, the simhash/minhash cap semantics: k smallest ids
-    kept) via the HOT-ONLY two-phase form — oversized buckets are
-    detected with a map-side-combinable count and only their rows go
-    through the row_number window, so no global postings sort and no
-    mega-bucket straggler task (the minhash_signatures shuffle-shape
-    rule). Buckets pair in-JVM from bounded
+    kept) via one global row_number window whose hash partitioning the
+    bucket groupBy reuses — deliberately NOT the minhash hot-only
+    two-phase form; see the in-function comment for the measured A/B
+    and why that shape doesn't transfer here. Buckets pair in-JVM from
+    bounded
     collect_list arrays (no fact-fact self-join), pairs are
     de-duplicated across tables BEFORE the exact verify, and the
     verify joins embeddings back by id as SHUFFLE-HASH joins (a merge
@@ -452,7 +452,6 @@ def cosine_near_pairs_lsh(vectors: DataFrame, threshold: float,
     partitionings, and parallelism levels.
     """
     from posmspark import dedup
-    from posmspark.session import stage_persist
 
     norm = F.expr(
         f"sqrt(aggregate({emb_col}, CAST(0.0 AS DOUBLE),"
@@ -470,30 +469,23 @@ def cosine_near_pairs_lsh(vectors: DataFrame, threshold: float,
     sigs = with_lsh_signature(keyed, spark, dim, n_planes, emb_col,
                               out_col="_sigs", seed=seed,
                               n_tables=n_tables)
-    # postings feed three branches below (hot detection, cold anti-join,
-    # hot cap) — persist so the signature UDF runs once, the same rule
-    # as the staged shingle table (minhash_signatures NOTE).
-    postings = stage_persist(sigs.select(
-        id_col, F.posexplode("_sigs").alias("_table", "_sig")))
-    # hot-ONLY cap (the minhash_signatures shuffle-shape rule): a
-    # global row_number would sort the whole postings table AND land
-    # every mega-bucket (exact-duplicate cluster) on one task; instead
-    # detect oversized buckets via a map-side-combinable count,
-    # broadcast that small list, and window only those rows. Cold
-    # buckets (<= max_bucket_size) pass through untouched — identical
-    # result to the unconditional cap, which keeps all rows at <= k.
-    bucket_keys = ["_table", "_sig"]
-    hot = (
-        postings.groupBy(*bucket_keys).agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket_size).select(*bucket_keys)
-    )
-    hot_kept = dedup.cap_k_smallest(
-        postings.join(F.broadcast(hot), bucket_keys), bucket_keys,
-        id_col, max_bucket_size)
-    postings = (
-        postings.join(F.broadcast(hot), bucket_keys, "left_anti")
-        .unionByName(hot_kept)
-    )
+    postings = sigs.select(
+        id_col, F.posexplode("_sigs").alias("_table", "_sig"))
+    # cap via ONE global row_number window — deliberately NOT the
+    # minhash hot-only two-phase form. Measured same-window A/B at
+    # 960k vectors: global window 23.4s vs hot-only 30.9s. The
+    # hot-only split doesn't transfer here because (a) the window's
+    # hash partitioning on (_table,_sig) is exactly what the bucket
+    # groupBy below needs, so cap+group cost ONE exchange, while the
+    # hot-only form pays a count exchange + a union that breaks
+    # partitioning + a second exchange; and (b) it does not even
+    # remove the mega-bucket straggler — the hot subset still windows
+    # that bucket in a single task. The window sort is per-partition
+    # and SPILLABLE, so an exact-duplicate mega-cluster is a wall-clock
+    # tail, never an OOM (unlike a collect_list-then-slice cap, whose
+    # reducer would hold the whole cluster in one array).
+    postings = dedup.cap_k_smallest(
+        postings, ["_table", "_sig"], id_col, max_bucket_size)
 
     # bounded in-JVM pair expansion: bucket -> sorted id array ->
     # i<j combinations. max_bucket_size bounds the quadratic term.
