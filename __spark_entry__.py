@@ -577,6 +577,7 @@ _VERIFY_FIRST = [
     "streaming_tile_counts",  # NEW oracle + real availableNow stream run
     "knn_cellring",           # NEW DuckDB haversine brute-force oracle
     "byte_identity_audit",    # NEW oracle: DuckDB re-derives the audit
+    "problems_routing",       # NEW oracle: SQL validity re-derivation
     "knn_topk_flat",          # r05: dist_m rounding 4 -> 2 decimals
     "dissolve_parents",       # overlay magnitude-extreme hardening
     "residual_holes",         # overlay magnitude-extreme hardening
@@ -601,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from posmspark.pipeline import (byte_identity_audit_oracle_sql,
+                                    problems_routing_oracle_sql,
                                     cell_tile_stats_oracle_sql,
                                     knn_cellring_oracle_sql,
                                     pip_assignment_oracle_sql,
@@ -616,4 +618,5 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_tile_counts"] = streaming_tile_counts_oracle_sql()
     out["knn_cellring"] = knn_cellring_oracle_sql()
     out["byte_identity_audit"] = byte_identity_audit_oracle_sql()
+    out["problems_routing"] = problems_routing_oracle_sql()
     return out

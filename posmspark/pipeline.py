@@ -387,6 +387,112 @@ matched AS (
      OR osm_id_l2 IS NOT NULL OR osm_id_l3 IS NOT NULL)"""
 
 
+def problems_routing_oracle_sql() -> str:
+    """O6 (geometry-validity predicate + reason) under the oracle gate
+    (promotes the r04 rows-only entry): DuckDB re-derives each raw
+    fixture feature's validity verdict from a VALUES vertex table —
+    ring length, closure (the same allclose tolerance), and proper
+    self-intersection via the identical strict sign-flip crossing test
+    — and recomputes the FIRST intersection point with the identical
+    t = cross(p3-p1, s) / cross(r, s) parametrization, first hit by
+    (edge_i, edge_j) order, exactly geom.ring_self_intersection's scan
+    order. Reason precedence per ring mirrors geom.validity_reason:
+    too-few-points, then unclosed, then self-intersection; first
+    failing (poly, ring) wins per feature. Reference semantics:
+    exposm/utils.py:58-70,105-115."""
+    import pandas as pd  # noqa: F401
+
+    from posmspark import geom, synth
+
+    rows = []
+    for r in synth.gen_boundaries_pdf().itertuples(index=False):
+        name_en = (r.name_en
+                   if isinstance(r.name_en, str) and r.name_en else r.name)
+        if not name_en:
+            continue  # same skip as prepare_boundaries
+        polys = geom.wkb_to_multipolygon(r.geom_wkb)
+        for pi, rings in enumerate(polys):
+            for ri, ring in enumerate(rings):
+                for si, (x, y) in enumerate(ring):
+                    rows.append(
+                        f"  ('{r.osm_id}', '{r.name}', {pi}, {ri}, {si}, "
+                        f"CAST({float(x)!r} AS DOUBLE), "
+                        f"CAST({float(y)!r} AS DOUBLE))")
+    values = ",\n".join(rows)
+    return f"""
+WITH v(osm_id, name, poly, ring, seq, x, y) AS (VALUES
+{values}),
+ringstat AS (
+  SELECT osm_id, name, poly, ring, COUNT(*) AS n,
+         arg_min(x, seq) AS x0, arg_min(y, seq) AS y0,
+         arg_max(x, seq) AS xl, arg_max(y, seq) AS yl
+  FROM v GROUP BY osm_id, name, poly, ring),
+edges AS (
+  SELECT osm_id, poly, ring, seq AS i, x AS ax, y AS ay,
+         lead(x) OVER w AS bx, lead(y) OVER w AS by
+  FROM v
+  WINDOW w AS (PARTITION BY osm_id, poly, ring ORDER BY seq)
+  QUALIFY lead(x) OVER w IS NOT NULL),
+-- proper crossing of non-adjacent edge pairs, skipping the (0, n-1)
+-- wrap pair, STRICT sign flips — geom.ring_self_intersection verbatim
+hits AS (
+  SELECT e1.osm_id, e1.poly, e1.ring, e1.i AS i, e2.i AS j,
+         e1.ax + ((e2.ax - e1.ax) * (e2.by - e2.ay)
+                  - (e2.ay - e1.ay) * (e2.bx - e2.ax))
+                 / ((e1.bx - e1.ax) * (e2.by - e2.ay)
+                    - (e1.by - e1.ay) * (e2.bx - e2.ax))
+                 * (e1.bx - e1.ax) AS px,
+         e1.ay + ((e2.ax - e1.ax) * (e2.by - e2.ay)
+                  - (e2.ay - e1.ay) * (e2.bx - e2.ax))
+                 / ((e1.bx - e1.ax) * (e2.by - e2.ay)
+                    - (e1.by - e1.ay) * (e2.bx - e2.ax))
+                 * (e1.by - e1.ay) AS py
+  FROM edges e1 JOIN edges e2
+    ON e2.osm_id = e1.osm_id AND e2.poly = e1.poly AND e2.ring = e1.ring
+   AND e2.i >= e1.i + 2
+   AND NOT (e1.i = 0 AND e2.i = (SELECT rs.n - 2 FROM ringstat rs
+                                 WHERE rs.osm_id = e1.osm_id
+                                   AND rs.poly = e1.poly
+                                   AND rs.ring = e1.ring))
+  WHERE (((e2.bx - e2.ax) * (e1.ay - e2.ay)
+          - (e2.by - e2.ay) * (e1.ax - e2.ax) > 0)
+         <> ((e2.bx - e2.ax) * (e1.by - e2.ay)
+             - (e2.by - e2.ay) * (e1.bx - e2.ax) > 0))
+    AND (((e1.bx - e1.ax) * (e2.ay - e1.ay)
+          - (e1.by - e1.ay) * (e2.ax - e1.ax) > 0)
+         <> ((e1.bx - e1.ax) * (e2.by - e1.ay)
+             - (e1.by - e1.ay) * (e2.bx - e1.ax) > 0))),
+firsthit AS (
+  SELECT osm_id, poly, ring, px, py FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY osm_id, poly, ring ORDER BY i, j) AS rn
+    FROM hits) WHERE rn = 1),
+ringverdict AS (
+  SELECT rs.osm_id, rs.name, rs.poly, rs.ring,
+    CASE WHEN rs.n < 4 THEN 'Too few points in geometry component'
+         WHEN NOT (abs(rs.xl - rs.x0) <= 1e-8 + 1e-5 * abs(rs.xl)
+               AND abs(rs.yl - rs.y0) <= 1e-8 + 1e-5 * abs(rs.yl))
+           THEN 'Unclosed ring'
+         WHEN fh.px IS NOT NULL THEN 'Self-intersection'
+         ELSE NULL END AS reason,
+    CASE WHEN rs.n < 4 THEN NULL
+         WHEN NOT (abs(rs.xl - rs.x0) <= 1e-8 + 1e-5 * abs(rs.xl)
+               AND abs(rs.yl - rs.y0) <= 1e-8 + 1e-5 * abs(rs.yl))
+           THEN rs.x0 ELSE fh.px END AS lon,
+    CASE WHEN rs.n < 4 THEN NULL
+         WHEN NOT (abs(rs.xl - rs.x0) <= 1e-8 + 1e-5 * abs(rs.xl)
+               AND abs(rs.yl - rs.y0) <= 1e-8 + 1e-5 * abs(rs.yl))
+           THEN rs.y0 ELSE fh.py END AS lat
+  FROM ringstat rs
+  LEFT JOIN firsthit fh ON fh.osm_id = rs.osm_id
+    AND fh.poly = rs.poly AND fh.ring = rs.ring)
+SELECT osm_id, name, reason, lon, lat FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY osm_id ORDER BY poly, ring) AS rn
+  FROM ringverdict WHERE reason IS NOT NULL) WHERE rn = 1
+"""
+
+
 def byte_identity_audit_oracle_sql() -> str:
     """T5 (byte-identity extraction) under the oracle gate (promotes
     the r04 rows-only entry): DuckDB independently re-derives every

@@ -61,6 +61,7 @@ SPATIAL_ORACLE_NAMES = [
     "knn_cellring",
     "streaming_tile_counts",
     "byte_identity_audit",
+    "problems_routing",
 ]
 
 
