@@ -20,8 +20,10 @@ dissolved boundary; even-count segments are interior shared borders
 that are NOT a mesh — edges properly crossing (overlapping children,
 a child overhanging its parent) — are detected by a crossing scan and
 routed through a general intersection overlay (union_overlay /
-residual_overlay: exact planar arrangement of the input edges +
-two-sided midpoint probes), closing G11's general union/difference.
+residual_overlay: exact planar arrangement of the input edges + EXACT
+one-sided-limit classification by symbolic-perturbation ray casting,
+r05 — no floating-point probe offsets anywhere), closing G11's
+general union/difference.
 
 Each parent group is small (tens of children, thousands of vertices);
 the parallelism axis is the number of parents, which is what
@@ -295,24 +297,21 @@ def residual_classify(parent: list[list[np.ndarray]],
     nonconformal = _has_proper_crossing(all_segs)
     if not nonconformal:
         if len(child_segs):
-            # clearance-bounded probes vs ALL segments (parent too):
-            # fixed offsets probed straight across child-child overlap
-            # bands thinner than len*1e-5, misrouting them to exact
-            # cancellation — the same class as the _disjoint_interiors
-            # fix (review r04)
-            eps, clamped, _ = _adaptive_probe_eps(
-                child_segs, others=all_segs, return_clamped=True)
-            px, py, n = _segment_side_probes(child_segs, eps=eps)
-            if clamped.any() or _max_coverage(child_list, px, py) > 1:
-                # clamped probes can't be trusted across thin bands
-                # (ADVICE r04) — route conservatively to the overlay
+            # r05: EXACT one-sided classification of every child edge
+            # (_eps_side_parity) replaces the clearance-bounded probes
+            # and their clamp-refusal path — child-child overlap bands
+            # of any representable thickness count both children on
+            # the inside and route to the overlay
+            plus, minus = _group_side_membership(
+                child_segs, [parent] + child_list)
+            child_cov_p = plus[:, 1:].sum(axis=1)
+            child_cov_m = minus[:, 1:].sum(axis=1)
+            if int(max(child_cov_p.max(), child_cov_m.max())) > 1:
                 nonconformal = True
-            else:
-                in_par = geom.points_in_multipolygon(px, py, parent)
+            elif (~plus[:, 0] & ~minus[:, 0]).any():
                 # a child edge with NEITHER side inside the parent
                 # lies outside it — not a containment mesh
-                if (~in_par[:n] & ~in_par[n:]).any():
-                    nonconformal = True
+                nonconformal = True
     if nonconformal:
         residual = residual_overlay(parent, children, segs=all_segs)
         if not residual:
@@ -447,225 +446,55 @@ def _has_proper_crossing(segs: np.ndarray) -> bool:
     return False
 
 
-def _segment_side_probes(segs: np.ndarray, eps: np.ndarray | None = None):
-    """Probe points just off both sides of every segment midpoint.
-    Returns (px, py, n) with the first n points on the +normal side and
-    the last n on the -normal side, index-aligned per segment.
-
-    eps: per-segment probe offset override. Every side-classification
-    caller (the overlay, the disjointness dispatch, residual_classify's
-    conformality check) passes clearance-bounded offsets from
-    _adaptive_probe_eps; the len-proportional default only remains as
-    the fallback for callers with no clearance context."""
-    mid = (segs[:, :2] + segs[:, 2:]) / 2.0
-    d = segs[:, 2:] - segs[:, :2]
-    ln = np.hypot(d[:, 0], d[:, 1])
-    nx, ny = -d[:, 1] / ln, d[:, 0] / ln
-    if eps is None:
-        eps = np.maximum(ln * 1e-5, 1e-9)
-    px = np.concatenate([mid[:, 0] + eps * nx, mid[:, 0] - eps * nx])
-    py = np.concatenate([mid[:, 1] + eps * ny, mid[:, 1] - eps * ny])
-    return px, py, len(segs)
-
-
-def _adaptive_probe_eps(ab: np.ndarray,
-                        others: np.ndarray | None = None,
-                        return_clamped: bool = False):
-    """Clearance-bounded probe offsets for the ARRANGED sub-segments
-    (VERDICT r03 item 6 — the exact-side-classification fix).
-
-    After _split_at_intersections + dedup, no other sub-segment passes
-    through a sub-segment's open interior: every region boundary near a
-    midpoint is either the sub-segment's own carrier or at least the
-    midpoint clearance away. A probe at less than that clearance
-    therefore CANNOT cross any other boundary, so its membership equals
-    the true one-sided limit at the midpoint — side classification is
-    exact for every feature representable above the snap quantum,
-    including slivers far thinner than the old fixed len*1e-5 offset
-    (which probed straight across them).
-
-    offset_i = min(len_i * 1e-5, 0.49 * clearance_i), floored at 1e-13
-    (numeric guard; distinct snapped carriers are >= ~SNAP apart, so
-    the floor only engages on geometry degenerate below the snap
-    quantum, where classification is meaningless anyway).
-
-    Segments COLLINEAR with segment i's own carrier are excluded from
-    i's clearance: the probes move perpendicular to the carrier, so
-    they can never cross anything lying ON it — without the exclusion
-    a duplicated shared border (clearance 0, the normal conformal-mesh
-    case) would collapse the offset to the floor. This makes the same
-    function valid for RAW mesh segments too (the disjointness
-    dispatch), where exact duplicates are expected — and the own row in
-    `others` needs no special-casing (it is collinear with itself).
-
-    others: the segment set clearance is measured AGAINST (defaults to
-    ab itself; residual_classify probes child segments but must respect
-    the parent's boundary too). Clearance is only relevant below
-    cap_i = len_i*1e-5/0.49 (beyond that the len-based offset wins), so
-    the large-n path prunes candidate pairs to an x-window of that cap
-    before computing distances — near-linear on real meshes instead of
-    the dense O(n*m) sweep, which is kept for small inputs.
-
-    return_clamped=True additionally returns (clamped mask, dmin): a
-    segment is clamped when the scale-aware floor overrode its
-    clearance bound — its float probe offset may exceed the true
-    clearance, so the caller must not trust its probe classification.
-    """
-    n = len(ab)
-    mid = (ab[:, :2] + ab[:, 2:]) / 2.0
-    own_d = ab[:, 2:] - ab[:, :2]
-    own_ln = np.hypot(own_d[:, 0], own_d[:, 1])
-    if others is None:
-        others = ab
-    p = others[:, :2]
-    d = others[:, 2:] - others[:, :2]
-    len2 = (d ** 2).sum(axis=1)
-    ln = np.sqrt(len2)
-    cap = own_ln * (1e-5 / 0.49)
-
-    def pair_dist(mi, ji):
-        """Distances mid[mi] -> others[ji], inf where collinear with
-        mid's own carrier (index-aligned 1-D arrays)."""
-        m = mid[mi]
-        w = m - p[ji]
-        with np.errstate(invalid="ignore"):
-            t = np.clip((w * d[ji]).sum(axis=-1)
-                        / np.maximum(len2[ji], 1e-300), 0.0, 1.0)
-        proj = p[ji] + t[:, None] * d[ji]
-        dist = np.hypot(m[:, 0] - proj[:, 0], m[:, 1] - proj[:, 1])
-        cross_dir = np.abs(own_d[mi, 0] * d[ji, 1]
-                           - own_d[mi, 1] * d[ji, 0])
-        parallel = cross_dir <= 1e-9 * np.maximum(
-            own_ln[mi] * ln[ji], 1e-300)
-        line_dist = np.abs(w[:, 0] * d[ji, 1] - w[:, 1] * d[ji, 0]) \
-            / np.maximum(ln[ji], 1e-300)
-        # SCALE-RELATIVE carrier tolerance (ADVICE r04): the midpoint
-        # rounding of (a+b)/2 is ~1 ulp of the coordinate magnitude,
-        # so at magnitudes >= ~1e7 an exact duplicate shared border
-        # shows line_dist ~2e-9 > the old absolute 1e-9 and failed the
-        # exclusion — conformal meshes then stayed on the fast path
-        # only through the floor clamp, an implicit coupling of two
-        # thresholds. 32 ulps is a wide margin over the ~1-ulp rounding
-        # while staying far below any band the clamped machinery must
-        # see: a parallel segment at separation > col_tol contributes
-        # its distance to dmin, and separations below the floor then
-        # raise the `clamped` flag. Residual blind spot: true bands
-        # thinner than 32 ulps of the coordinate magnitude (geometry at
-        # the representability edge) read as duplicate carriers.
-        mag = np.maximum(
-            np.maximum(np.abs(mid[mi, 0]), np.abs(mid[mi, 1])), 1.0)
-        col_tol = np.maximum(1e-9, 32.0 * np.spacing(mag))
-        dist[parallel & (line_dist <= col_tol)] = np.inf
-        return dist
-
-    m_others = len(others)
-    dmin = np.full(n, np.inf)
-    if n * m_others <= 4_000_000:
-        chunk = max(1, 4_000_000 // max(m_others, 1))
-        for s in range(0, n, chunk):
-            c = min(chunk, n - s)
-            mi = np.repeat(np.arange(s, s + c), m_others)
-            ji = np.tile(np.arange(m_others), c)
-            dist = pair_dist(mi, ji).reshape(c, m_others)
-            dmin[s:s + c] = dist.min(axis=1)
-    else:
-        # prune: only others within an x-window of cap_max around the
-        # midpoint can have distance < cap (plus the max x-extent so an
-        # interval-stab reduces to one sorted-range query)
-        x0 = np.minimum(p[:, 0], p[:, 0] + d[:, 0])
-        x1 = np.maximum(p[:, 0], p[:, 0] + d[:, 0])
-        y0 = np.minimum(p[:, 1], p[:, 1] + d[:, 1])
-        y1 = np.maximum(p[:, 1], p[:, 1] + d[:, 1])
-        order = np.argsort(x0)
-        x0s = x0[order]
-        max_ext = float((x1 - x0).max()) if m_others else 0.0
-        cap_max = float(cap.max()) if n else 0.0
-        for i in range(n):
-            mx, my = mid[i]
-            lo = np.searchsorted(x0s, mx - cap_max - max_ext)
-            hi = np.searchsorted(x0s, mx + cap_max, side="right")
-            cand = order[lo:hi]
-            if not len(cand):
-                continue
-            cand = cand[(x1[cand] >= mx - cap_max)
-                        & (y0[cand] - cap_max <= my)
-                        & (my <= y1[cand] + cap_max)]
-            if not len(cand):
-                continue
-            dist = pair_dist(np.full(len(cand), i), cand)
-            dmin[i] = dist.min()
-    # floor is SCALE-AWARE (review r04): a T-junction vertex landing on
-    # a midpoint gives clearance 0, and a fixed 1e-13 floor is below
-    # one ulp at projected-coordinate magnitudes (UTM ~1e5-1e7), so the
-    # probe would round exactly onto the boundary — harmless for the
-    # overlay (arranged segments have no such junctions) but it
-    # misrouted conformal meshes off the cancellation fast path. The
-    # 1e-12 relative floor keeps probes numerically off the carrier
-    # (~4000 ulps); features thinner than ~1e-12 of the coordinate
-    # magnitude are still representable (ulp is ~1e-16 relative), so
-    # where the floor OVERRIDES the clearance bound (floor > 0.49*dmin
-    # with a non-collinear neighbor) the float probe may cross a thin
-    # band and classify wrong — those segments are flagged `clamped`
-    # and callers must not trust their probes (ADVICE r04): the
-    # dispatches route to the general overlay, and the overlay itself
-    # re-classifies them with exact rational probes
-    # (_overlay_by_predicate).
-    floor = np.maximum(
-        1e-13, 1e-12 * np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
-    eps = np.maximum(np.minimum(own_ln * 1e-5, 0.49 * dmin), floor)
-    if return_clamped:
-        # dmin > 0 strictly: the flagged class is a thin BAND (near-
-        # parallel boundary at positive separation below the floor) —
-        # dmin == 0 is a transversal vertex landing exactly ON the
-        # midpoint (the conformal T-junction case the floor exists
-        # for), which must keep the fast path (r04 fuzz-clean).
-        clamped = np.isfinite(dmin) & (dmin > 0) & (floor > 0.49 * dmin)
-        return eps, clamped, dmin
-    return eps
-
-
-def _max_coverage(polys_list: list, px: np.ndarray, py: np.ndarray) -> int:
-    """Max number of input multipolygons covering any probe point
-    (bbox-masked PIP per input; early exit at 2 — the only question is
-    'disjoint or not')."""
-    cov = np.zeros(len(px), dtype=np.int32)
-    for polys in polys_list:
-        x0, y0, x1, y1 = geom.multipolygon_bbox(polys)
-        m = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
-        if not m.any():
-            continue
-        cov[m] += geom.points_in_multipolygon(px[m], py[m], polys)
-        if (cov > 1).any():
-            return int(cov.max())
-    return int(cov.max()) if len(cov) else 0
+def _group_side_membership(segs: np.ndarray, groups: list):
+    """(plus, minus) membership of each segment's one-sided midpoint
+    limits in each GROUP (a multipolygon: OR across its parts,
+    geom.points_in_multipolygon semantics) — EXACT via
+    _eps_side_parity (no probe offset; the r05 dispatch rewrite).
+    Segments here are ORIGINAL input edges, so each midpoint lies
+    bit-exactly on its own carrier; sub-snap duplicate carriers from
+    OTHER groups count both sides equally, which can only over-count
+    coverage — the conservative direction (routes to the general
+    overlay, never wrongly to cancellation). Returns two
+    (n_segments, n_groups) bool arrays."""
+    parts = []
+    gid = []
+    for g, polys in enumerate(groups):
+        for rings in polys:
+            parts.append(rings)
+            gid.append(g)
+    plus_p, minus_p = _eps_side_parity(segs, parts)
+    gid = np.asarray(gid)
+    n_groups = len(groups)
+    plus = np.zeros((len(segs), n_groups), dtype=bool)
+    minus = np.zeros((len(segs), n_groups), dtype=bool)
+    for g in range(n_groups):
+        cols = gid == g
+        plus[:, g] = plus_p[:, cols].any(axis=1)
+        minus[:, g] = minus_p[:, cols].any(axis=1)
+    return plus, minus
 
 
 def _disjoint_interiors(polys_list: list, segs: np.ndarray) -> bool:
     """True iff the inputs form a mesh with pairwise-disjoint interiors
     — the precondition for exact cancellation union. Checks (a) no
-    proper edge crossings, (b) no segment side-probe covered by more
-    than one input (catches containment, duplicates, and collinear
+    proper edge crossings, (b) no segment's one-sided limit covered by
+    more than one input (catches containment, duplicates, and collinear
     partial overlap, which have NO interior-interior crossing — review
-    r03 reproduced silently-wrong unions on all three). Probe offsets
-    are clearance-bounded (_adaptive_probe_eps, r04): the old fixed
-    len*1e-5 offset probed straight ACROSS overlap bands thinner than
-    itself, dispatching two rects overlapping in a 1e-6 band to exact
-    cancellation — a silently-wrong union (the band classified OUTSIDE
-    under even-odd). False positives (conservatively routing to the
-    exact overlay) only cost the slower path."""
+    r03 reproduced silently-wrong unions on all three). r05: the sides
+    are classified EXACTLY (_eps_side_parity) — the clearance-bounded
+    probe offsets and their floor-clamp refusal path are gone; a thin
+    overlap band of ANY representable thickness counts both carriers'
+    groups on its inside and flags non-disjoint. False positives
+    (conservatively routing to the exact overlay) only cost the slower
+    path."""
     if _has_proper_crossing(segs):
         return False
     if len(polys_list) < 2 or not len(segs):
         return True
-    eps, clamped, _ = _adaptive_probe_eps(segs, return_clamped=True)
-    if clamped.any():
-        # a probe whose floor exceeded its clearance bound could step
-        # straight across a representable thin band (coords ~1e7,
-        # band ~1e-7 — ADVICE r04); conservatively refuse the exact-
-        # cancellation dispatch. Cost: the slower general overlay.
-        return False
-    px, py, _n = _segment_side_probes(segs, eps=eps)
-    return _max_coverage(polys_list, px, py) <= 1
+    plus, minus = _group_side_membership(segs, polys_list)
+    return int(max(plus.sum(axis=1).max(),
+                   minus.sum(axis=1).max())) <= 1
 
 
 def _split_at_intersections(segs: np.ndarray) -> list:
@@ -724,7 +553,7 @@ def _split_at_intersections(segs: np.ndarray) -> list:
         pts = [p] + [c[1] for c in cuts] + [segs[i, 2:]]
         for k in range(len(pts) - 1):
             out.append((np.asarray(pts[k], dtype=np.float64),
-                        np.asarray(pts[k + 1], dtype=np.float64)))
+                        np.asarray(pts[k + 1], dtype=np.float64), i))
     return out
 
 
@@ -738,36 +567,22 @@ def residual_overlay(parent: list[list[np.ndarray]],
 
     1. split all edges at their pairwise intersections (exact planar
        arrangement over input edges)
-    2. classify each sub-segment by probing just off its midpoint on
-       both sides: it bounds the residual iff exactly one side is
-       inside the parent and outside every child
+    2. classify each sub-segment's two ONE-SIDED LIMITS exactly
+       (_eps_side_parity: symbolic-perturbation ray casting, r05 — no
+       constructed probe point, no finite offset): it bounds the
+       residual iff exactly one side is inside the parent and outside
+       every child
     3. chain boundary sub-segments into rings, group holes
 
-    Side probes are clearance-bounded (_adaptive_probe_eps): each probe
-    sits closer to its sub-segment than ANY other boundary, so the
-    classification equals the exact one-sided limit — slivers thinner
-    than len*1e-5 (the old fixed offset, which probed straight across
-    them) classify correctly down to the snap quantum. The conformal
-    path (exact cancellation) stays the default in residual_classify.
+    The conformal path (exact cancellation) stays the default in
+    residual_classify.
     """
     child_list = list(children.values())
-    if segs is None:
-        segs = _collect_segments([parent] + child_list)
+    del segs  # r05: the overlay rebuilds segments with ring provenance
 
-    def in_residual(px, py):
-        inside = geom.points_in_multipolygon(px, py, parent)
-        for ch in child_list:
-            inside &= ~geom.points_in_multipolygon(px, py, ch)
-        return inside
-
-    def in_residual_exact(xs, ys):
-        inside = _points_in_multipolygon_exact(xs, ys, parent)
-        for ch in child_list:
-            in_ch = _points_in_multipolygon_exact(xs, ys, ch)
-            inside = [a and not b for a, b in zip(inside, in_ch)]
-        return inside
-
-    return _overlay_by_predicate(segs, in_residual, in_residual_exact)
+    return _overlay_by_predicate(
+        [parent] + child_list,
+        lambda m: bool(m[0]) and not m[1:].any())
 
 
 def union_overlay(polys_list: list[list[list[np.ndarray]]],
@@ -775,129 +590,232 @@ def union_overlay(polys_list: list[list[list[np.ndarray]]],
                   ) -> list[list[np.ndarray]]:
     """General ST_Union of possibly-OVERLAPPING multipolygons (G11's
     general union, proc_functions.sql:291): the same arrangement +
-    side-probe machinery as residual_overlay with the predicate
-    'inside any input polygon'. Conformal meshes should keep using the
-    exact cancellation path (dissolve_union auto-dispatches)."""
-    if segs is None:
-        segs = _collect_segments(polys_list)
+    exact one-sided-limit machinery as residual_overlay with the
+    predicate 'inside any input polygon'. Conformal meshes should keep
+    using the exact cancellation path (dissolve_union auto-dispatches).
+    """
+    del segs  # r05: the overlay rebuilds segments with ring provenance
 
-    def in_any(px, py):
-        inside = np.zeros(len(px), dtype=bool)
-        for polys in polys_list:
-            inside |= geom.points_in_multipolygon(px, py, polys)
-        return inside
-
-    def in_any_exact(xs, ys):
-        inside = [False] * len(xs)
-        for polys in polys_list:
-            got = _points_in_multipolygon_exact(xs, ys, polys)
-            inside = [a or b for a, b in zip(inside, got)]
-        return inside
-
-    return _overlay_by_predicate(segs, in_any, in_any_exact)
+    return _overlay_by_predicate(list(polys_list),
+                                 lambda m: bool(m.any()))
 
 
-def _points_in_multipolygon_exact(xs, ys, polys) -> list[bool]:
-    """EXACT even-odd containment of exact-rational query points
-    (fractions.Fraction coordinate pairs) vs float-coordinate
-    multipolygons — same semantics as geom.points_in_multipolygon
-    (per-polygon even-odd over its rings, OR across polygons) but with
-    zero rounding: floats are exact rationals, so every crossing test
-    is a rational sign comparison. Only used on the handful of probe
-    points whose float offsets were floor-clamped; cost is
-    O(points * edges) Fraction ops."""
+def _eps_side_parity(ab: np.ndarray, parts: list):
+    """EXACT even-odd parity of each arranged sub-segment's two
+    one-sided limits vs each polygon part — the r05 replacement for
+    the floating-point side probes (VERDICT r03/r04 stretch item).
+
+    Instead of constructing a probe POINT at a finite offset (whose
+    distance had to be clearance-bounded to be trustworthy), the probe
+    is the SYMBOLIC point M +- eps*n for an infinitesimal eps (M =
+    sub-segment midpoint, n = left normal (-ry, rx)). Every ray-
+    crossing comparison becomes a lexicographic sign of (c0 + eps*c1)
+    — computable exactly from the input coordinates, so the
+    classification IS the one-sided limit: no offset to pick, no band
+    too thin, no coordinate magnitude at which it degrades.
+
+    Per edge (p1, p2) of a part, the horizontal ray from P = M + s*eps*n
+    crosses iff [y1 > Py] != [y2 > Py] and Px < x_int, which expands to
+      y1 > Py      <=> (y1 - My, -s*rx) >lex (0, 0)
+      Px < x_int   <=> sign(c0 + eps*c1) == sign(dy), with
+                       c0 = (My - y1)*dx - (Mx - x1)*dy
+                       c1 = s*(rx*dx + ry*dy)
+    The eps term resolves exactly the degeneracies the float probes
+    fought: a collinear duplicate carrier through M has c0 == 0 and
+    c1 = s*(r . d) != 0, so each side counts it according to the
+    carrier's orientation — the true one-sided limit.
+
+    Implementation: one vectorized float pass per sub-segment filters
+    the certainly-crossing / certainly-not edges (sign certain outside
+    a conservative relative error band); only the ambiguous residue —
+    exact ties and near-degeneracies — is re-evaluated with Fraction
+    arithmetic and the eps tie-break. Returns (plus, minus): two
+    (n_segments, n_parts) bool arrays of even-odd parities.
+    """
     from fractions import Fraction
 
-    out = [False] * len(xs)
-    for i, (px, py) in enumerate(zip(xs, ys)):
+    ex1, ey1, ex2, ey2, part_id = [], [], [], [], []
+    for p, rings in enumerate(parts):
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float64)
+            ex1.append(r[:-1, 0]); ey1.append(r[:-1, 1])
+            ex2.append(r[1:, 0]); ey2.append(r[1:, 1])
+            part_id.append(np.full(len(r) - 1, p, dtype=np.int64))
+    ex1 = np.concatenate(ex1); ey1 = np.concatenate(ey1)
+    ex2 = np.concatenate(ex2); ey2 = np.concatenate(ey2)
+    part_id = np.concatenate(part_id)
+    dx = ex2 - ex1
+    dy = ey2 - ey1
+    n_parts = len(parts)
+    S = len(ab)
+    plus = np.zeros((S, n_parts), dtype=bool)
+    minus = np.zeros((S, n_parts), dtype=bool)
+
+    #: conservative error bands (anything inside goes exact). REL1
+    #: covers one subtraction + the midpoint rounding (~2 ulp) with
+    #: ~100x margin. c0's error has BOTH a relative term (product
+    #: roundings, ~6 ulp of |t1|+|t2|) and an ABSOLUTE term from the
+    #: midpoint rounding propagated through the cross difference,
+    #: ~(|dx|+|dy|) * ulp(m): on a micro-sub-segment whose own carrier
+    #: has true c0 == 0, the float residue (~1e-21) dwarfs the relative
+    #: band alone (fuzz seed 1978 — the filter certified the sign of
+    #: pure rounding noise). Both terms carry ~100x margin.
+    REL1 = 1e-14
+    REL2 = 1e-14
+    ABS2 = 1e-14  # x (|dx|+|dy|) * max(|mx|, |my|, 1)
+
+    def exact_cross(mxF, myF, rxF, ryF, j, s):
+        y1 = Fraction(float(ey1[j])); y2 = Fraction(float(ey2[j]))
+        srx = s * rxF
+
+        def gt(v):  # v > Py = My + eps*s*rx, lexicographic in eps
+            if v != myF:
+                return v > myF
+            return srx < 0
+
+        if gt(y1) == gt(y2):
+            return False
+        x1 = Fraction(float(ex1[j]))
+        dxF = Fraction(float(ex2[j])) - x1
+        dyF = y2 - y1
+        c0 = (myF - y1) * dxF - (mxF - x1) * dyF
+        if c0 != 0:
+            sgn = 1 if c0 > 0 else -1
+        else:
+            c1 = s * (rxF * dxF + ryF * dyF)
+            if c1 == 0:
+                return False  # P exactly on the edge's line at every eps
+            sgn = 1 if c1 > 0 else -1
+        return (sgn > 0) == (dyF > 0)
+
+    for i in range(S):
+        axv, ayv, bxv, byv = (float(v) for v in ab[i])
+        mx = (axv + bxv) / 2.0
+        my = (ayv + byv) / 2.0
+        a1 = ey1 - my
+        a2 = ey2 - my
+        amb1 = (
+            (np.abs(a1) <= REL1 * np.maximum(np.abs(ey1), abs(my)))
+            | (np.abs(a2) <= REL1 * np.maximum(np.abs(ey2), abs(my)))
+        )
+        cond1 = (a1 > 0) != (a2 > 0)
+        t1 = (my - ey1) * dx
+        t2 = (mx - ex1) * dy
+        c0 = t1 - t2
+        amb2 = np.abs(c0) <= (
+            REL2 * (np.abs(t1) + np.abs(t2))
+            + ABS2 * (np.abs(dx) + np.abs(dy)) * max(abs(mx), abs(my), 1.0)
+        )
+        certain_cross = cond1 & ~amb1 & ~amb2 & ((c0 > 0) == (dy > 0))
+        amb = (amb1 | (cond1 & amb2)) & ~certain_cross
+        counts = np.bincount(part_id[certain_cross], minlength=n_parts)
+        cp = counts.copy()
+        cm = counts.copy()
+        aj = np.where(amb)[0]
+        if len(aj):
+            mxF = (Fraction(axv) + Fraction(bxv)) / 2
+            myF = (Fraction(ayv) + Fraction(byv)) / 2
+            rxF = Fraction(bxv) - Fraction(axv)
+            ryF = Fraction(byv) - Fraction(ayv)
+            for j in aj:
+                if exact_cross(mxF, myF, rxF, ryF, j, 1):
+                    cp[part_id[j]] += 1
+                if exact_cross(mxF, myF, rxF, ryF, j, -1):
+                    cm[part_id[j]] += 1
+        plus[i] = (cp % 2) == 1
+        minus[i] = (cm % 2) == 1
+    return plus, minus
+
+
+def _overlay_by_predicate(groups: list, combine) -> list[list[np.ndarray]]:
+    """Shared overlay core (r05 exact rewrite): split all input edges
+    at pairwise intersections, SNAP every sub-segment endpoint to the
+    arrangement grid, classify each snapped sub-segment's two one-sided
+    limits EXACTLY against the snapped split rings
+    (_eps_side_parity — symbolic-perturbation ray casting; no finite
+    probe offset exists anywhere in this path anymore), keep
+    sub-segments whose sides disagree under `combine` (a per-group
+    membership combiner, e.g. residual = in parent and in no child),
+    and chain them into hole-grouped rings.
+
+    Why classification runs against the SNAPPED SPLIT rings, not the
+    original rings: the arrangement's split points are canonical floats
+    and its vertices are snapped, so a sub-segment midpoint lies
+    EXACTLY on its own snapped carrier (c0 == 0, the eps term gives the
+    true one-sided limit), foreign edges meet it only at endpoints
+    (canonical split invariant), and near-duplicate carriers within one
+    snap quantum collapse to EXACT collinearity — the merge semantics
+    the old collinearity-excluded probes implemented approximately.
+    Probing the ORIGINAL rings from a snapped midpoint would ask for
+    membership at a point displaced up to one quantum off the carrier —
+    whichever side quantization drifted — which is exactly the failure
+    the finite clearance-bounded probes existed to straddle. The
+    snapped geometry differs from the input by <= one snap quantum
+    (1e-9), the same tolerance every consumer of this module already
+    accepts."""
+    segs_list: list[list[float]] = []
+    seg_ring: list[int] = []
+    ring_part: list[int] = []   # ring uid -> flat part index
+    part_gid: list[int] = []    # flat part index -> group index
+    for g, polys in enumerate(groups):
         for rings in polys:
-            cnt = 0
+            part_gid.append(g)
+            pid = len(part_gid) - 1
             for ring in rings:
-                for k in range(len(ring) - 1):
-                    y1 = float(ring[k][1])
-                    y2 = float(ring[k + 1][1])
-                    if (y1 > py) == (y2 > py):
-                        continue
-                    x1 = Fraction(float(ring[k][0]))
-                    x2 = Fraction(float(ring[k + 1][0]))
-                    # crossing iff px < x1 + (py-y1)(x2-x1)/(y2-y1);
-                    # cross-multiplied by (y2-y1) with sign handling
-                    dy = Fraction(y2) - Fraction(y1)
-                    lhs = (px - x1) * dy
-                    rhs = (py - Fraction(y1)) * (x2 - x1)
-                    if (lhs < rhs) if dy > 0 else (lhs > rhs):
-                        cnt += 1
-            if cnt % 2 == 1:
-                out[i] = True
-                break
-    return out
-
-
-def _exact_side_membership(ab: np.ndarray, idx: np.ndarray,
-                           dmin: np.ndarray, region_pred_exact):
-    """Exact one-sided region membership for floor-clamped arranged
-    sub-segments: probe at EXACT rational points mid +- h*(-dy, dx)
-    with h = 0.49*dmin/len — offset distance 0.49*clearance, strictly
-    inside the clearance disk, so membership equals the true one-sided
-    limit with no floating-point probe to go wrong (VERDICT r04 item 7
-    for the thin-band class the relative floor cannot reach).
-    Returns (plus_inside, minus_inside) boolean lists over idx."""
-    from fractions import Fraction
-
-    xs_p, ys_p, xs_m, ys_m = [], [], [], []
-    for i in idx:
-        ax, ay, bx, by = (float(v) for v in ab[i])
-        mx = (Fraction(ax) + Fraction(bx)) / 2
-        my = (Fraction(ay) + Fraction(by)) / 2
-        dx = Fraction(bx) - Fraction(ax)
-        dy = Fraction(by) - Fraction(ay)
-        ln = math.hypot(bx - ax, by - ay)
-        h = Fraction(float(0.49 * dmin[i])) / Fraction(ln)
-        xs_p.append(mx - h * dy)
-        ys_p.append(my + h * dx)
-        xs_m.append(mx + h * dy)
-        ys_m.append(my - h * dx)
-    return (region_pred_exact(xs_p, ys_p), region_pred_exact(xs_m, ys_m))
-
-
-def _overlay_by_predicate(segs: np.ndarray, region_pred,
-                          region_pred_exact=None
-                          ) -> list[list[np.ndarray]]:
-    """Shared overlay core: split all edges at pairwise intersections,
-    keep the sub-segments whose two sides disagree under region_pred
-    (vectorized: ONE predicate evaluation over every probe point), and
-    chain them into hole-grouped rings.
-
-    Sub-segments whose probe offset was floor-clamped (the scale-aware
-    floor exceeded the clearance bound — possible for representable
-    bands thinner than ~1e-12 of the coordinate magnitude, ADVICE r04)
-    are re-classified with exact rational probes when the caller
-    supplies region_pred_exact — the float probe could step straight
-    across such a band."""
+                r = np.asarray(ring, dtype=np.float64)
+                ring_part.append(pid)
+                rid = len(ring_part) - 1
+                for k in range(len(r) - 1):
+                    segs_list.append(
+                        [r[k, 0], r[k, 1], r[k + 1, 0], r[k + 1, 1]])
+                    seg_ring.append(rid)
+    if not segs_list:
+        return []
+    segs = np.asarray(segs_list, dtype=np.float64)
     subs = _split_at_intersections(segs)
+
+    def snapf(pt):
+        k = _key(pt)
+        return (k[0] * SNAP, k[1] * SNAP)
+
+    # snapped split rings (per original ring, subs arrive in path order)
+    ring_pts: list[list[tuple]] = [[] for _ in ring_part]
     uniq: dict[tuple, tuple] = {}
-    for a, b in subs:
+    for a, b, src in subs:
         ka, kb = _key(a), _key(b)
+        asn, bsn = snapf(a), snapf(b)
+        path = ring_pts[seg_ring[src]]
+        if not path:
+            path.append(asn)
+        if path[-1] != bsn:
+            path.append(bsn)
         if ka == kb:
             continue
         sk = (ka, kb) if ka < kb else (kb, ka)
         if sk not in uniq:
-            uniq[sk] = (a, b)
+            uniq[sk] = (asn, bsn)
     if not uniq:
         return []
+    parts: list[list[np.ndarray]] = [[] for _ in part_gid]
+    for rid, path in enumerate(ring_pts):
+        if len(path) < 2:
+            continue
+        if path[0] != path[-1]:
+            path.append(path[0])
+        parts[ring_part[rid]].append(np.asarray(path, dtype=np.float64))
     keys = list(uniq)
     ab = np.array([[*uniq[k][0], *uniq[k][1]] for k in keys])
-    eps, clamped, dmin = _adaptive_probe_eps(ab, return_clamped=True)
-    px, py, n = _segment_side_probes(ab, eps=eps)
-    inside = region_pred(px, py)
-    plus, minus = inside[:n].copy(), inside[n:].copy()
-    if region_pred_exact is not None and clamped.any():
-        idx = np.where(clamped & (dmin > 0))[0]
-        if len(idx):
-            ex_p, ex_m = _exact_side_membership(
-                ab, idx, dmin, region_pred_exact)
-            plus[idx] = ex_p
-            minus[idx] = ex_m
+    pplus, pminus = _eps_side_parity(ab, parts)
+    gid = np.asarray(part_gid)
+    n_groups = len(groups)
+    gp = np.zeros((len(keys), n_groups), dtype=bool)
+    gm = np.zeros((len(keys), n_groups), dtype=bool)
+    for g in range(n_groups):
+        cols = gid == g
+        gp[:, g] = pplus[:, cols].any(axis=1)
+        gm[:, g] = pminus[:, cols].any(axis=1)
+    plus = np.array([combine(gp[i]) for i in range(len(keys))])
+    minus = np.array([combine(gm[i]) for i in range(len(keys))])
     boundary = [k for k, keep in zip(keys, plus != minus) if keep]
     if not boundary:
         return []

@@ -515,7 +515,7 @@ def test_residual_overlay_annular_hole():
 def test_residual_overlay_thin_sliver_exact():
     """VERDICT r03 item 6: a residual sliver FAR thinner than the old
     fixed probe offset (len*1e-5) must classify exactly. The probe
-    offsets are now clearance-bounded (_adaptive_probe_eps), so no
+    offsets are now clearance-bounded (now the exact one-sided parity), so no
     probe can cross another boundary — the old fixed offsets probed
     straight across this 1e-6-thick sliver and returned an empty
     residual."""
@@ -853,7 +853,10 @@ def test_overlay_random_fuzz_vs_point_oracle():
         want_r = in_parent & ~in_any
         assert (got_r != want_r).mean() < 0.005, f"residual seed={seed}"
 
-    for seed in [119, 170, 338, *range(24)]:
+    # 1978: near-vertex crossing cluster producing a ~5e-5 micro-sub
+    # whose own-carrier c0 is pure rounding noise — caught the r05
+    # exact-filter's missing absolute error term (fuzz, 3000 seeds)
+    for seed in [119, 170, 338, 1978, *range(24)]:
         check(seed)
 
 
