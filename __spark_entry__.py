@@ -267,7 +267,12 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): first-seen
     content dedup over a real availableNow stream with a fresh
     checkpoint; returns the deduped rows (stateful plumbing + cross-run
-    state retention tested in tests/test_streaming.py)."""
+    state retention tested in tests/test_streaming.py).
+
+    DuckDB-oracled since r05 (pipeline.streaming_dedup_oracle_sql):
+    the input is written as ONE file so the whole table arrives in one
+    availableNow batch and the stream's within-batch first rule
+    (min (warc_ts, url)) is the global rule the SQL re-derives."""
     import os
     import shutil
     import tempfile
@@ -281,7 +286,7 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages_dir = os.path.join(wd, "in")
     pages = pages_from_documents(spark, sf_dir).select(
         "url", "warc_ts", "text")
-    pages.write.mode("overwrite").parquet(pages_dir)
+    pages.coalesce(1).write.mode("overwrite").parquet(pages_dir)
     schema = spark.read.parquet(pages_dir).schema
     streaming.run_dedup_stream_once(
         pages_dir, os.path.join(wd, "out"), os.path.join(wd, "ckpt"),
@@ -575,6 +580,7 @@ _VERIFY_FIRST = [
     "embedding_cosine_dups_lsh",  # NEW: LSH scale path vs brute oracle
     "cell_tile_stats",        # NEW DuckDB oracle (SQL morton cell ids)
     "streaming_tile_counts",  # NEW oracle + real availableNow stream run
+    "streaming_dedup",        # NEW oracle: single-batch first-seen SQL
     "knn_cellring",           # NEW DuckDB haversine brute-force oracle
     "byte_identity_audit",    # NEW oracle: DuckDB re-derives the audit
     "problems_routing",       # NEW oracle: SQL validity re-derivation
@@ -607,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
                                     knn_cellring_oracle_sql,
                                     pip_assignment_oracle_sql,
                                     pip_tile_rollup_oracle_sql,
+                                    streaming_dedup_oracle_sql,
                                     streaming_tile_counts_oracle_sql)
 
     out = {
@@ -619,4 +626,5 @@ def oracle_sql() -> dict[str, str]:
     out["knn_cellring"] = knn_cellring_oracle_sql()
     out["byte_identity_audit"] = byte_identity_audit_oracle_sql()
     out["problems_routing"] = problems_routing_oracle_sql()
+    out["streaming_dedup"] = streaming_dedup_oracle_sql()
     return out

@@ -493,22 +493,16 @@ SELECT osm_id, name, reason, lon, lat FROM (
 """
 
 
-def byte_identity_audit_oracle_sql() -> str:
-    """T5 (byte-identity extraction) under the oracle gate (promotes
-    the r04 rows-only entry): DuckDB independently re-derives every
-    page's final text (documents.text + the md5-draw geotag printed
-    with the same %.5f grid-exact formatting), rebuilds the html
-    around it with the same fixed byte markers, re-extracts with its
-    OWN marker slice, and counts mismatches. Both engines must report
-    (n_pages=N, n_violations=0): a Spark ingest-kernel bug that broke
-    byte identity would make the Spark row nonzero while the oracle
-    stays zero — a real cross-engine check, not an echo."""
+def _sql_pages_text_ctes() -> str:
+    """pages_from_documents' final per-page text, re-derived in DuckDB
+    (documents.text + the md5-draw geotag printed with the same %.5f
+    grid-exact formatting) — the shared front half of every oracle
+    that consumes page TEXT rather than coordinates: yields relation
+    `t(url, warc_s, text2)`."""
     from posmspark import synth
 
     hot_lon_e5 = int(round(synth.HOT_LON * 100000))
     hot_lat_e5 = int(round(synth.HOT_LAT * 100000))
-    pre = synth.HTML_PRE.decode("ascii")
-    post = synth.HTML_POST.decode("ascii")
 
     def draw_sql(salt):
         return synth.md5_draw_sql("url", salt, 1000000)
@@ -516,17 +510,18 @@ def byte_identity_audit_oracle_sql() -> str:
     return f"""
 WITH u AS (
   SELECT 'https://crawl.example/' || source || '/' ||
-         CAST(doc_id AS VARCHAR) AS url, text
+         CAST(doc_id AS VARCHAR) AS url, text, doc_id
   FROM documents),
 k AS (
-  SELECT url, text,
+  SELECT url, text, doc_id,
     {draw_sql("p1|")} AS k1,
     {draw_sql("p2|")} AS k2,
     {draw_sql("p3|")} AS k3,
     {draw_sql("p4|")} AS k4
   FROM u),
 t AS (
-  SELECT url, text || CASE WHEN k1 < 700000 THEN ' geo: ' ||
+  SELECT url, 1735689600 + doc_id * 137 AS warc_s,
+    text || CASE WHEN k1 < 700000 THEN ' geo: ' ||
     printf('%.5f',
       CAST(CASE WHEN k2 < 100000 THEN {hot_lat_e5} + k4 % 2001 - 1000
            ELSE k4 * 2 - 1000000 END AS DOUBLE)
@@ -536,7 +531,24 @@ t AS (
            ELSE k3 * 5 END AS DOUBLE)
       / CAST(100000 AS DOUBLE))
     ELSE '' END AS text2
-  FROM k),
+  FROM k)"""
+
+
+def byte_identity_audit_oracle_sql() -> str:
+    """T5 (byte-identity extraction) under the oracle gate (promotes
+    the r04 rows-only entry): DuckDB independently re-derives every
+    page's final text (_sql_pages_text_ctes), rebuilds the html
+    around it with the same fixed byte markers, re-extracts with its
+    OWN marker slice, and counts mismatches. Both engines must report
+    (n_pages=N, n_violations=0): a Spark ingest-kernel bug that broke
+    byte identity would make the Spark row nonzero while the oracle
+    stays zero — a real cross-engine check, not an echo."""
+    from posmspark import synth
+
+    pre = synth.HTML_PRE.decode("ascii")
+    post = synth.HTML_POST.decode("ascii")
+
+    return _sql_pages_text_ctes() + f""",
 h AS (
   SELECT text2, '{pre}' || text2 || '{post}' AS html FROM t),
 e AS (
@@ -548,6 +560,29 @@ SELECT COUNT(*) AS n_pages,
        CAST(SUM(CASE WHEN extracted <> text2 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_violations
 FROM e
+"""
+
+
+def streaming_dedup_oracle_sql() -> str:
+    """The streaming first-seen content dedup under the oracle gate
+    (promotes the r04 rows-only entry): DuckDB re-derives every page's
+    final text (_sql_pages_text_ctes), hashes it with its OWN sha256,
+    and picks min (warc_ts, url) per hash. That IS the stream's answer
+    because the registry query pins a SINGLE-FILE input: availableNow
+    with no maxFilesPerTrigger drains one file in one batch, so
+    dedup_stream's within-batch first rule (min (warc_ts, url),
+    posmspark/streaming.py) becomes the global rule. The real stream
+    (checkpoint + applyInPandasWithState state store) must reproduce
+    this batch SQL hash-exactly; multi-batch arrival-order semantics
+    are exercised separately in tests/test_streaming.py."""
+    return _sql_pages_text_ctes() + """,
+r AS (
+  SELECT sha256(text2) AS content_hash, url,
+         row_number() OVER (PARTITION BY text2
+                            ORDER BY warc_s, url) AS rn
+  FROM t)
+SELECT content_hash, url FROM r WHERE rn = 1
+ORDER BY content_hash, url
 """
 
 

@@ -60,6 +60,7 @@ SPATIAL_ORACLE_NAMES = [
     "cell_tile_stats",
     "knn_cellring",
     "streaming_tile_counts",
+    "streaming_dedup",
     "byte_identity_audit",
     "problems_routing",
 ]
