@@ -360,8 +360,17 @@ def _q_poly_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13: partition-level incremental recompute (osmdata.py:87-134
     analog). Runs a per-lang stage twice — full build, then a rerun
-    after mutating one document — and surfaces the manifest: exactly
-    the mutated doc's lang partition shows recomputed_last_run=true."""
+    after mutating one document — and surfaces the manifest joined to
+    the final stage OUTPUT: exactly the mutated doc's lang partition
+    shows recomputed_last_run=true, and the rerun's partition-selective
+    rewrite must equal a full recompute of the mutated input.
+
+    DuckDB-oracled since r05: the oracle re-derives the recompute
+    decision (which lang partition doc 7 lives in) and the post-rerun
+    aggregates from the documents table, so a stale-partition or
+    wrong-subset-rebuild bug shows up as a VALUES mismatch. The
+    xxhash64 input fingerprints are engine-internal and stay pinned by
+    tests/test_lineage.py (kill-and-resume, mutation sequences)."""
     import os
     import shutil
     import tempfile
@@ -388,7 +397,15 @@ def _q_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lineage.run_stage_incremental(spark, "docs_by_lang", mutated, wd, build,
                                   "lang")
-    return lineage.manifest_df(spark, wd).orderBy("partition_key")
+    man = lineage.manifest_df(spark, wd).select(
+        "partition_key", "rows", "recomputed_last_run")
+    out = spark.read.parquet(wd).select("lang", "n_docs", "sum_chars")
+    return (
+        man.join(out, man.partition_key == out.lang)
+        .select("partition_key", "rows", "n_docs", "sum_chars",
+                "recomputed_last_run")
+        .orderBy("partition_key")
+    )
 
 
 def _q_dual_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,7 +503,11 @@ def _q_tile_clip_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_table_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot table format (Iceberg-style): overwrite -> append ->
     overwrite-partitions over the documents table, then the snapshot
-    history with row counts (footer metadata, no scan)."""
+    history with row counts (footer metadata, no scan).
+
+    DuckDB-oracled since r05 (tablefmt.table_snapshots_oracle_sql):
+    the oracle re-derives each commit's expected row multiset size and
+    the sequential-from-1 snapshot ids from the documents table."""
     import os
     import shutil
     import tempfile
@@ -581,6 +602,8 @@ _VERIFY_FIRST = [
     "cell_tile_stats",        # NEW DuckDB oracle (SQL morton cell ids)
     "streaming_tile_counts",  # NEW oracle + real availableNow stream run
     "streaming_dedup",        # NEW oracle: single-batch first-seen SQL
+    "incremental_manifest",   # NEW oracle: recompute decision + output
+    "table_snapshots",        # NEW oracle: per-commit row multiset sizes
     "knn_cellring",           # NEW DuckDB haversine brute-force oracle
     "byte_identity_audit",    # NEW oracle: DuckDB re-derives the audit
     "problems_routing",       # NEW oracle: SQL validity re-derivation
@@ -627,4 +650,9 @@ def oracle_sql() -> dict[str, str]:
     out["byte_identity_audit"] = byte_identity_audit_oracle_sql()
     out["problems_routing"] = problems_routing_oracle_sql()
     out["streaming_dedup"] = streaming_dedup_oracle_sql()
+    from posmspark.lineage import incremental_manifest_oracle_sql
+    from posmspark.tablefmt import table_snapshots_oracle_sql
+
+    out["incremental_manifest"] = incremental_manifest_oracle_sql()
+    out["table_snapshots"] = table_snapshots_oracle_sql()
     return out

@@ -326,3 +326,24 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
         "partition_key string, rows long, recomputed_last_run boolean,"
         " input_fingerprint string",
     )
+
+
+def incremental_manifest_oracle_sql() -> str:
+    """The incremental_manifest registry query under the oracle gate
+    (promotes the r04 rows-only entry): DuckDB re-derives the recompute
+    DECISION (doc 7's lang is the only partition whose input changed
+    between the two runs) and the post-rerun stage output (per-lang
+    aggregates over the MUTATED input) straight from the documents
+    table. A stale-partition bug (rerun skips the changed key) or a
+    wrong-subset rebuild (recomputes a partition from a filtered input)
+    diverges from this SQL. The xxhash64 input fingerprints are
+    engine-internal and stay pinned by tests/test_lineage.py."""
+    return """
+SELECT lang AS partition_key,
+       CAST(1 AS BIGINT) AS rows,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = 7 THEN n_chars + 1 ELSE n_chars END)
+            AS BIGINT) AS sum_chars,
+       bool_or(doc_id = 7) AS recomputed_last_run
+FROM documents GROUP BY lang
+"""

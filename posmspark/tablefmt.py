@@ -283,3 +283,25 @@ def lineage_df(spark: SparkSession, table_dir: str,
     ]
     return spark.createDataFrame(
         rows, "path string, partition string, rows long")
+
+
+def table_snapshots_oracle_sql() -> str:
+    """The table_snapshots registry query under the oracle gate
+    (promotes the r04 rows-only entry): DuckDB re-derives each
+    snapshot's expected row multiset size from the documents table —
+    overwrite = |docs|, append adds the doc_id<10 slice, and
+    overwrite-partitions of lang='de' replaces that partition's rows
+    (original + appended de docs) with the original de slice, a net
+    removal of the appended de rows. Sequential ids from 1 are part of
+    the check (commit-after-rollback id reuse would shift them)."""
+    return """
+WITH c AS (SELECT COUNT(*) AS n FROM documents),
+a AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 10),
+dea AS (SELECT COUNT(*) AS n FROM documents
+        WHERE doc_id < 10 AND lang = 'de')
+SELECT 1 AS snapshot_id, 'overwrite' AS operation, c.n AS n_rows FROM c
+UNION ALL
+SELECT 2, 'append', c.n + a.n FROM c, a
+UNION ALL
+SELECT 3, 'overwrite_partitions', c.n + a.n - dea.n FROM c, a, dea
+"""

@@ -63,6 +63,8 @@ SPATIAL_ORACLE_NAMES = [
     "streaming_dedup",
     "byte_identity_audit",
     "problems_routing",
+    "incremental_manifest",
+    "table_snapshots",
 ]
 
 
