@@ -128,6 +128,9 @@ def _q_byte_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production 64-bit FNV-1a SimHash near-dup pairs. DuckDB-oracled
+    since r05: dedup.simhash_near_pairs_oracle_sql re-derives the FNV
+    fold, bit votes, blocks, bucket cap, and Hamming verify in SQL."""
     from posmspark import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -598,6 +601,7 @@ _VERIFY_FIRST = [
     "multimodal_features",
     "poly_export",
     # --- changed in round 5
+    "simhash_near_pairs",     # NEW oracle: FNV-1a SimHash re-derived in SQL
     "embedding_cosine_dups_lsh",  # NEW: LSH scale path vs brute oracle
     "cell_tile_stats",        # NEW DuckDB oracle (SQL morton cell ids)
     "streaming_tile_counts",  # NEW oracle + real availableNow stream run
@@ -655,4 +659,8 @@ def oracle_sql() -> dict[str, str]:
 
     out["incremental_manifest"] = incremental_manifest_oracle_sql()
     out["table_snapshots"] = table_snapshots_oracle_sql()
+    from posmspark.dedup import simhash_near_pairs_oracle_sql
+
+    out["simhash_near_pairs"] = simhash_near_pairs_oracle_sql(
+        max_hamming=3, n_blocks=4, max_bucket_size=50)
     return out

@@ -431,3 +431,93 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_pairs_oracle_sql(max_hamming: int = 3, n_blocks: int = 4,
+                                  max_bucket_size: int = 50) -> str:
+    """DuckDB re-derivation of the PRODUCTION simhash near-pair query
+    (fingerprints included), promoting `simhash_near_pairs` from a
+    rows-only driver row to a hash-checked oracle (VERDICT r04: reuse
+    the proven portable-oracle machinery on more rows-only entries).
+
+    Unlike the `simhash_pigeonhole_pairs` twin — which uses a 32-bit
+    md5-derived fingerprint purpose-built for SQL — this oracle
+    re-implements the production 64-bit FNV-1a SimHash itself:
+
+    - FNV-1a is folded byte-by-byte in SQL via list_reduce over the
+      token's UTF-8 bytes (hex(encode(tok)) -> per-byte values), with
+      the 128-bit HUGEINT type holding the h*prime product exactly and
+      `% 2^64` emulating the kernel's uint64 wraparound. Verified
+      bit-identical to posmspark.dedup._fnv1a_scalar on every doc at
+      sf0.001/sf0.01 (tests/test_oracle.py).
+    - Each of the 64 fingerprint bits is the sign of the +-1 vote sum
+      over token OCCURRENCES (not distinct tokens — `_simhash_udf`
+      dedups only for hashing speed, contributions are per occurrence).
+    - The unsigned bit-sum is reinterpreted as Spark's signed int64 by
+      subtracting 2^64 above 2^63 (the udf's .astype(int64) view).
+
+    Blocks/cap/join mirror simhash_near_pairs(): n_blocks 16-bit block
+    values from the UNSIGNED fingerprint (Spark's arithmetic
+    shiftright+mask reads the same bit window), k-smallest-ids bucket
+    cap (cap_k_smallest), a.id < b.id candidate join, bit_count(xor)
+    verify on the signed fingerprints.
+    """
+    block_bits = 64 // n_blocks
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dtoks AS (SELECT DISTINCT tok FROM occ),
+hx0 AS (SELECT tok, hex(encode(tok)) AS hx FROM dtoks),
+hashed AS (
+  SELECT tok,
+    list_reduce(
+      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        list_transform(range(octet_length(encode(tok))),
+          i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                    * 16
+               + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+               AS HUGEINT))),
+      (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                     % CAST('18446744073709551616' AS HUGEINT)
+    ) AS h
+  FROM hx0),
+bits AS (
+  SELECT o.doc_id, bb.b,
+         CASE WHEN (CAST(h.h AS UBIGINT) >> bb.b) & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM occ o JOIN hashed h USING (tok)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb),
+score AS (SELECT doc_id, b, sum(s) AS score FROM bits GROUP BY doc_id, b),
+fpu AS (
+  SELECT doc_id,
+         sum(CASE WHEN score > 0
+                  THEN CAST(1 AS HUGEINT) * (CAST(1 AS UBIGINT) << b)
+                  ELSE CAST(0 AS HUGEINT) END) AS fp_u
+  FROM score GROUP BY doc_id),
+fp AS (
+  SELECT doc_id, fp_u,
+         CAST(CASE WHEN fp_u >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN fp_u - CAST('18446744073709551616' AS HUGEINT)
+                   ELSE fp_u END AS BIGINT) AS sh
+  FROM fpu),
+blocks_all AS (
+  SELECT doc_id, sh,
+         bb.blk,
+         CAST((CAST(fp_u AS UBIGINT) >> (bb.blk * {block_bits}))
+              & {(1 << block_bits) - 1} AS BIGINT) AS val
+  FROM fp CROSS JOIN (
+    SELECT unnest(generate_series(0, {n_blocks - 1})) AS blk) bb),
+blocks AS (
+  SELECT doc_id, sh, blk, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY blk, val
+                                 ORDER BY doc_id) AS rn
+    FROM blocks_all) WHERE rn <= {max_bucket_size}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""

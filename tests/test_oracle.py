@@ -50,10 +50,11 @@ def _kind(dtype):
     return "other"
 
 
-#: Spatial/streaming registry entries whose oracle SQL lives in
-#: pipeline.py (not relops.QUERIES) — mirror the driver gate for them
-#: too, so a drift in the portable-draw/cell/haversine SQL twins is
-#: caught in-suite before the driver runs (VERDICT r04 item 1).
+#: Registry entries whose oracle SQL lives outside relops.QUERIES
+#: (pipeline.py / lineage.py / tablefmt.py / dedup.py) — mirror the
+#: driver gate for them too, so a drift in the portable-draw/cell/
+#: haversine/FNV SQL twins is caught in-suite before the driver runs
+#: (VERDICT r04 item 1).
 SPATIAL_ORACLE_NAMES = [
     "pip_assignment",
     "pip_tile_rollup",
@@ -65,6 +66,7 @@ SPATIAL_ORACLE_NAMES = [
     "problems_routing",
     "incremental_manifest",
     "table_snapshots",
+    "simhash_near_pairs",
 ]
 
 
