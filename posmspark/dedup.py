@@ -494,12 +494,17 @@ fpu AS (
                   THEN CAST(1 AS HUGEINT) * (CAST(1 AS UBIGINT) << b)
                   ELSE CAST(0 AS HUGEINT) END) AS fp_u
   FROM score GROUP BY doc_id),
+-- NULL-text docs produce no occ rows; the Spark kernel fingerprints
+-- them as 0 (out[lens == 0] = 0), so restore them with fp_u = 0
+fpa AS (
+  SELECT d.doc_id, coalesce(f.fp_u, CAST(0 AS HUGEINT)) AS fp_u
+  FROM documents d LEFT JOIN fpu f USING (doc_id)),
 fp AS (
   SELECT doc_id, fp_u,
          CAST(CASE WHEN fp_u >= CAST('9223372036854775808' AS HUGEINT)
                    THEN fp_u - CAST('18446744073709551616' AS HUGEINT)
                    ELSE fp_u END AS BIGINT) AS sh
-  FROM fpu),
+  FROM fpa),
 blocks_all AS (
   SELECT doc_id, sh,
          bb.blk,

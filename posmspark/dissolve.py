@@ -199,7 +199,7 @@ def dissolve_union(polys_by_id: dict[str, list[list[np.ndarray]]]
     polys_list = list(polys_by_id.values())
     segs = _collect_segments(polys_list)
     if not _disjoint_interiors(polys_list, segs):
-        return union_overlay(polys_list, segs=segs)
+        return union_overlay(polys_list)
     seg_count, _, _ = _mesh_segments(polys_by_id)
     boundary = [sk for sk, c in seg_count.items() if c % 2 == 1]
     return _classify_rings(_chain_segments(boundary))
@@ -313,7 +313,7 @@ def residual_classify(parent: list[list[np.ndarray]],
                 # lies outside it — not a containment mesh
                 nonconformal = True
     if nonconformal:
-        residual = residual_overlay(parent, children, segs=all_segs)
+        residual = residual_overlay(parent, children)
         if not residual:
             return "complete", []
         return "filler", residual
@@ -558,8 +558,7 @@ def _split_at_intersections(segs: np.ndarray) -> list:
 
 
 def residual_overlay(parent: list[list[np.ndarray]],
-                     children: dict[str, list[list[np.ndarray]]],
-                     segs: np.ndarray | None = None
+                     children: dict[str, list[list[np.ndarray]]]
                      ) -> list[list[np.ndarray]]:
     """General ST_Difference(parent, ST_Union(children)) — NO
     conformality assumption (the reference's general
@@ -578,15 +577,12 @@ def residual_overlay(parent: list[list[np.ndarray]],
     residual_classify.
     """
     child_list = list(children.values())
-    del segs  # r05: the overlay rebuilds segments with ring provenance
-
     return _overlay_by_predicate(
         [parent] + child_list,
         lambda m: bool(m[0]) and not m[1:].any())
 
 
-def union_overlay(polys_list: list[list[list[np.ndarray]]],
-                  segs: np.ndarray | None = None
+def union_overlay(polys_list: list[list[list[np.ndarray]]]
                   ) -> list[list[np.ndarray]]:
     """General ST_Union of possibly-OVERLAPPING multipolygons (G11's
     general union, proc_functions.sql:291): the same arrangement +
@@ -594,8 +590,6 @@ def union_overlay(polys_list: list[list[list[np.ndarray]]],
     predicate 'inside any input polygon'. Conformal meshes should keep
     using the exact cancellation path (dissolve_union auto-dispatches).
     """
-    del segs  # r05: the overlay rebuilds segments with ring provenance
-
     return _overlay_by_predicate(list(polys_list),
                                  lambda m: bool(m.any()))
 
@@ -644,12 +638,56 @@ def _eps_side_parity(ab: np.ndarray, parts: list):
     ex1 = np.concatenate(ex1); ey1 = np.concatenate(ey1)
     ex2 = np.concatenate(ex2); ey2 = np.concatenate(ey2)
     part_id = np.concatenate(part_id)
-    dx = ex2 - ex1
-    dy = ey2 - ey1
     n_parts = len(parts)
     S = len(ab)
     plus = np.zeros((S, n_parts), dtype=bool)
     minus = np.zeros((S, n_parts), dtype=bool)
+
+    # HORIZONTAL edges never cross the probe ray, not even symbolically:
+    # y1 == y2 makes gt(y1) == gt(y2) at every eps, so exact_cross is
+    # identically False. Drop them up front — on grid-aligned admin
+    # meshes they are ~half the edges AND the ones whose vertex y
+    # exactly equals a midpoint my (the amb1 Fraction hot path).
+    keep = ey1 != ey2
+    ex1 = ex1[keep]; ey1 = ey1[keep]
+    ex2 = ex2[keep]; ey2 = ey2[keep]
+    part_id = part_id[keep]
+    dx = ex2 - ex1
+    dy = ey2 - ey1
+    E = len(ex1)
+    if E == 0:
+        return plus, minus
+
+    # y-interval bucket index (review r05: the dense per-segment O(E)
+    # pass replaced the deleted probe machinery's pruning — restore a
+    # prune). An edge can affect segment i's parity only if its
+    # y-span, padded by the amb1 relative band, contains my; bucket
+    # edges by padded span so each segment gathers one bucket instead
+    # of scanning all E. Candidate work is then O(E/B) typical, and
+    # correctness never depends on the prune: every gathered candidate
+    # still goes through the identical certain/ambiguous/exact logic.
+    eylo = np.minimum(ey1, ey2)
+    eyhi = np.maximum(ey1, ey2)
+    _pad = 2e-14 * np.maximum(np.maximum(np.abs(ey1), np.abs(ey2)), 1.0)
+    eylo = eylo - _pad
+    eyhi = eyhi + _pad
+    ymin = float(eylo.min())
+    ymax = float(eyhi.max())
+    B = int(min(4096, max(1, E // 8)))
+    bw = (ymax - ymin) / B
+    if bw <= 0.0:
+        B, bw = 1, 1.0
+    b0 = np.clip(((eylo - ymin) / bw).astype(np.int64), 0, B - 1)
+    b1 = np.clip(((eyhi - ymin) / bw).astype(np.int64), 0, B - 1)
+    counts = b1 - b0 + 1
+    eidx = np.repeat(np.arange(E, dtype=np.int64), counts)
+    offs = (np.arange(len(eidx), dtype=np.int64)
+            - np.repeat(counts.cumsum() - counts, counts))
+    bids = np.repeat(b0, counts) + offs
+    order = np.argsort(bids, kind="stable")
+    eidx = eidx[order]
+    bstart = np.searchsorted(bids[order], np.arange(B + 1))
+    exmax = np.maximum(ex1, ex2)
 
     #: conservative error bands (anything inside goes exact). REL1
     #: covers one subtraction + the midpoint rounding (~2 ulp) with
@@ -664,63 +702,105 @@ def _eps_side_parity(ab: np.ndarray, parts: list):
     REL2 = 1e-14
     ABS2 = 1e-14  # x (|dx|+|dy|) * max(|mx|, |my|, 1)
 
-    def exact_cross(mxF, myF, rxF, ryF, j, s):
-        y1 = Fraction(float(ey1[j])); y2 = Fraction(float(ey2[j]))
-        srx = s * rxF
-
-        def gt(v):  # v > Py = My + eps*s*rx, lexicographic in eps
-            if v != myF:
-                return v > myF
-            return srx < 0
-
-        if gt(y1) == gt(y2):
-            return False
+    def exact_cross_both(mxF, myF, rxF, ryF, j, ycache):
+        """Crossing of edge j for BOTH probe sides (s=+1, s=-1) in one
+        pass: the Fraction conversions, the y tie-break decisions
+        (cached per distinct float y — grid meshes repeat vertex ys
+        heavily), and c0 are side-independent; only the eps tie-break
+        signs differ (c1 flips with s)."""
+        y1f = float(ey1[j]); y2f = float(ey2[j])
+        r1 = ycache.get(y1f)
+        if r1 is None:
+            # v > Py = My + eps*s*rx, lexicographic in eps
+            y1F = Fraction(y1f)
+            if y1F != myF:
+                g = y1F > myF
+                r1 = (g, g)
+            else:
+                r1 = (rxF < 0, rxF > 0)
+            ycache[y1f] = r1
+        r2 = ycache.get(y2f)
+        if r2 is None:
+            y2F = Fraction(y2f)
+            if y2F != myF:
+                g = y2F > myF
+                r2 = (g, g)
+            else:
+                r2 = (rxF < 0, rxF > 0)
+            ycache[y2f] = r2
+        cp = r1[0] != r2[0]
+        cm = r1[1] != r2[1]
+        if not (cp or cm):
+            return False, False
         x1 = Fraction(float(ex1[j]))
         dxF = Fraction(float(ex2[j])) - x1
-        dyF = y2 - y1
-        c0 = (myF - y1) * dxF - (mxF - x1) * dyF
+        y1F = Fraction(y1f)
+        dyF = Fraction(y2f) - y1F
+        c0 = (myF - y1F) * dxF - (mxF - x1) * dyF
         if c0 != 0:
-            sgn = 1 if c0 > 0 else -1
+            sgn_p = sgn_m = 1 if c0 > 0 else -1
         else:
-            c1 = s * (rxF * dxF + ryF * dyF)
+            c1 = rxF * dxF + ryF * dyF  # the s=+1 eps coefficient
             if c1 == 0:
-                return False  # P exactly on the edge's line at every eps
-            sgn = 1 if c1 > 0 else -1
-        return (sgn > 0) == (dyF > 0)
+                return False, False  # P on the edge's line at every eps
+            sgn_p = 1 if c1 > 0 else -1
+            sgn_m = -sgn_p
+        dy_pos = dyF > 0
+        return (cp and ((sgn_p > 0) == dy_pos),
+                cm and ((sgn_m > 0) == dy_pos))
 
     for i in range(S):
         axv, ayv, bxv, byv = (float(v) for v in ab[i])
         mx = (axv + bxv) / 2.0
         my = (ayv + byv) / 2.0
-        a1 = ey1 - my
-        a2 = ey2 - my
+        bi = int((my - ymin) / bw)
+        if bi < 0 or bi >= B:
+            # my outside every padded edge span: no edge can straddle
+            # it, so every crossing count is 0 (parity False).
+            continue
+        cand = eidx[bstart[bi]:bstart[bi + 1]]
+        # the +x ray can only meet edges whose x-span reaches mx: with
+        # a y-straddle, x_int lies inside the edge's x-span, and the
+        # symbolic eps offset is infinitesimal — it can never overcome
+        # a finite mx - exmax gap (band is pure float-rounding margin).
+        cand = cand[exmax[cand] >= mx - 1e-12 * max(abs(mx), 1.0)]
+        if len(cand) == 0:
+            continue
+        cy1 = ey1[cand]; cy2 = ey2[cand]
+        cx1 = ex1[cand]
+        cdx = dx[cand]; cdy = dy[cand]
+        a1 = cy1 - my
+        a2 = cy2 - my
         amb1 = (
-            (np.abs(a1) <= REL1 * np.maximum(np.abs(ey1), abs(my)))
-            | (np.abs(a2) <= REL1 * np.maximum(np.abs(ey2), abs(my)))
+            (np.abs(a1) <= REL1 * np.maximum(np.abs(cy1), abs(my)))
+            | (np.abs(a2) <= REL1 * np.maximum(np.abs(cy2), abs(my)))
         )
         cond1 = (a1 > 0) != (a2 > 0)
-        t1 = (my - ey1) * dx
-        t2 = (mx - ex1) * dy
+        t1 = (my - cy1) * cdx
+        t2 = (mx - cx1) * cdy
         c0 = t1 - t2
         amb2 = np.abs(c0) <= (
             REL2 * (np.abs(t1) + np.abs(t2))
-            + ABS2 * (np.abs(dx) + np.abs(dy)) * max(abs(mx), abs(my), 1.0)
+            + ABS2 * (np.abs(cdx) + np.abs(cdy)) * max(abs(mx), abs(my), 1.0)
         )
-        certain_cross = cond1 & ~amb1 & ~amb2 & ((c0 > 0) == (dy > 0))
+        certain_cross = cond1 & ~amb1 & ~amb2 & ((c0 > 0) == (cdy > 0))
         amb = (amb1 | (cond1 & amb2)) & ~certain_cross
-        counts = np.bincount(part_id[certain_cross], minlength=n_parts)
+        counts = np.bincount(part_id[cand[certain_cross]],
+                             minlength=n_parts)
         cp = counts.copy()
         cm = counts.copy()
-        aj = np.where(amb)[0]
+        aj = cand[amb]
         if len(aj):
             mxF = (Fraction(axv) + Fraction(bxv)) / 2
             myF = (Fraction(ayv) + Fraction(byv)) / 2
             rxF = Fraction(bxv) - Fraction(axv)
             ryF = Fraction(byv) - Fraction(ayv)
+            ycache: dict = {}
             for j in aj:
-                if exact_cross(mxF, myF, rxF, ryF, j, 1):
+                xp, xm = exact_cross_both(mxF, myF, rxF, ryF, j, ycache)
+                if xp:
                     cp[part_id[j]] += 1
-                if exact_cross(mxF, myF, rxF, ryF, j, -1):
+                if xm:
                     cm[part_id[j]] += 1
         plus[i] = (cp % 2) == 1
         minus[i] = (cm % 2) == 1

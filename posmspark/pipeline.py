@@ -255,6 +255,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # intersect_geom semantics (exposm/utils.py:38-48) as one SQL query.
 
 
+def _sql_str(s) -> str:
+    """SQL single-quoted string literal (quotes doubled — fixture names
+    with apostrophes must not break the VALUES clause)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def _sql_pip_edge_values(prepared) -> str:
     rows = []
     for r in prepared.levels_pdf.itertuples(index=False):
@@ -264,7 +270,7 @@ def _sql_pip_edge_values(prepared) -> str:
                     x1, y1 = float(ring[i][0]), float(ring[i][1])
                     x2, y2 = float(ring[i + 1][0]), float(ring[i + 1][1])
                     rows.append(
-                        f"  ('{r.osm_id}',{int(r.adminlevel)},"
+                        f"  ({_sql_str(r.osm_id)},{int(r.adminlevel)},"
                         f"{int(r.insert_order)},{pi},"
                         f"CAST({x1!r} AS DOUBLE),CAST({y1!r} AS DOUBLE),"
                         f"CAST({x2!r} AS DOUBLE),CAST({y2!r} AS DOUBLE))")
@@ -415,7 +421,8 @@ def problems_routing_oracle_sql() -> str:
             for ri, ring in enumerate(rings):
                 for si, (x, y) in enumerate(ring):
                     rows.append(
-                        f"  ('{r.osm_id}', '{r.name}', {pi}, {ri}, {si}, "
+                        f"  ({_sql_str(r.osm_id)}, {_sql_str(r.name)}, "
+                        f"{pi}, {ri}, {si}, "
                         f"CAST({float(x)!r} AS DOUBLE), "
                         f"CAST({float(y)!r} AS DOUBLE))")
     values = ",\n".join(rows)
@@ -629,7 +636,7 @@ def knn_cellring_oracle_sql() -> str:
     prepared = _prep(_synth.gen_boundaries_pdf(),
                      _synth.gen_admin_mapping_pdf())
     sites = ",\n".join(
-        f"  ('{oid}', CAST({float(lon)!r} AS DOUBLE), "
+        f"  ({_sql_str(oid)}, CAST({float(lon)!r} AS DOUBLE), "
         f"CAST({float(lat)!r} AS DOUBLE))"
         for oid, (lon, lat) in (
             (oid, geom.representative_point(polys))
@@ -659,7 +666,8 @@ def pip_tile_rollup_oracle_sql() -> str:
     prepared = default_prepared()
     lp = prepared.levels_pdf
     names = ",\n".join(
-        f"  ('{r.osm_id}', '{r.name_en}', '{r.iso3166}')"
+        f"  ({_sql_str(r.osm_id)}, {_sql_str(r.name_en)}, "
+        f"{_sql_str(r.iso3166)})"
         for r in lp[lp.adminlevel == 0].itertuples(index=False))
     return _sql_pip_assign_ctes() + f""",
 base AS (

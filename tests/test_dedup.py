@@ -395,3 +395,36 @@ def test_simhash_long_and_nul_tokens(spark):
 
     want = np.array([scalar_fp(toks) for toks in docs])
     assert (got == want).all()
+
+
+def test_simhash_oracle_null_text_parity(spark, tmp_path):
+    """Review r05: NULL-text docs fingerprint as 0 in the Spark kernel
+    (out[lens == 0] = 0) and pair with each other at hamming 0 — the
+    DuckDB oracle must keep them too (its occ CTE yields no rows for
+    NULL text; the fpa left join restores fp_u = 0)."""
+    import duckdb
+
+    import pandas as pd
+
+    from posmspark import dedup
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [None, None, "alpha beta gamma", None, "alpha beta gamma"],
+    })
+    pq = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(pq)
+
+    docs = spark.read.parquet(pq)
+    fps = dedup.simhash(docs)
+    got = sorted(
+        tuple(r) for r in dedup.simhash_near_pairs(
+            fps, max_hamming=3, n_blocks=4, max_bucket_size=50).collect())
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    want = sorted(con.sql(dedup.simhash_near_pairs_oracle_sql(
+        max_hamming=3, n_blocks=4, max_bucket_size=50)).fetchall())
+    assert got == want
+    # the three NULL docs must all pair at hamming 0
+    assert {(1, 2, 0), (1, 4, 0), (2, 4, 0), (3, 5, 0)} <= set(got)

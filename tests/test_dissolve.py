@@ -514,11 +514,11 @@ def test_residual_overlay_annular_hole():
 
 def test_residual_overlay_thin_sliver_exact():
     """VERDICT r03 item 6: a residual sliver FAR thinner than the old
-    fixed probe offset (len*1e-5) must classify exactly. The probe
-    offsets are now clearance-bounded (now the exact one-sided parity), so no
-    probe can cross another boundary — the old fixed offsets probed
-    straight across this 1e-6-thick sliver and returned an empty
-    residual."""
+    fixed probe offset (len*1e-5) must classify exactly. Side
+    classification is now the exact symbolic-perturbation one-sided
+    parity (r05 — no constructed probe point at all), so thickness can
+    never be probed across — the old fixed offsets probed straight
+    over this 1e-6-thick sliver and returned an empty residual."""
     from posmspark.dissolve import residual_overlay
 
     parent = _mp_rect(0, 0, 10, 1)
@@ -1131,3 +1131,46 @@ def test_bsp_area_conservation_invariant_across_magnitudes():
                 + 8 * (W + H) * 1e-9
             assert abs(kept_area + res_area - parent_area) < tol, (
                 base, scale, seed, kept_area, res_area, parent_area)
+
+
+def test_eps_side_parity_grid_mesh_pruned_path():
+    """Review r05: _eps_side_parity gained horizontal-edge exclusion +
+    y-bucket candidate pruning + the fused two-side exact evaluator.
+    Pin the semantics on the adversarial input for all three: a
+    grid-aligned mesh where every vertex y coincides exactly with the
+    midpoints of the horizontal probe segments (the old amb1/Fraction
+    hot path). For every edge of every cell, exactly ONE side must be
+    inside its owning cell, and no side may be inside any other cell.
+    """
+    from posmspark.dissolve import _eps_side_parity
+
+    parts = []
+    for gx in range(6):
+        for gy in range(6):
+            x0, y0 = float(gx), float(gy)
+            parts.append([np.array(
+                [[x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1],
+                 [x0, y0 + 1], [x0, y0]])])
+    ab, owner = [], []
+    for p, rings in enumerate(parts):
+        for ring in rings:
+            for i in range(len(ring) - 1):
+                ab.append((ring[i][0], ring[i][1],
+                           ring[i + 1][0], ring[i + 1][1]))
+                owner.append(p)
+    ab = np.asarray(ab, dtype=np.float64)
+    plus, minus = _eps_side_parity(ab, parts)
+    owner = np.asarray(owner)
+    own_plus = plus[np.arange(len(ab)), owner]
+    own_minus = minus[np.arange(len(ab)), owner]
+    assert (own_plus ^ own_minus).all()  # exactly one side in the owner
+    # cells are disjoint: each side lies in at most one cell; an
+    # interior (shared) edge has its other side in the neighbor cell,
+    # a hull edge has exactly one covered side in total
+    assert (plus.sum(axis=1) <= 1).all()
+    assert (minus.sum(axis=1) <= 1).all()
+    tot = plus.sum(axis=1) + minus.sum(axis=1)
+    on_hull = ((np.isin(ab[:, 0], (0.0, 6.0)) & (ab[:, 0] == ab[:, 2]))
+               | (np.isin(ab[:, 1], (0.0, 6.0)) & (ab[:, 1] == ab[:, 3])))
+    assert (tot[on_hull] == 1).all()
+    assert (tot[~on_hull] == 2).all()

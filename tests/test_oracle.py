@@ -55,7 +55,7 @@ def _kind(dtype):
 #: driver gate for them too, so a drift in the portable-draw/cell/
 #: haversine/FNV SQL twins is caught in-suite before the driver runs
 #: (VERDICT r04 item 1).
-SPATIAL_ORACLE_NAMES = [
+EXTERNAL_ORACLE_NAMES = [
     "pip_assignment",
     "pip_tile_rollup",
     "cell_tile_stats",
@@ -94,8 +94,8 @@ def _compare(name, sdf, ddb, sql):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
-@pytest.mark.parametrize("name", SPATIAL_ORACLE_NAMES)
-def test_spatial_query_matches_oracle(spark, ddb, name):
+@pytest.mark.parametrize("name", EXTERNAL_ORACLE_NAMES)
+def test_external_query_matches_oracle(spark, ddb, name):
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
