@@ -186,6 +186,10 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over the fixture media table. DuckDB-
+    oracled since r05: payload pixels are md5-portable draws, so
+    multimodal.multimodal_features_oracle_sql re-derives decode_ok,
+    the pixel grid, the float32 pooled means, and feature_sum in SQL."""
     from posmspark import multimodal
 
     media = multimodal.synth_media_df(spark)
@@ -598,7 +602,7 @@ _VERIFY_FIRST = [
     "rand_indicators",
     "problem_url",
     "ann_lsh_topk",
-    "multimodal_features",
+    "multimodal_features",   # r05: md5-portable pixels + new oracle
     "poly_export",
     # --- changed in round 5
     "simhash_near_pairs",     # NEW oracle: FNV-1a SimHash re-derived in SQL
@@ -663,4 +667,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["simhash_near_pairs"] = simhash_near_pairs_oracle_sql(
         max_hamming=3, n_blocks=4, max_bucket_size=50)
+    from posmspark.multimodal import multimodal_features_oracle_sql
+
+    out["multimodal_features"] = multimodal_features_oracle_sql()
     return out

@@ -73,9 +73,17 @@ def _decode_image_bytes(payload: bytes) -> np.ndarray:
 
 
 def encode_fake_image(w: int, h: int, seed: int) -> bytes:
-    rng = np.random.default_rng(seed)
-    return (b"FAKE" + struct.pack("<HH", w, h)
-            + rng.integers(0, 256, w * h, dtype=np.uint8).tobytes())
+    """Fake payload with md5-PORTABLE pixel bytes (r05): pixel j is
+    byte j%16 of md5("px|{seed}|{j//16}"), so a SQL oracle can re-derive
+    the exact grid (DuckDB md5 == hashlib md5) — the same portable-draw
+    rule as synth.md5_draw_expr. Same seed => same stream (images of
+    different sizes share a truncated prefix, preserving the content-
+    dedup fixture duplicates)."""
+    n_blocks = -(-(w * h) // 16)
+    stream = b"".join(
+        hashlib.md5(f"px|{seed}|{b}".encode()).digest()
+        for b in range(n_blocks))
+    return (b"FAKE" + struct.pack("<HH", w, h) + stream[:w * h])
 
 
 def _grid_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -226,3 +234,59 @@ def synth_media_df(spark, n_images: int = 50, n_videos: int = 10) -> DataFrame:
             {"width": 640, "height": 360, "duration_ms": 3000 + i * 500},
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def multimodal_features_oracle_sql(n_images: int = 50,
+                                   n_videos: int = 10) -> str:
+    """DuckDB re-derivation of the `multimodal_features` registry query
+    (rows-only -> oracle, r05). The fixture METADATA (media_id, kind,
+    payload header/length, w, h, seed — the synth_media_df constants)
+    enters as VALUES; everything the engine computes is re-derived in
+    SQL: decode_ok from the header/kind/truncation rule
+    (_decode_image_bytes), the pixel grid from the md5-portable draw
+    (pixel j = byte j%16 of md5('px|seed|j//16'), encode_fake_image),
+    the 4x4 pooled block means with the kernel's exact float tree
+    (float32(sum/cnt/255.0), _grid_features), and the feature_sum fold
+    (every term is a float32 in (0,1), so the 16-term double sum is
+    EXACT and order-free — parity with Spark's aggregate())."""
+    rows = []
+    for i in range(n_images):
+        w = 32 + (i % 3) * 16
+        rows.append(f"  ('img{i:04d}', 'image', 'FAKE', {8 + w * 32}, "
+                    f"{w}, 32, {i % 7})")
+    rows.append("  ('imgBAD', 'image', 'NOTF', 10, NULL, NULL, NULL)")
+    for i in range(n_videos):
+        rows.append(f"  ('vid{i:04d}', 'video', '', 32, NULL, NULL, NULL)")
+    values = ",\n".join(rows)
+    return f"""
+WITH fixture(media_id, kind, prefix, payload_len, w, h, seed) AS (VALUES
+{values}),
+ok AS (
+  SELECT *,
+         (kind = 'image' AND prefix = 'FAKE'
+          AND payload_len - 8 >= w * h) AS decode_ok
+  FROM fixture),
+px AS (
+  SELECT media_id, w, h, seed, j.j AS j,
+         md5('px|' || seed || '|' || CAST(j.j // 16 AS VARCHAR)) AS hx
+  FROM ok, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS j) j
+  WHERE decode_ok),
+pval AS (
+  SELECT media_id, w, h,
+         ((j // w) // (h // 4)) * 4 + ((j % w) // (w // 4)) AS k,
+         (strpos('0123456789abcdef',
+                 substr(hx, 2 * (j % 16) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(hx, 2 * (j % 16) + 2, 1)) - 1) AS val
+  FROM px),
+blocks AS (
+  SELECT media_id, k,
+         CAST(CAST(sum(val) AS DOUBLE) / count(*)
+              / CAST(255.0 AS DOUBLE) AS REAL) AS f32
+  FROM pval GROUP BY media_id, k),
+fsum AS (
+  SELECT media_id, round(sum(CAST(f32 AS DOUBLE)), 6) AS feature_sum
+  FROM blocks GROUP BY media_id)
+SELECT o.media_id, o.kind, o.decode_ok, f.feature_sum
+FROM ok o LEFT JOIN fsum f USING (media_id)
+"""

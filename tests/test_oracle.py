@@ -67,6 +67,7 @@ EXTERNAL_ORACLE_NAMES = [
     "incremental_manifest",
     "table_snapshots",
     "simhash_near_pairs",
+    "multimodal_features",
 ]
 
 
