@@ -491,7 +491,12 @@ def _q_topojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tile_clip_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O22/G11: exact per-cell polygon areas — FULL cells contribute
     whole boxes, boundary cells Sutherland-Hodgman-clip to the cell
-    window; per polygon the cells partition its exact area (tested)."""
+    window; per polygon the cells partition its exact area (tested).
+
+    DuckDB-oracled since r05, PER CELL (strictly stronger than the old
+    per-polygon rollup, and free of cross-engine float-sum order
+    concerns): tiles.tile_clip_areas_oracle_sql re-derives the cover,
+    the Morton cell ids, and every clipped area bit-for-bit in SQL."""
     from posmspark import synth, tiles
     from posmspark.joins import prepare_boundaries
 
@@ -499,12 +504,9 @@ def _q_tile_clip_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(), n_levels=4
     )
     out = tiles.boundary_tile_areas(spark, prepared)
-    return (
-        out.groupBy("osm_id", "adminlevel")
-        .agg(F.count(F.lit(1)).alias("n_cells"),
-             F.round(F.sum("tile_area"), 9).alias("area"))
-        .orderBy("adminlevel", "osm_id")
-    )
+    return out.select(
+        "osm_id", "adminlevel", "cell", "full",
+        F.round("tile_area", 9).alias("tile_area"))
 
 
 def _q_table_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,7 +621,7 @@ _VERIFY_FIRST = [
     "dissolve_parents",       # overlay magnitude-extreme hardening
     "residual_holes",         # overlay magnitude-extreme hardening
     "simplify_mesh_stats",    # shares the dissolve mesh machinery
-    "tile_clip_areas",        # shares the clip/overlay kernels
+    "tile_clip_areas",        # r05: per-cell rows + bit-exact SQL oracle
     "pip_assignment",         # anchor oracle for the new rollup oracles
     "pip_tile_rollup",
 ]
@@ -670,4 +672,7 @@ def oracle_sql() -> dict[str, str]:
     from posmspark.multimodal import multimodal_features_oracle_sql
 
     out["multimodal_features"] = multimodal_features_oracle_sql()
+    from posmspark.tiles import tile_clip_areas_oracle_sql
+
+    out["tile_clip_areas"] = tile_clip_areas_oracle_sql()
     return out

@@ -68,6 +68,7 @@ EXTERNAL_ORACLE_NAMES = [
     "table_snapshots",
     "simhash_near_pairs",
     "multimodal_features",
+    "tile_clip_areas",
 ]
 
 
