@@ -618,8 +618,8 @@ _VERIFY_FIRST = [
     "byte_identity_audit",    # NEW oracle: DuckDB re-derives the audit
     "problems_routing",       # NEW oracle: SQL validity re-derivation
     "knn_topk_flat",          # r05: dist_m rounding 4 -> 2 decimals
-    "dissolve_parents",       # overlay magnitude-extreme hardening
-    "residual_holes",         # overlay magnitude-extreme hardening
+    "dissolve_parents",       # r05: NEW mesh-cancellation SQL oracle
+    "residual_holes",         # r05: NEW mesh-cancellation SQL oracle
     "simplify_mesh_stats",    # shares the dissolve mesh machinery
     "tile_clip_areas",        # r05: per-cell rows + bit-exact SQL oracle
     "pip_assignment",         # anchor oracle for the new rollup oracles
@@ -675,4 +675,9 @@ def oracle_sql() -> dict[str, str]:
     from posmspark.tiles import tile_clip_areas_oracle_sql
 
     out["tile_clip_areas"] = tile_clip_areas_oracle_sql()
+    from posmspark.dissolve import (dissolve_parents_oracle_sql,
+                                    residual_holes_oracle_sql)
+
+    out["dissolve_parents"] = dissolve_parents_oracle_sql()
+    out["residual_holes"] = residual_holes_oracle_sql()
     return out

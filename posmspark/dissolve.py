@@ -1433,3 +1433,296 @@ def residual_by_parent(spark, prepared, parent_level: int, child_level: int):
         return pd.DataFrame(rows)
 
     return src.groupBy("parent_id").applyInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins for the conformal mesh aggregations (r05): the
+# odd-segment cancellation semantics of dissolve_by_parent (O18) and
+# residual_by_parent (O19) re-derived in SQL.
+
+_PK_OFF = 549755813888        # 2^39: key offset so packed ids stay >= 0
+_PK_MUL = 1099511627776       # 2^40
+
+
+def _mesh_oracle_ctes(vert_values: str, nch_values: str) -> str:
+    """Shared CTE chain: SNAP-keyed vertices -> collinear-interior
+    vertex splitting (_split_ring_at_vertices' exact float tests) ->
+    undirected canonical segments with net direction -> odd-parity
+    boundary segments -> connected components (recursive min-label
+    propagation over HUGEINT-packed node keys) -> per-component signed
+    Green's-theorem area over SNAP-reconstructed coords + even-odd
+    containment depth (the same ray-crossing expression tree as
+    points_in_rings). Verified against _mesh_segments /
+    dissolve_by_parent / residual_by_parent on the full fixture mesh.
+    """
+    s = f"CAST({SNAP!r} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE verts(gid, oid, part, ring, seq, x, y) AS (VALUES
+{vert_values}),
+nch(gid, n_children) AS (VALUES
+{nch_values}),
+keyed AS (
+  SELECT *, CAST(round(x / {s}) AS BIGINT) AS kx,
+            CAST(round(y / {s}) AS BIGINT) AS ky
+  FROM verts),
+vset AS (SELECT DISTINCT gid, kx, ky FROM keyed),
+edges AS (
+  SELECT k.*,
+         coalesce(lead(x)  OVER we, first_value(x)  OVER we) AS bx,
+         coalesce(lead(y)  OVER we, first_value(y)  OVER we) AS by_,
+         coalesce(lead(kx) OVER we, first_value(kx) OVER we) AS kbx,
+         coalesce(lead(ky) OVER we, first_value(ky) OVER we) AS kby
+  FROM keyed k
+  WINDOW we AS (PARTITION BY gid, oid, part, ring ORDER BY seq)),
+cand AS (
+  SELECT e.gid, e.oid, e.part, e.ring, e.seq, v.kx AS vkx, v.ky AS vky,
+         ((v.kx * {s} - e.x) * (e.bx - e.x)
+          + (v.ky * {s} - e.y) * (e.by_ - e.y))
+         / ((e.bx - e.x) * (e.bx - e.x)
+            + (e.by_ - e.y) * (e.by_ - e.y)) AS t
+  FROM edges e JOIN vset v ON v.gid = e.gid
+  WHERE ((e.bx - e.x) * (e.bx - e.x)
+         + (e.by_ - e.y) * (e.by_ - e.y)) <> 0
+    AND abs((v.kx * {s} - e.x) * (e.by_ - e.y)
+            - (v.ky * {s} - e.y) * (e.bx - e.x))
+        <= {s} * 10 * sqrt((e.bx - e.x) * (e.bx - e.x)
+                           + (e.by_ - e.y) * (e.by_ - e.y))
+    AND NOT ((v.kx = e.kx AND v.ky = e.ky)
+             OR (v.kx = e.kbx AND v.ky = e.kby))),
+cand2 AS (
+  SELECT * FROM cand
+  WHERE t > CAST(1e-12 AS DOUBLE) AND t < 1 - CAST(1e-12 AS DOUBLE)),
+pieces AS (
+  SELECT gid, oid, part, ring, seq, 0 AS sub, kx AS ka_x, ky AS ka_y
+  FROM edges
+  UNION ALL
+  SELECT gid, oid, part, ring, seq,
+         row_number() OVER (PARTITION BY gid, oid, part, ring, seq
+                            ORDER BY t) AS sub,
+         vkx, vky
+  FROM cand2),
+chainpts AS (
+  SELECT gid, oid, part, ring, seq, sub, ka_x, ka_y,
+         lead(ka_x) OVER wc AS kb_x, lead(ka_y) OVER wc AS kb_y
+  FROM pieces
+  WINDOW wc AS (PARTITION BY gid, oid, part, ring ORDER BY seq, sub)),
+segs AS (
+  SELECT gid, ka_x AS ax, ka_y AS ay,
+         coalesce(kb_x, fx) AS bx, coalesce(kb_y, fy) AS by_
+  FROM (
+    SELECT c.*, first_value(ka_x) OVER ws AS fx,
+           first_value(ka_y) OVER ws AS fy
+    FROM chainpts c
+    WINDOW ws AS (PARTITION BY gid, oid, part, ring
+                  ORDER BY seq, sub))),
+canon AS (
+  SELECT gid,
+         CASE WHEN (ax, ay) < (bx, by_) THEN ax ELSE bx END AS ux,
+         CASE WHEN (ax, ay) < (bx, by_) THEN ay ELSE by_ END AS uy,
+         CASE WHEN (ax, ay) < (bx, by_) THEN bx ELSE ax END AS vx,
+         CASE WHEN (ax, ay) < (bx, by_) THEN by_ ELSE ay END AS vy,
+         CASE WHEN (ax, ay) < (bx, by_) THEN 1 ELSE -1 END AS dir
+  FROM segs WHERE NOT (ax = bx AND ay = by_)),
+odd AS (
+  SELECT gid, ux, uy, vx, vy, sum(dir) AS net
+  FROM canon GROUP BY gid, ux, uy, vx, vy HAVING count(*) % 2 = 1),
+pk AS (
+  SELECT *, (CAST(ux AS HUGEINT) + {_PK_OFF}) * {_PK_MUL}
+            + (CAST(uy AS HUGEINT) + {_PK_OFF}) AS upk,
+            (CAST(vx AS HUGEINT) + {_PK_OFF}) * {_PK_MUL}
+            + (CAST(vy AS HUGEINT) + {_PK_OFF}) AS vpk
+  FROM odd),
+bedge2 AS (
+  SELECT gid, upk AS apk, vpk AS bpk FROM pk
+  UNION ALL
+  SELECT gid, vpk, upk FROM pk),
+reach(gid, npk, lpk) AS (
+  SELECT gid, upk, upk FROM pk
+  UNION
+  SELECT gid, vpk, vpk FROM pk
+  UNION
+  SELECT b.gid, b.bpk, r.lpk
+  FROM reach r JOIN bedge2 b
+    ON b.gid = r.gid AND b.apk = r.npk
+  WHERE r.lpk < b.bpk),
+compp AS (
+  SELECT gid, npk, min(lpk) AS cpk FROM reach GROUP BY gid, npk),
+comp AS (
+  SELECT gid,
+         CAST(npk // {_PK_MUL} - {_PK_OFF} AS BIGINT) AS nx,
+         CAST(npk % {_PK_MUL} - {_PK_OFF} AS BIGINT) AS ny,
+         npk, cpk
+  FROM compp),
+segarea AS (
+  SELECT o.gid, c.cpk,
+         sum(o.net * (o.ux * {s} * (o.vy * {s})
+                      - o.vx * {s} * (o.uy * {s}))) / 2 AS sarea,
+         min(c2.mnpk) AS mnpk
+  FROM pk o
+  JOIN comp c ON c.gid = o.gid AND c.npk = o.upk
+  JOIN (SELECT gid, cpk, min(npk) AS mnpk
+        FROM comp GROUP BY gid, cpk) c2
+    ON c2.gid = c.gid AND c2.cpk = c.cpk
+  GROUP BY o.gid, c.cpk),
+cnode AS (
+  SELECT gid, cpk,
+         CAST(min(npk) // {_PK_MUL} - {_PK_OFF} AS BIGINT) AS px0,
+         CAST(min(npk) % {_PK_MUL} - {_PK_OFF} AS BIGINT) AS py0
+  FROM comp GROUP BY gid, cpk),
+oddc AS (
+  SELECT o.*, c.cpk FROM pk o
+  JOIN comp c ON c.gid = o.gid AND c.npk = o.upk),
+depth2 AS (
+  SELECT gid, cpk, count(*) AS depth FROM (
+    SELECT n.gid, n.cpk, o.cpk AS ocpk
+    FROM cnode n JOIN oddc o ON o.gid = n.gid AND o.cpk <> n.cpk
+    GROUP BY n.gid, n.cpk, o.cpk, n.px0, n.py0
+    HAVING sum(CASE WHEN (o.uy * {s} > n.py0 * {s})
+                         <> (o.vy * {s} > n.py0 * {s})
+                     AND n.px0 * {s} <
+                         (o.vx * {s} - o.ux * {s})
+                         * (n.py0 * {s} - o.uy * {s})
+                         / (o.vy * {s} - o.uy * {s}) + o.ux * {s}
+               THEN 1 ELSE 0 END) % 2 = 1)
+  GROUP BY gid, cpk),
+cstat AS (
+  SELECT sa.gid, sa.cpk, sa.sarea, sa.mnpk,
+         coalesce(d.depth, 0) AS depth
+  FROM segarea sa LEFT JOIN depth2 d
+    ON d.gid = sa.gid AND d.cpk = sa.cpk)"""
+
+
+def _mesh_vert_values(groups) -> str:
+    """groups: list of (gid, [(oid, multipolygon), ...]) -> VALUES rows
+    of open-ring vertices (the closing duplicate dropped, like
+    _mesh_segments)."""
+    rows = []
+    for gid, members in groups:
+        g = str(gid).replace("'", "''")
+        for oid, polys in members:
+            o = str(oid).replace("'", "''")
+            for part, rings in enumerate(polys):
+                for ri, ring in enumerate(rings):
+                    rr = np.asarray(ring, dtype=np.float64)
+                    a = rr[:-1] if np.allclose(rr[0], rr[-1]) else rr
+                    for q in range(len(a)):
+                        rows.append(
+                            f"('{g}','{o}',{part},{ri},{q},"
+                            f"CAST({float(a[q, 0])!r} AS DOUBLE),"
+                            f"CAST({float(a[q, 1])!r} AS DOUBLE))")
+    return ",\n".join(rows)
+
+
+def dissolve_parents_oracle_sql() -> str:
+    """DuckDB twin of the `dissolve_parents` registry query (O18):
+    per level-1 parent, union its level-2 children via odd-segment
+    cancellation and report (n_children, n_polys, n_rings, area).
+    n_polys/n_rings come from the boundary components' even-odd
+    containment depth (outers = even depth) — an independent
+    derivation of what _chain_segments/_classify_rings compute by
+    chaining; area is the depth-signed sum of component |areas|
+    (outers positive, holes negative, matching the re-oriented
+    ring_area sum) rounded to 6, where the fixture's near-integer
+    areas make the float-summation-order difference immaterial."""
+    from posmspark import synth
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+    kids = prepared.levels_pdf.query("adminlevel == 2")[
+        ["osm_id", "is_in"]]
+    groups, nch = [], []
+    for parent, grp in kids.groupby("is_in"):
+        members = [(r.osm_id, prepared.polys_by_id[r.osm_id])
+                   for r in grp.itertuples(index=False)]
+        groups.append((parent, members))
+        p = str(parent).replace("'", "''")
+        nch.append(f"('{p}', {len(members)})")
+    return _mesh_oracle_ctes(_mesh_vert_values(groups),
+                             ",\n".join(nch)) + """
+SELECT n.gid AS parent_osm_id,
+       n.n_children,
+       CAST(coalesce(sum(CASE WHEN c.depth % 2 = 0 THEN 1 ELSE 0 END), 0)
+            AS INT) AS n_polys,
+       CAST(coalesce(count(c.sarea), 0) AS INT) AS n_rings,
+       round(coalesce(sum(CASE WHEN c.depth % 2 = 0 THEN abs(c.sarea)
+                               ELSE -abs(c.sarea) END), 0.0), 6) AS area
+FROM nch n LEFT JOIN cstat c ON c.gid = n.gid
+GROUP BY n.gid, n.n_children
+"""
+
+
+def residual_holes_oracle_sql() -> str:
+    """DuckDB twin of the `residual_holes` registry query (O19):
+    per level-1 parent, cancel (parent UNION children) segments; no
+    odd segments -> complete, no children -> childless, else one
+    filler row per even-depth boundary component (outer), holes
+    (odd depth) attached to their smallest containing outer by
+    |area| — the same attachment rule _classify_rings implements —
+    with net residual_area = |outer| - sum |holes|. Filler index i in
+    'xxx{parent}_{i}' orders outers by smallest packed node key,
+    which coincides with _chain_segments' sorted-key walk order for
+    the fixture's single-residual parents (a multi-residual fixture
+    would pin the general order through this same gate)."""
+    from posmspark import synth
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+    lvp = prepared.levels_pdf
+    parents = lvp.query("adminlevel == 1")["osm_id"].tolist()
+    kids = lvp.query("adminlevel == 2")[["osm_id", "is_in"]]
+    groups, nch = [], []
+    for parent in parents:
+        cs = kids.query("is_in == @parent")["osm_id"].tolist()
+        members = [(parent, prepared.polys_by_id[parent])] + [
+            (c, prepared.polys_by_id[c]) for c in cs]
+        groups.append((parent, members))
+        p = str(parent).replace("'", "''")
+        nch.append(f"('{p}', {len(cs)})")
+    s = f"CAST({SNAP!r} AS DOUBLE)"
+    return _mesh_oracle_ctes(_mesh_vert_values(groups),
+                             ",\n".join(nch)) + f""",
+outers AS (
+  SELECT *, row_number() OVER (PARTITION BY gid ORDER BY mnpk) - 1
+            AS idx
+  FROM cstat WHERE depth % 2 = 0),
+holes AS (SELECT * FROM cstat WHERE depth % 2 = 1),
+hole_in AS (
+  SELECT h.gid, h.cpk AS hcpk, h.sarea AS harea, o.cpk AS ocpk
+  FROM holes h
+  JOIN cnode hn ON hn.gid = h.gid AND hn.cpk = h.cpk
+  JOIN outers o ON o.gid = h.gid
+  JOIN oddc os ON os.gid = o.gid AND os.cpk = o.cpk
+  GROUP BY h.gid, h.cpk, h.sarea, o.cpk, hn.px0, hn.py0
+  HAVING sum(CASE WHEN (os.uy * {s} > hn.py0 * {s})
+                       <> (os.vy * {s} > hn.py0 * {s})
+                   AND hn.px0 * {s} <
+                       (os.vx * {s} - os.ux * {s})
+                       * (hn.py0 * {s} - os.uy * {s})
+                       / (os.vy * {s} - os.uy * {s}) + os.ux * {s}
+             THEN 1 ELSE 0 END) % 2 = 1),
+hole_att AS (
+  SELECT gid, hcpk, harea, arg_min(ocpk, oabs) AS ocpk
+  FROM (SELECT hi.*, abs(o.sarea) AS oabs
+        FROM hole_in hi JOIN outers o
+          ON o.gid = hi.gid AND o.cpk = hi.ocpk)
+  GROUP BY gid, hcpk, harea),
+polyarea AS (
+  SELECT o.gid, o.idx,
+         abs(o.sarea) - coalesce(sum(abs(h.harea)), 0.0) AS area
+  FROM outers o LEFT JOIN hole_att h
+    ON h.gid = o.gid AND h.ocpk = o.cpk
+  GROUP BY o.gid, o.idx, o.sarea)
+SELECT n.gid AS parent_osm_id,
+       CASE WHEN n.n_children = 0 THEN 'childless'
+            WHEN p.idx IS NULL THEN 'complete'
+            ELSE 'filler' END AS status,
+       CASE WHEN n.n_children = 0 OR p.idx IS NULL THEN NULL
+            ELSE 'xxx' || n.gid || '_' || CAST(p.idx AS VARCHAR) END
+         AS filler_id,
+       CASE WHEN n.n_children = 0 THEN 0.0
+            ELSE round(coalesce(p.area, 0.0), 6) END AS residual_area
+FROM nch n LEFT JOIN polyarea p
+  ON p.gid = n.gid AND n.n_children > 0
+"""

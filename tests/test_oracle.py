@@ -69,6 +69,8 @@ EXTERNAL_ORACLE_NAMES = [
     "simhash_near_pairs",
     "multimodal_features",
     "tile_clip_areas",
+    "dissolve_parents",
+    "residual_holes",
 ]
 
 
