@@ -607,6 +607,7 @@ _VERIFY_FIRST = [
     "multimodal_features",   # r05: md5-portable pixels + new oracle
     "poly_export",
     # --- changed in round 5
+    "shapefile_source",       # r05: NEW hierarchy-rederivation SQL oracle
     "simhash_near_pairs",     # NEW oracle: FNV-1a SimHash re-derived in SQL
     "embedding_cosine_dups_lsh",  # NEW: LSH scale path vs brute oracle
     "cell_tile_stats",        # NEW DuckDB oracle (SQL morton cell ids)
@@ -680,4 +681,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["dissolve_parents"] = dissolve_parents_oracle_sql()
     out["residual_holes"] = residual_holes_oracle_sql()
+    from posmspark.shp import shapefile_source_oracle_sql
+
+    out["shapefile_source"] = shapefile_source_oracle_sql()
     return out

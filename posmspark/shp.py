@@ -247,3 +247,183 @@ def write_shapefile_zip(zip_path: str, polys_list: list,
         zf.writestr("boundaries.dbf", write_dbf(attrs))
     with open(zip_path, "wb") as f:
         f.write(buf.getvalue())
+
+
+def shapefile_source_oracle_sql(n_levels: int = 4) -> str:
+    """DuckDB twin of the `shapefile_source` registry query (S3 +
+    O2/O4/O5/O8/O14): the RAW gen_boundaries attributes and ring
+    vertices enter as VALUES, and SQL re-derives the whole boundary
+    prep the Spark side performs AFTER the .shp zip round trip —
+    name_en coalesce + empty-name drop, the administrative-boundary
+    predicate, ring self-intersection validity (strict sign-flip
+    proper-crossing test, the problems_routing rule), representative
+    points (largest-|outer-area| part centroid; the fixture never
+    needs the scan fallbacks — a future concave fixture would surface
+    here as a missing row), first-match-by-insert-order PIP into the
+    country and direct-parent levels with the points_in_rings
+    expression tree, and the per-country admin-level mapping with
+    overrides (tag_for). A write/parse corruption in the from-scratch
+    shapefile codec shows up as a VALUES mismatch on any level row.
+    Reference semantics: extract_gadm.py:32-40, extract.py:241-341.
+    """
+    import pandas as pd
+
+    from posmspark import geom as _geom, synth
+    from posmspark.synth import ADMIN_DEFAULTS
+
+    bpdf = synth.gen_boundaries_pdf()
+    mapping = synth.gen_admin_mapping_pdf()
+
+    feat_rows, vert_rows = [], []
+    for r in bpdf.itertuples(index=False):
+        oid = str(r.osm_id).replace("'", "''")
+
+        def q(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return "NULL"
+            return "'" + str(v).replace("'", "''") + "'"
+
+        feat_rows.append(
+            f"({q(r.osm_id)},{q(r.name)},{q(r.name_en)},"
+            f"{q(str(r.admin_level))},{q(r.iso3166)},{q(r.boundary)},"
+            f"{int(r.insert_order)})")
+        polys = _geom.wkb_to_multipolygon(r.geom_wkb)
+        for part, rings in enumerate(polys):
+            for ri, ring in enumerate(rings):
+                rr = np.asarray(ring, dtype=np.float64)
+                a = rr[:-1] if np.allclose(rr[0], rr[-1]) else rr
+                for s in range(len(a)):
+                    vert_rows.append(
+                        f"('{oid}',{part},{ri},{s},"
+                        f"CAST({float(a[s, 0])!r} AS DOUBLE),"
+                        f"CAST({float(a[s, 1])!r} AS DOUBLE))")
+    map_rows = [
+        f"('{str(m.country_osm_id)}',{int(m.admin_level_1)},"
+        f"{int(m.admin_level_2)})"
+        for m in mapping.itertuples(index=False)]
+    d1, d2, d3 = (ADMIN_DEFAULTS["admin_level_1"],
+                  ADMIN_DEFAULTS["admin_level_2"],
+                  ADMIN_DEFAULTS["admin_level_3"])
+
+    # one level-assignment stage: candidates not yet assigned, country
+    # via level-0 first match, parent via the previous level
+    def level_cte(lv, parent_rel):
+        country_join = (
+            "c.osm_id = w0.cand" if lv == 1
+            else "c.osm_id = w0.cand")
+        parent_expr = ("w0.winner" if lv == 1 else f"wp{lv}.winner")
+        parent_join = (
+            "" if lv == 1 else f"""
+  LEFT JOIN (SELECT r.cand, min(f.ord) AS mo,
+                    arg_min(r.owner, f.ord) AS winner
+             FROM contain r JOIN feats f ON f.osm_id = r.owner
+             WHERE r.owner IN (SELECT osm_id FROM {parent_rel})
+             GROUP BY r.cand) wp{lv} ON wp{lv}.cand = c.osm_id""")
+        return f""",
+l{lv} AS (
+  SELECT c.osm_id, c.nm, {lv} AS adminlevel, c.iso, {parent_expr} AS is_in
+  FROM cands c
+  LEFT JOIN (SELECT r.cand, arg_min(r.owner, f.ord) AS winner
+             FROM contain r JOIN feats f ON f.osm_id = r.owner
+             WHERE r.owner IN (SELECT osm_id FROM l0)
+             GROUP BY r.cand) w0 ON {country_join}{parent_join}
+  WHERE c.osm_id NOT IN (SELECT osm_id FROM assigned{lv - 1})
+    AND w0.winner IS NOT NULL
+    AND c.raw = (SELECT tag FROM tags t
+                 WHERE t.country = w0.winner AND t.lv = {lv})
+    AND {parent_expr} IS NOT NULL),
+assigned{lv} AS (
+  SELECT osm_id FROM assigned{lv - 1}
+  UNION ALL SELECT osm_id FROM l{lv})"""
+
+    stages = "".join(level_cte(lv, f"l{lv - 1}")
+                     for lv in range(1, n_levels))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT osm_id, nm AS name_en, adminlevel, iso AS iso3166, is_in"
+        f" FROM l{lv}" for lv in range(n_levels))
+
+    return f"""
+WITH feats0(osm_id, name, name_en, raw, iso, bnd, ord) AS (VALUES
+{",".join(feat_rows)}),
+verts(osm_id, part, ring, seq, x, y) AS (VALUES
+{",".join(vert_rows)}),
+mapping(country, a1, a2) AS (VALUES
+{",".join(map_rows)}),
+-- tag_for(country, lv): override row else ADMIN_DEFAULTS
+tags AS (
+  SELECT f.osm_id AS country, lv.lv,
+         CAST(CASE lv.lv
+              WHEN 1 THEN coalesce(m.a1, {d1})
+              WHEN 2 THEN coalesce(m.a2, {d2})
+              WHEN 3 THEN CASE WHEN m.country IS NULL THEN {d3}
+                               ELSE {d3} END
+         END AS VARCHAR) AS tag
+  FROM feats0 f
+  CROSS JOIN (SELECT unnest(generate_series(1, {n_levels - 1})) AS lv) lv
+  LEFT JOIN mapping m ON m.country = f.osm_id),
+edges AS (
+  SELECT v.osm_id, v.part, v.ring, v.seq, v.x AS x1, v.y AS y1,
+         coalesce(lead(v.x) OVER wv, first_value(v.x) OVER wv) AS x2,
+         coalesce(lead(v.y) OVER wv, first_value(v.y) OVER wv) AS y2
+  FROM verts v
+  WINDOW wv AS (PARTITION BY v.osm_id, v.part, v.ring ORDER BY v.seq)),
+-- strict proper self-intersection per ring (Bowtie class)
+selfx AS (
+  SELECT DISTINCT a.osm_id
+  FROM edges a JOIN edges b
+    ON b.osm_id = a.osm_id AND b.part = a.part AND b.ring = a.ring
+   AND b.seq > a.seq
+  WHERE sign((a.x2 - a.x1) * (b.y1 - a.y1)
+             - (a.y2 - a.y1) * (b.x1 - a.x1))
+        * sign((a.x2 - a.x1) * (b.y2 - a.y1)
+               - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+    AND sign((b.x2 - b.x1) * (a.y1 - b.y1)
+             - (b.y2 - b.y1) * (a.x1 - b.x1))
+        * sign((b.x2 - b.x1) * (a.y2 - b.y1)
+               - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0),
+feats AS (
+  SELECT osm_id,
+         CASE WHEN name_en IS NOT NULL AND name_en <> '' THEN name_en
+              ELSE name END AS nm,
+         raw, upper(iso) AS iso, bnd, ord
+  FROM feats0
+  WHERE osm_id NOT IN (SELECT osm_id FROM selfx)
+    AND bnd = 'administrative'
+    AND (CASE WHEN name_en IS NOT NULL AND name_en <> '' THEN name_en
+              ELSE name END) IS NOT NULL
+    AND (CASE WHEN name_en IS NOT NULL AND name_en <> '' THEN name_en
+              ELSE name END) <> ''),
+cands AS (SELECT * FROM feats),
+-- representative point: centroid of the largest-|outer-area| part
+partarea AS (
+  SELECT e.osm_id, e.part,
+         abs(sum(e.x1 * e.y2 - e.x2 * e.y1)) / 2 AS a
+  FROM edges e WHERE e.ring = 0
+  GROUP BY e.osm_id, e.part),
+bestpart AS (
+  SELECT osm_id, part FROM (
+    SELECT *, row_number() OVER (PARTITION BY osm_id
+                                 ORDER BY a DESC, part) AS rn
+    FROM partarea) WHERE rn = 1),
+rep AS (
+  SELECT v.osm_id, sum(v.x) / count(*) AS rx, sum(v.y) / count(*) AS ry
+  FROM verts v JOIN bestpart b
+    ON b.osm_id = v.osm_id AND b.part = v.part
+  WHERE v.ring = 0
+  GROUP BY v.osm_id),
+-- containment of every candidate rep point in every OTHER feature
+-- (even-odd parity per part, any part)
+contain AS (
+  SELECT p.osm_id AS cand, e.osm_id AS owner
+  FROM rep p JOIN edges e ON e.osm_id <> p.osm_id
+  GROUP BY p.osm_id, e.osm_id, e.part, p.rx, p.ry
+  HAVING sum(CASE WHEN (e.y1 > p.ry) <> (e.y2 > p.ry)
+                   AND p.rx < (e.x2 - e.x1) * (p.ry - e.y1)
+                              / (e.y2 - e.y1) + e.x1
+             THEN 1 ELSE 0 END) % 2 = 1),
+l0 AS (
+  SELECT osm_id, nm, 0 AS adminlevel, iso, CAST(NULL AS VARCHAR) AS is_in
+  FROM feats WHERE raw = '2'),
+assigned0 AS (SELECT osm_id FROM l0){stages}
+{unions}
+"""

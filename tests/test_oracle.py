@@ -71,6 +71,7 @@ EXTERNAL_ORACLE_NAMES = [
     "tile_clip_areas",
     "dissolve_parents",
     "residual_holes",
+    "shapefile_source",
 ]
 
 
