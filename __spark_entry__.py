@@ -148,6 +148,10 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multiprobe LSH top-k. DuckDB-oracled since r05
+    (ann.lsh_topk_oracle_sql): plane tables as parameter VALUES,
+    signatures/buckets/candidates re-derived in SQL, cosine re-rank
+    replicated fold-for-fold so ranks can never drift."""
     import numpy as np
     import pandas as pd
 
@@ -603,7 +607,7 @@ _VERIFY_FIRST = [
     "simhash_pigeonhole_pairs",
     "rand_indicators",
     "problem_url",
-    "ann_lsh_topk",
+    "ann_lsh_topk",           # r05: NEW signature/rerank SQL oracle
     "multimodal_features",   # r05: md5-portable pixels + new oracle
     "poly_export",
     # --- changed in round 5
@@ -684,4 +688,8 @@ def oracle_sql() -> dict[str, str]:
     from posmspark.shp import shapefile_source_oracle_sql
 
     out["shapefile_source"] = shapefile_source_oracle_sql()
+    from posmspark.ann import lsh_topk_oracle_sql
+
+    out["ann_lsh_topk"] = lsh_topk_oracle_sql(
+        k=5, dim=64, n_planes=8, n_tables=4)
     return out

@@ -528,3 +528,86 @@ def cosine_near_pairs_lsh(vectors: DataFrame, threshold: float,
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def lsh_topk_oracle_sql(k: int = 5, dim: int = 64, n_planes: int = 8,
+                        n_tables: int = 4, multiprobe: bool = True,
+                        seed: int = SEED, n_queries: int = 3) -> str:
+    """DuckDB twin of the `ann_lsh_topk` registry query. The hyperplane
+    tables are ALGORITHM PARAMETERS and enter as VALUES (double-list
+    literals); SQL re-derives everything the engine computes from the
+    embeddings table: per-table sign-bit signatures (sign(dot) is
+    robust across engines' summation orders — the fixture's smallest
+    |dot| margin is ~1.3e-5, measured at both driver scales, vs ~1e-11
+    worst-case fold discrepancy), the query's own-bucket + Hamming-1
+    multiprobe set, the bucket equi-join candidate union with
+    per-(query, vec) dedup, and the exact cosine re-rank replicating
+    cosine_rerank's aggregate/zip_with fold tree term for term — so
+    cos_sim is bit-identical and the (cos DESC, vec_id) rank order can
+    never drift between engines."""
+    tables = _table_planes(dim, n_planes, n_tables, seed)
+    prows = []
+    for t, pl in enumerate(tables):
+        for p in range(n_planes):
+            ws = ", ".join(f"CAST({float(w)!r} AS DOUBLE)"
+                           for w in pl[p])
+            prows.append(f"({t}, {p}, [{ws}])")
+    probe_extra = f"""
+    UNION ALL
+    SELECT q.query_id, q.tbl, xor(q.sig, CAST(1 AS BIGINT) << b.b) AS sig
+    FROM qsig q, (SELECT unnest(generate_series(0, {n_planes - 1})) AS b) b
+""" if multiprobe else ""
+    dot_fold = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(len(e.embedding)),
+             i -> CAST(e.embedding[i + 1] AS DOUBLE)
+                  * CAST(q.q_emb[i + 1] AS DOUBLE))),
+           (acc, v) -> acc + v)"""
+    nv_fold = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(len(e.embedding)),
+             i -> CAST(e.embedding[i + 1] AS DOUBLE)
+                  * CAST(e.embedding[i + 1] AS DOUBLE))),
+           (acc, v) -> acc + v))"""
+    nq_fold = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(len(q.q_emb)),
+             i -> CAST(q.q_emb[i + 1] AS DOUBLE)
+                  * CAST(q.q_emb[i + 1] AS DOUBLE))),
+           (acc, v) -> acc + v))"""
+    return f"""
+WITH planes(tbl, p, w) AS (VALUES
+{",".join(prows)}),
+vdot AS (
+  SELECT e.vec_id, pl.tbl, pl.p,
+         list_sum(list_transform(range(len(e.embedding)),
+           i -> CAST(e.embedding[i + 1] AS DOUBLE) * pl.w[i + 1])) AS d
+  FROM embeddings e CROSS JOIN planes pl),
+vsig AS (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << p
+                  ELSE 0 END) AS sig
+  FROM vdot GROUP BY vec_id, tbl),
+qsig AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, tbl, sig
+  FROM vsig WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT DISTINCT query_id, tbl, sig FROM (
+    SELECT query_id, tbl, sig FROM qsig{probe_extra})),
+cand AS (
+  SELECT DISTINCT p.query_id, v.vec_id
+  FROM vsig v JOIN probes p ON p.tbl = v.tbl AND p.sig = v.sig),
+qv AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {dot_fold} / ({nv_fold} * {nq_fold}) AS cos_sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qv q ON q.query_id = c.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}
+"""

@@ -72,6 +72,7 @@ EXTERNAL_ORACLE_NAMES = [
     "dissolve_parents",
     "residual_holes",
     "shapefile_source",
+    "ann_lsh_topk",
 ]
 
 
