@@ -1726,3 +1726,283 @@ SELECT n.gid AS parent_osm_id,
 FROM nch n LEFT JOIN polyarea p
   ON p.gid = n.gid AND n.n_children > 0
 """
+
+
+# SQL body shared by simplify_mesh_stats_oracle_sql (built from
+# the verified prototype; VALUES heads are prepended per call)
+SIMPLIFY_ORACLE_BODY = r"""keyed AS (
+  SELECT *, CAST(round(x / CAST({S} AS DOUBLE)) AS BIGINT) AS kx,
+            CAST(round(y / CAST({S} AS DOUBLE)) AS BIGINT) AS ky
+  FROM verts),
+vset AS (SELECT DISTINCT kx, ky FROM keyed),
+edges0 AS (
+  SELECT k.*,
+         coalesce(lead(x)  OVER we, first_value(x)  OVER we) AS bx,
+         coalesce(lead(y)  OVER we, first_value(y)  OVER we) AS by_,
+         coalesce(lead(kx) OVER we, first_value(kx) OVER we) AS kbx,
+         coalesce(lead(ky) OVER we, first_value(ky) OVER we) AS kby
+  FROM keyed k
+  WINDOW we AS (PARTITION BY oid, part, ring ORDER BY seq)),
+cand AS (
+  SELECT e.oid, e.part, e.ring, e.seq, v.kx AS vkx, v.ky AS vky,
+         ((v.kx * CAST({S} AS DOUBLE) - e.x) * (e.bx - e.x)
+          + (v.ky * CAST({S} AS DOUBLE) - e.y) * (e.by_ - e.y))
+         / ((e.bx - e.x) * (e.bx - e.x)
+            + (e.by_ - e.y) * (e.by_ - e.y)) AS t
+  FROM edges0 e JOIN vset v ON TRUE
+  WHERE ((e.bx - e.x) * (e.bx - e.x)
+         + (e.by_ - e.y) * (e.by_ - e.y)) <> 0
+    AND abs((v.kx * CAST({S} AS DOUBLE) - e.x) * (e.by_ - e.y)
+            - (v.ky * CAST({S} AS DOUBLE) - e.y) * (e.bx - e.x))
+        <= CAST({S} AS DOUBLE) * 10
+           * sqrt((e.bx - e.x) * (e.bx - e.x)
+                  + (e.by_ - e.y) * (e.by_ - e.y))
+    AND NOT ((v.kx = e.kx AND v.ky = e.ky)
+             OR (v.kx = e.kbx AND v.ky = e.kby))),
+cand2 AS (SELECT * FROM cand
+          WHERE t > CAST(1e-12 AS DOUBLE) AND t < 1 - CAST(1e-12 AS DOUBLE)),
+-- split ring point sequence WITH coords (originals + snap-grid inserts)
+spts0 AS (
+  SELECT oid, part, ring, seq, 0 AS sub, kx, ky, x AS px, y AS py
+  FROM edges0
+  UNION ALL
+  SELECT oid, part, ring, seq,
+         row_number() OVER (PARTITION BY oid, part, ring, seq
+                            ORDER BY t) AS sub,
+         vkx, vky,
+         vkx * CAST({S} AS DOUBLE), vky * CAST({S} AS DOUBLE)
+  FROM cand2),
+spts AS (
+  SELECT *, row_number() OVER (PARTITION BY oid, part, ring
+                               ORDER BY seq, sub) - 1 AS pos,
+            count(*) OVER (PARTITION BY oid, part, ring) AS n
+  FROM spts0),
+-- per-edge (pos -> pos+1 wrap) canonical segment + owner sets
+sedges AS (
+  SELECT s.*, 
+         coalesce(lead(kx) OVER wp, first_value(kx) OVER wp) AS nkx,
+         coalesce(lead(ky) OVER wp, first_value(ky) OVER wp) AS nky,
+         coalesce(lead(px) OVER wp, first_value(px) OVER wp) AS npx,
+         coalesce(lead(py) OVER wp, first_value(py) OVER wp) AS npy
+  FROM spts s
+  WINDOW wp AS (PARTITION BY oid, part, ring ORDER BY pos)),
+canonseg AS (
+  SELECT *, CASE WHEN (kx, ky) < (nkx, nky)
+                 THEN (kx, ky, nkx, nky) ELSE (nkx, nky, kx, ky) END AS sk
+  FROM sedges),
+owners AS (
+  SELECT sk, string_agg(DISTINCT oid, '|' ORDER BY oid) AS oset
+  FROM canonseg GROUP BY sk),
+oedges AS (
+  SELECT c.*, o.oset FROM canonseg c JOIN owners o ON o.sk = c.sk),
+-- rotation start per ring
+rot AS (
+  SELECT oid, part, ring,
+         coalesce(
+           min(CASE WHEN oset <> prev_oset THEN pos END),
+           arg_min(pos, (CAST(kx AS HUGEINT) + 549755813888) * 1099511627776 + (CAST(ky AS HUGEINT) + 549755813888))) AS start
+  FROM (SELECT *, coalesce(lag(oset) OVER wp,
+                           last_value(oset) OVER wfull) AS prev_oset
+        FROM oedges
+        WINDOW wp AS (PARTITION BY oid, part, ring ORDER BY pos),
+               wfull AS (PARTITION BY oid, part, ring ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING))
+  GROUP BY oid, part, ring),
+-- rotated edges with chain ids
+redges AS (
+  SELECT e.*, (e.pos - r.start + e.n) % e.n AS rk
+  FROM oedges e JOIN rot r USING (oid, part, ring)),
+chained AS MATERIALIZED (
+  SELECT *, sum(CASE WHEN rk > 0 AND oset <> prev2 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY oid, part, ring ORDER BY rk) AS piece
+  FROM (SELECT *, lag(oset) OVER (PARTITION BY oid, part, ring
+                                  ORDER BY rk) AS prev2
+        FROM redges)),
+-- piece point sequences: first edge's A point + every edge's B point
+ppts AS MATERIALIZED (
+  SELECT oid, part, ring, piece, 0 AS ppos, kx, ky, px, py
+  FROM (SELECT *, min(rk) OVER (PARTITION BY oid, part, ring, piece)
+                    AS mrk
+        FROM chained)
+  WHERE rk = mrk
+  UNION ALL
+  SELECT oid, part, ring, piece,
+         row_number() OVER (PARTITION BY oid, part, ring, piece
+                            ORDER BY rk) AS ppos,
+         nkx, nky, npx, npy
+  FROM chained)
+,
+-- canonical direction per piece
+pstat AS (
+  SELECT oid, part, ring, piece, count(*) AS np,
+         min(ppos) AS p0, max(ppos) AS pl
+  FROM ppts GROUP BY oid, part, ring, piece),
+pends AS (
+  SELECT p.oid, p.part, p.ring, p.piece, p.np,
+         a.kx AS akx, a.ky AS aky, b.kx AS bkx, b.ky AS bky,
+         a2.kx AS a2kx, a2.ky AS a2ky, b2.kx AS b2kx, b2.ky AS b2ky
+  FROM pstat p
+  JOIN ppts a  ON a.oid = p.oid AND a.part = p.part AND a.ring = p.ring
+              AND a.piece = p.piece AND a.ppos = 0
+  JOIN ppts b  ON b.oid = p.oid AND b.part = p.part AND b.ring = p.ring
+              AND b.piece = p.piece AND b.ppos = p.np - 1
+  LEFT JOIN ppts a2 ON a2.oid = p.oid AND a2.part = p.part
+              AND a2.ring = p.ring AND a2.piece = p.piece AND a2.ppos = 1
+  LEFT JOIN ppts b2 ON b2.oid = p.oid AND b2.part = p.part
+              AND b2.ring = p.ring AND b2.piece = p.piece
+              AND b2.ppos = p.np - 2),
+pflip AS (
+  SELECT oid, part, ring, piece, np,
+         CASE WHEN akx = bkx AND aky = bky AND np > 2
+              THEN (a2kx, a2ky) > (b2kx, b2ky)
+              ELSE NOT ((akx, aky) <= (bkx, bky)) END AS flip
+  FROM pends),
+-- canonical point order
+cpts AS MATERIALIZED (
+  SELECT q.oid, q.part, q.ring, q.piece,
+         CASE WHEN f.flip THEN f.np - 1 - q.ppos ELSE q.ppos END AS cpos,
+         q.px, q.py, f.np
+  FROM ppts q JOIN pflip f
+    ON f.oid = q.oid AND f.part = q.part AND f.ring = q.ring
+   AND f.piece = q.piece),
+-- all-pairs DP interval stats: for (a, b), first-argmax interior dist
+ivals AS (
+  SELECT c.oid, c.part, c.ring, c.piece, a.a, b.b
+  FROM (SELECT DISTINCT oid, part, ring, piece, np FROM cpts) c,
+       LATERAL (SELECT unnest(generate_series(0, c.np - 1)) AS a) a,
+       LATERAL (SELECT unnest(generate_series(0, c.np - 1)) AS b) b
+  WHERE b.b > a.a + 1),
+idist AS MATERIALIZED (
+  SELECT oid, part, ring, piece, a, b, k,
+         CASE WHEN sl2 = 0 THEN sqrt(mx * mx + my * my)
+              ELSE sqrt((mx - tt * sx) * (mx - tt * sx)
+                        + (my - tt * sy) * (my - tt * sy)) END AS d
+  FROM (
+    SELECT *, least(greatest((mx * sx + my * sy)
+                             / (CASE WHEN sl2 = 0 THEN 1 ELSE sl2 END),
+                             CAST(0.0 AS DOUBLE)),
+                    CAST(1.0 AS DOUBLE)) AS tt
+    FROM (
+      SELECT i.oid, i.part, i.ring, i.piece, i.a, i.b, j.cpos AS k,
+             j.px - pa.px AS mx, j.py - pa.py AS my,
+             pb.px - pa.px AS sx, pb.py - pa.py AS sy,
+             (pb.px - pa.px) * (pb.px - pa.px)
+             + (pb.py - pa.py) * (pb.py - pa.py) AS sl2
+      FROM ivals i
+      JOIN cpts pa ON pa.oid = i.oid AND pa.part = i.part
+                  AND pa.ring = i.ring AND pa.piece = i.piece
+                  AND pa.cpos = i.a
+      JOIN cpts pb ON pb.oid = i.oid AND pb.part = i.part
+                  AND pb.ring = i.ring AND pb.piece = i.piece
+                  AND pb.cpos = i.b
+      JOIN cpts j ON j.oid = i.oid AND j.part = i.part
+                 AND j.ring = i.ring AND j.piece = i.piece
+                 AND j.cpos > i.a AND j.cpos < i.b))),
+splits AS MATERIALIZED (
+  SELECT oid, part, ring, piece, a, b, k, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY oid, part, ring, piece, a, b
+                                 ORDER BY d DESC, k) AS rn
+    FROM idist) WHERE rn = 1),
+dp(oid, part, ring, piece, a, b) AS (
+  SELECT oid, part, ring, piece, 0, np - 1
+  FROM (SELECT DISTINCT oid, part, ring, piece, np FROM cpts)
+  WHERE np >= 3
+  UNION ALL
+  SELECT s.oid, s.part, s.ring, s.piece, u.lo, u.hi
+  FROM dp d2
+  JOIN splits s ON s.oid = d2.oid AND s.part = d2.part
+               AND s.ring = d2.ring AND s.piece = d2.piece
+               AND s.a = d2.a AND s.b = d2.b AND s.d > CAST(0.05 AS DOUBLE)
+  , LATERAL (SELECT s.a AS lo, s.k AS hi UNION ALL
+             SELECT s.k, s.b) u),
+dpsplit AS (
+  SELECT d3.oid, d3.part, d3.ring, d3.piece, count(*) AS nsplit
+  FROM dp d3
+  JOIN splits s ON s.oid = d3.oid AND s.part = d3.part
+               AND s.ring = d3.ring AND s.piece = d3.piece
+               AND s.a = d3.a AND s.b = d3.b
+               AND s.d > CAST(0.05 AS DOUBLE)
+  GROUP BY d3.oid, d3.part, d3.ring, d3.piece),
+kept AS (
+  SELECT c.oid, c.part, c.ring, c.piece,
+         CASE WHEN c.np < 3 THEN c.np
+              ELSE 2 + coalesce(ds.nsplit, 0) END AS nk
+  FROM (SELECT DISTINCT oid, part, ring, piece, np FROM cpts) c
+  LEFT JOIN dpsplit ds
+    ON ds.oid = c.oid AND ds.part = c.part
+   AND ds.ring = c.ring AND ds.piece = c.piece),
+ringlen AS (
+  SELECT oid, part, ring, sum(nk - 1) + 1 AS rn_after
+  FROM kept GROUP BY oid, part, ring),
+ringkeep AS (SELECT * FROM ringlen WHERE rn_after >= 4),
+partkeep AS (
+  SELECT oid, part FROM ringkeep WHERE ring = 0),
+after AS (
+  SELECT r.oid, sum(r.rn_after) AS n_after
+  FROM ringkeep r JOIN partkeep p ON p.oid = r.oid AND p.part = r.part
+  GROUP BY r.oid)
+SELECT m.oid AS osm_id, m.parent_osm_id, m.n_points_before,
+       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_points_after
+FROM meta m LEFT JOIN after a ON a.oid = m.oid
+ORDER BY osm_id
+"""
+
+
+def simplify_mesh_stats_oracle_sql(child_level: int = 2,
+                                   tol: float = 0.05,
+                                   prepared=None) -> str:
+    """DuckDB twin of the `simplify_mesh_stats` registry query (G13):
+    the global watertight shared-edge simplification re-derived in SQL
+    from raw ring-vertex VALUES. The chain machinery replicates
+    _mesh_segments / ring_chain_pieces / _canonical_chain exactly
+    (SNAP keys, collinear-interior vertex splits, owner-set runs with
+    the first-change / min-key rotation rules, endpoint- and
+    enclave-direction canonicalization), and Douglas-Peucker is
+    replicated BIT-EXACTLY: per-interval first-argmax
+    point-to-segment distances with the kernel's clip/projection
+    expression tree, precomputed for all (a, b) pairs, then walked
+    with a recursive CTE (the keep set of the stack algorithm is
+    order-independent, so the interval tree reproduces it). Ring
+    reassembly counts apply the same >= 4-point ring and
+    outer-must-survive drop rules. The fixture mesh's rect chains
+    keep every point at this tolerance; the DP drop path itself is
+    pinned by the wiggly-chain SQL-vs-numpy parity test in
+    tests/test_oracle.py."""
+    if prepared is None:
+        from posmspark import synth
+        from posmspark.joins import prepare_boundaries
+
+        prepared = prepare_boundaries(
+            synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+    lvp = prepared.levels_pdf
+    kids = lvp[lvp.adminlevel == child_level][["osm_id", "is_in"]]
+    mesh_ids = sorted(o for o in kids.osm_id if o in prepared.polys_by_id)
+
+    vrows, meta = [], []
+    for oid in mesh_ids:
+        o = str(oid).replace("'", "''")
+        polys = prepared.polys_by_id[oid]
+        nb = sum(len(r) for rings in polys for r in rings)
+        parent = str(
+            kids.loc[kids.osm_id == oid, "is_in"].iloc[0]
+        ).replace("'", "''")
+        meta.append(f"('{o}','{parent}',{nb})")
+        for part, rings in enumerate(polys):
+            for ri, ring in enumerate(rings):
+                rr = np.asarray(ring, dtype=np.float64)
+                a = rr[:-1] if np.allclose(rr[0], rr[-1]) else rr
+                for sq in range(len(a)):
+                    vrows.append(
+                        f"('{o}',{part},{ri},{sq},"
+                        f"CAST({float(a[sq, 0])!r} AS DOUBLE),"
+                        f"CAST({float(a[sq, 1])!r} AS DOUBLE))")
+    body = SIMPLIFY_ORACLE_BODY.replace(
+        "CAST(0.05 AS DOUBLE)", f"CAST({tol!r} AS DOUBLE)"
+    ).replace("{S}", repr(SNAP))
+    return (
+        "\nWITH RECURSIVE verts(oid, part, ring, seq, x, y) AS (VALUES\n"
+        + ",".join(vrows)
+        + "),\nmeta(oid, parent_osm_id, n_points_before) AS (VALUES\n"
+        + ",".join(meta) + "),\n" + body
+    )

@@ -71,6 +71,7 @@ EXTERNAL_ORACLE_NAMES = [
     "tile_clip_areas",
     "dissolve_parents",
     "residual_holes",
+    "simplify_mesh_stats",
     "shapefile_source",
     "ann_lsh_topk",
 ]
@@ -142,3 +143,50 @@ def test_md5_draw_pair_identical(spark):
         f"(SELECT 'u' || CAST(range AS VARCHAR) AS u FROM range(200))"
     ).fetchall())
     assert got == exp
+
+
+def test_simplify_oracle_wiggly_chain_drops_points(spark):
+    """The registry fixture's rect chains keep every point at tol=0.05,
+    so the driver row alone never exercises the oracle's DP recursion.
+    Pin the drop path here: a mesh whose shared border wiggles at
+    +/-0.02 (droppable) with one 0.5 excursion (kept) must simplify,
+    and the SQL oracle must agree with simplify_mesh_global bit-exactly
+    on the kept-point counts."""
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import synth
+    from posmspark.dissolve import (simplify_mesh_global,
+                                    simplify_mesh_stats_oracle_sql)
+    from posmspark.joins import prepare_boundaries
+
+    ys = np.arange(1.0, 10.0)
+    amp = np.where(ys == 5.0, 0.5, np.where(ys % 2 == 0, 0.02, -0.02))
+    border = np.column_stack([5.0 + amp, ys])  # (5,0) .. interior .. (5,10)
+    left = np.vstack([[[0.0, 0.0], [5.0, 0.0]], border,
+                      [[5.0, 10.0], [0.0, 10.0], [0.0, 0.0]]])
+    right = np.vstack([[[5.0, 0.0], [10.0, 0.0], [10.0, 10.0], [5.0, 10.0]],
+                       border[::-1], [[5.0, 0.0]]])
+    rows = [
+        synth._row("C1", "Wiggland", "Wiggland", "2", "ww",
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 0),
+        synth._row("P1", "Wig-1", "Wig-1", "4", None,
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 1),
+        synth._row("K1", "Wig-1-W", "Wig-1-West", "6", None,
+                   "administrative", [[left]], 2),
+        synth._row("K2", "Wig-1-E", "Wig-1-East", "6", None,
+                   "administrative", [[right]], 3),
+    ]
+    prepared = prepare_boundaries(pd.DataFrame(rows),
+                                  synth.gen_admin_mapping_pdf())
+    sdf = simplify_mesh_global(spark, prepared, child_level=2, tol=0.05) \
+        .select("osm_id", "parent_osm_id", "n_points_before",
+                "n_points_after")
+    got = {r["osm_id"]: r for r in sdf.collect()}
+    assert set(got) == {"K1", "K2"}
+    for r in got.values():  # DP actually dropped the +/-0.02 wiggles
+        assert r["n_points_after"] < r["n_points_before"]
+        assert r["n_points_after"] >= 5  # but kept the 0.5 excursion
+    sql = simplify_mesh_stats_oracle_sql(prepared=prepared)
+    _compare("simplify_wiggly", sdf, _duckdb.connect(), sql)
