@@ -681,12 +681,14 @@ def oracle_sql() -> dict[str, str]:
 
     out["tile_clip_areas"] = tile_clip_areas_oracle_sql()
     from posmspark.dissolve import (dissolve_parents_oracle_sql,
+                                    dual_export_oracle_sql,
                                     residual_holes_oracle_sql,
                                     simplify_mesh_stats_oracle_sql)
 
     out["dissolve_parents"] = dissolve_parents_oracle_sql()
     out["residual_holes"] = residual_holes_oracle_sql()
     out["simplify_mesh_stats"] = simplify_mesh_stats_oracle_sql()
+    out["dual_export"] = dual_export_oracle_sql()
     from posmspark.shp import shapefile_source_oracle_sql
 
     out["shapefile_source"] = shapefile_source_oracle_sql()

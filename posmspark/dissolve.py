@@ -1734,7 +1734,7 @@ SIMPLIFY_ORACLE_BODY = r"""keyed AS (
   SELECT *, CAST(round(x / CAST({S} AS DOUBLE)) AS BIGINT) AS kx,
             CAST(round(y / CAST({S} AS DOUBLE)) AS BIGINT) AS ky
   FROM verts),
-vset AS (SELECT DISTINCT kx, ky FROM keyed),
+vset AS (SELECT DISTINCT gid, kx, ky FROM keyed),
 edges0 AS (
   SELECT k.*,
          coalesce(lead(x)  OVER we, first_value(x)  OVER we) AS bx,
@@ -1744,12 +1744,12 @@ edges0 AS (
   FROM keyed k
   WINDOW we AS (PARTITION BY oid, part, ring ORDER BY seq)),
 cand AS (
-  SELECT e.oid, e.part, e.ring, e.seq, v.kx AS vkx, v.ky AS vky,
+  SELECT e.gid, e.oid, e.part, e.ring, e.seq, v.kx AS vkx, v.ky AS vky,
          ((v.kx * CAST({S} AS DOUBLE) - e.x) * (e.bx - e.x)
           + (v.ky * CAST({S} AS DOUBLE) - e.y) * (e.by_ - e.y))
          / ((e.bx - e.x) * (e.bx - e.x)
             + (e.by_ - e.y) * (e.by_ - e.y)) AS t
-  FROM edges0 e JOIN vset v ON TRUE
+  FROM edges0 e JOIN vset v ON v.gid = e.gid
   WHERE ((e.bx - e.x) * (e.bx - e.x)
          + (e.by_ - e.y) * (e.by_ - e.y)) <> 0
     AND abs((v.kx * CAST({S} AS DOUBLE) - e.x) * (e.by_ - e.y)
@@ -1763,10 +1763,10 @@ cand2 AS (SELECT * FROM cand
           WHERE t > CAST(1e-12 AS DOUBLE) AND t < 1 - CAST(1e-12 AS DOUBLE)),
 -- split ring point sequence WITH coords (originals + snap-grid inserts)
 spts0 AS (
-  SELECT oid, part, ring, seq, 0 AS sub, kx, ky, x AS px, y AS py
+  SELECT gid, oid, part, ring, seq, 0 AS sub, kx, ky, x AS px, y AS py
   FROM edges0
   UNION ALL
-  SELECT oid, part, ring, seq,
+  SELECT gid, oid, part, ring, seq,
          row_number() OVER (PARTITION BY oid, part, ring, seq
                             ORDER BY t) AS sub,
          vkx, vky,
@@ -1791,10 +1791,11 @@ canonseg AS (
                  THEN (kx, ky, nkx, nky) ELSE (nkx, nky, kx, ky) END AS sk
   FROM sedges),
 owners AS (
-  SELECT sk, string_agg(DISTINCT oid, '|' ORDER BY oid) AS oset
-  FROM canonseg GROUP BY sk),
+  SELECT gid, sk, string_agg(DISTINCT oid, '|' ORDER BY oid) AS oset
+  FROM canonseg GROUP BY gid, sk),
 oedges AS (
-  SELECT c.*, o.oset FROM canonseg c JOIN owners o ON o.sk = c.sk),
+  SELECT c.*, o.oset FROM canonseg c
+  JOIN owners o ON o.gid = c.gid AND o.sk = c.sk),
 -- rotation start per ring
 rot AS (
   SELECT oid, part, ring,
@@ -1942,10 +1943,88 @@ after AS (
   SELECT r.oid, sum(r.rn_after) AS n_after
   FROM ringkeep r JOIN partkeep p ON p.oid = r.oid AND p.part = r.part
   GROUP BY r.oid)
+"""
+
+
+# final SELECT of the simplify_mesh_stats oracle (appended after the
+# shared CTE chain above)
+SIMPLIFY_STATS_TAIL = """
 SELECT m.oid AS osm_id, m.parent_osm_id, m.n_points_before,
        CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_points_after
 FROM meta m LEFT JOIN after a ON a.oid = m.oid
 ORDER BY osm_id
+"""
+
+
+# dual_export extension: reconstruct each simplified ring's KEPT point
+# sequence in ring order (pieces in chain order, canonical positions
+# un-flipped back to ring direction) and take its signed shoelace —
+# plus the natural variant straight off the raw verts. Drop rules
+# (rings < 4 kept points, dropped shell drops the whole part) reuse
+# ringkeep/partkeep from the shared chain.
+DUAL_ORACLE_TAIL = """,
+keptc AS (
+  SELECT oid, part, ring, piece, cpos FROM cpts
+  WHERE np < 3 OR cpos = 0 OR cpos = np - 1
+  UNION
+  SELECT s.oid, s.part, s.ring, s.piece, s.k
+  FROM dp d JOIN splits s ON s.oid = d.oid AND s.part = d.part
+   AND s.ring = d.ring AND s.piece = d.piece
+   AND s.a = d.a AND s.b = d.b AND s.d > CAST(0.05 AS DOUBLE)),
+keptp AS (
+  SELECT c.oid, c.part, c.ring, c.piece, c.px, c.py,
+         CASE WHEN f.flip THEN c.np - 1 - c.cpos ELSE c.cpos END AS rpos
+  FROM cpts c
+  JOIN keptc k2 ON k2.oid = c.oid AND k2.part = c.part
+   AND k2.ring = c.ring AND k2.piece = c.piece AND k2.cpos = c.cpos
+  JOIN pflip f ON f.oid = c.oid AND f.part = c.part
+   AND f.ring = c.ring AND f.piece = c.piece),
+sringarea AS (
+  SELECT oid, part, ring, sum(cross_t) / 2.0 AS sarea
+  FROM (SELECT oid, part, ring,
+               px * coalesce(lead(py) OVER w, first_value(py) OVER w)
+               - coalesce(lead(px) OVER w, first_value(px) OVER w) * py
+                 AS cross_t
+        FROM keptp
+        WINDOW w AS (PARTITION BY oid, part, ring ORDER BY piece, rpos))
+  GROUP BY oid, part, ring),
+simp AS (
+  SELECT k3.oid,
+         CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_points,
+         coalesce(sum(sr.sarea), 0.0) AS area
+  FROM (SELECT DISTINCT oid FROM cpts) k3
+  LEFT JOIN after a ON a.oid = k3.oid
+  LEFT JOIN (SELECT r2.oid, r2.part, r2.ring
+             FROM ringkeep r2 JOIN partkeep p2
+               ON p2.oid = r2.oid AND p2.part = r2.part) kr
+    ON kr.oid = k3.oid
+  LEFT JOIN sringarea sr
+    ON sr.oid = kr.oid AND sr.part = kr.part AND sr.ring = kr.ring
+  GROUP BY k3.oid, a.n_after),
+nring AS (
+  SELECT oid, part, ring, sum(cross_t) / 2.0 AS sarea
+  FROM (SELECT oid, part, ring,
+               x * coalesce(lead(y) OVER w, first_value(y) OVER w)
+               - coalesce(lead(x) OVER w, first_value(x) OVER w) * y
+                 AS cross_t
+        FROM verts
+        WINDOW w AS (PARTITION BY gid, oid, part, ring ORDER BY seq))
+  GROUP BY oid, part, ring),
+nat AS (
+  SELECT n.oid,
+         CAST(sum(r.n_raw) AS BIGINT) AS n_points,
+         sum(n.sarea) AS area
+  FROM nring n JOIN rnat r
+    ON r.oid = n.oid AND r.part = n.part AND r.ring = n.ring
+  GROUP BY n.oid)
+SELECT m.oid AS osm_id, m.adminlevel, v.variant,
+       v.n_points, round(v.area, 9) AS area
+FROM meta m
+JOIN (SELECT oid, 'natural' AS variant, n_points, area FROM nat
+      UNION ALL
+      SELECT oid, 'simplified', n_points, area FROM simp) v
+  ON v.oid = m.oid
+ORDER BY m.adminlevel, m.oid, v.variant
 """
 
 
@@ -1994,15 +2073,67 @@ def simplify_mesh_stats_oracle_sql(child_level: int = 2,
                 a = rr[:-1] if np.allclose(rr[0], rr[-1]) else rr
                 for sq in range(len(a)):
                     vrows.append(
-                        f"('{o}',{part},{ri},{sq},"
+                        f"(0,'{o}',{part},{ri},{sq},"
                         f"CAST({float(a[sq, 0])!r} AS DOUBLE),"
                         f"CAST({float(a[sq, 1])!r} AS DOUBLE))")
-    body = SIMPLIFY_ORACLE_BODY.replace(
+    body = (SIMPLIFY_ORACLE_BODY + SIMPLIFY_STATS_TAIL).replace(
         "CAST(0.05 AS DOUBLE)", f"CAST({tol!r} AS DOUBLE)"
     ).replace("{S}", repr(SNAP))
     return (
-        "\nWITH RECURSIVE verts(oid, part, ring, seq, x, y) AS (VALUES\n"
+        "\nWITH RECURSIVE verts(gid, oid, part, ring, seq, x, y)"
+        " AS (VALUES\n"
         + ",".join(vrows)
         + "),\nmeta(oid, parent_osm_id, n_points_before) AS (VALUES\n"
         + ",".join(meta) + "),\n" + body
+    )
+
+
+def dual_export_oracle_sql(tol: float = 0.05, n_levels: int = 4,
+                           prepared=None) -> str:
+    """DuckDB twin of the `dual_export` registry query (S9/O10): per
+    boundary feature, the natural AND shared-edge-simplified variant
+    with point counts and signed shoelace areas
+    (generate_geojson.py:203-221 dual emit). Each adminlevel is its own
+    mesh (gid) — chains and owner-sets never cross levels, exactly like
+    the per-level shared_edge_simplify loop in
+    sinks.dual_geojson_feature_df. The simplified areas come from the
+    kept-point ring reconstruction in DUAL_ORACLE_TAIL; the fixture's
+    4-edge rings keep float-sum-order differences far below the 1e-9
+    rounding grid (same argument as dissolve_parents_oracle_sql)."""
+    if prepared is None:
+        from posmspark import synth
+        from posmspark.joins import prepare_boundaries
+
+        prepared = prepare_boundaries(
+            synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+            n_levels=n_levels)
+    lvp = prepared.levels_pdf
+    vrows, meta, rnat = [], [], []
+    for r in lvp.itertuples(index=False):
+        oid = r.osm_id
+        if oid not in prepared.polys_by_id:
+            continue
+        o = str(oid).replace("'", "''")
+        lv = int(r.adminlevel)
+        meta.append(f"('{o}',{lv})")
+        for part, rings in enumerate(prepared.polys_by_id[oid]):
+            for ri, ring in enumerate(rings):
+                rr = np.asarray(ring, dtype=np.float64)
+                rnat.append(f"('{o}',{part},{ri},{len(rr)})")
+                a = rr[:-1] if np.allclose(rr[0], rr[-1]) else rr
+                for sq in range(len(a)):
+                    vrows.append(
+                        f"({lv},'{o}',{part},{ri},{sq},"
+                        f"CAST({float(a[sq, 0])!r} AS DOUBLE),"
+                        f"CAST({float(a[sq, 1])!r} AS DOUBLE))")
+    body = (SIMPLIFY_ORACLE_BODY + DUAL_ORACLE_TAIL).replace(
+        "CAST(0.05 AS DOUBLE)", f"CAST({tol!r} AS DOUBLE)"
+    ).replace("{S}", repr(SNAP))
+    return (
+        "\nWITH RECURSIVE verts(gid, oid, part, ring, seq, x, y)"
+        " AS (VALUES\n"
+        + ",".join(vrows)
+        + "),\nmeta(oid, adminlevel) AS (VALUES\n" + ",".join(meta)
+        + "),\nrnat(oid, part, ring, n_raw) AS (VALUES\n"
+        + ",".join(rnat) + "),\n" + body
     )

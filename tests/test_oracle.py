@@ -72,6 +72,7 @@ EXTERNAL_ORACLE_NAMES = [
     "dissolve_parents",
     "residual_holes",
     "simplify_mesh_stats",
+    "dual_export",
     "shapefile_source",
     "ann_lsh_topk",
 ]
@@ -190,3 +191,85 @@ def test_simplify_oracle_wiggly_chain_drops_points(spark):
         assert r["n_points_after"] >= 5  # but kept the 0.5 excursion
     sql = simplify_mesh_stats_oracle_sql(prepared=prepared)
     _compare("simplify_wiggly", sdf, _duckdb.connect(), sql)
+
+
+def test_dual_export_oracle_wiggly_and_dropped_shell(spark):
+    """dual_export oracle on the two paths the registry fixture can't
+    reach: (a) a wiggly shared border whose +/-0.02 points DP-drops
+    (simplified area != natural area), checked against
+    dual_geojson_feature_df; (b) the dropped-shell sliver mesh
+    (test_dissolve.py) where a whole part and its hole vanish, checked
+    against shared_edge_simplify + ring_area directly."""
+    import types
+
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import dissolve, geom, sinks, synth
+    from posmspark.dissolve import dual_export_oracle_sql
+    from posmspark.joins import prepare_boundaries
+    from pyspark.sql import functions as F
+
+    # (a) wiggly border mesh through the real dual export
+    ys = np.arange(1.0, 10.0)
+    amp = np.where(ys == 5.0, 0.5, np.where(ys % 2 == 0, 0.02, -0.02))
+    border = np.column_stack([5.0 + amp, ys])
+    left = np.vstack([[[0.0, 0.0], [5.0, 0.0]], border,
+                      [[5.0, 10.0], [0.0, 10.0], [0.0, 0.0]]])
+    right = np.vstack([[[5.0, 0.0], [10.0, 0.0], [10.0, 10.0], [5.0, 10.0]],
+                       border[::-1], [[5.0, 0.0]]])
+    rows = [
+        synth._row("C1", "Wiggland", "Wiggland", "2", "ww",
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 0),
+        synth._row("P1", "Wig-1", "Wig-1", "4", None,
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 1),
+        synth._row("K1", "Wig-1-W", "Wig-1-West", "6", None,
+                   "administrative", [[left]], 2),
+        synth._row("K2", "Wig-1-E", "Wig-1-East", "6", None,
+                   "administrative", [[right]], 3),
+    ]
+    prepared = prepare_boundaries(pd.DataFrame(rows),
+                                  synth.gen_admin_mapping_pdf())
+    sdf = (sinks.dual_geojson_feature_df(spark, prepared, tol=0.05)
+           .select("osm_id", "adminlevel", "variant", "n_points",
+                   F.round("area", 9).alias("area")))
+    got = {(r["osm_id"], r["variant"]): r for r in sdf.collect()}
+    # the simplified children really changed shape
+    for oid in ("K1", "K2"):
+        assert (got[(oid, "simplified")]["n_points"]
+                < got[(oid, "natural")]["n_points"])
+        assert (got[(oid, "simplified")]["area"]
+                != got[(oid, "natural")]["area"])
+    _compare("dual_wiggly", sdf, _duckdb.connect(),
+             dual_export_oracle_sql(prepared=prepared))
+
+    # (b) dropped-shell mesh: oracle vs the engine kernel directly
+    def rect(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+
+    polys = {
+        "A": [[rect(0, 0, 10, 0.01),
+               rect(1, 0.002, 9, 0.008)[::-1].copy()]],
+        "N": [[rect(0, -1, 10, 0)]],
+        "E1": [[rect(1, 0.002, 3, 0.008)]],
+        "E2": [[rect(3, 0.002, 6, 0.008)]],
+        "E3": [[rect(6, 0.002, 9, 0.008)]],
+    }
+    fake = types.SimpleNamespace(
+        levels_pdf=pd.DataFrame({"osm_id": sorted(polys),
+                                 "adminlevel": [2] * len(polys)}),
+        polys_by_id=polys)
+    simplified = dissolve.shared_edge_simplify(polys, tol=0.05)
+    assert simplified["A"] == []  # the interesting case: whole part drops
+    exp = []
+    for variant, geoms in (("natural", polys), ("simplified", simplified)):
+        for oid in sorted(polys):
+            ps = geoms[oid]
+            exp.append((oid, 2, variant,
+                        int(sum(len(r) for rs in ps for r in rs)),
+                        round(sum(geom.ring_area(r)
+                                  for rs in ps for r in rs), 9)))
+    orc = _duckdb.connect().execute(
+        dual_export_oracle_sql(prepared=fake)).fetchall()
+    assert sorted(exp) == sorted(tuple(r) for r in orc)
