@@ -626,6 +626,7 @@ _VERIFY_FIRST = [
     "dissolve_parents",       # r05: NEW mesh-cancellation SQL oracle
     "residual_holes",         # r05: NEW mesh-cancellation SQL oracle
     "simplify_mesh_stats",    # shares the dissolve mesh machinery
+    "dual_export",            # r05: NEW kept-point shoelace SQL oracle
     "tile_clip_areas",        # r05: per-cell rows + bit-exact SQL oracle
     "pip_assignment",         # anchor oracle for the new rollup oracles
     "pip_tile_rollup",
@@ -692,6 +693,9 @@ def oracle_sql() -> dict[str, str]:
     from posmspark.shp import shapefile_source_oracle_sql
 
     out["shapefile_source"] = shapefile_source_oracle_sql()
+    from posmspark.sinks import poly_export_oracle_sql
+
+    out["poly_export"] = poly_export_oracle_sql()
     from posmspark.ann import lsh_topk_oracle_sql
 
     out["ann_lsh_topk"] = lsh_topk_oracle_sql(

@@ -1608,8 +1608,8 @@ def _mesh_vert_values(groups) -> str:
                     for q in range(len(a)):
                         rows.append(
                             f"('{g}','{o}',{part},{ri},{q},"
-                            f"CAST({float(a[q, 0])!r} AS DOUBLE),"
-                            f"CAST({float(a[q, 1])!r} AS DOUBLE))")
+                            f"CAST('{float(a[q, 0])!r}' AS DOUBLE),"
+                            f"CAST('{float(a[q, 1])!r}' AS DOUBLE))")
     return ",\n".join(rows)
 
 
@@ -2074,8 +2074,8 @@ def simplify_mesh_stats_oracle_sql(child_level: int = 2,
                 for sq in range(len(a)):
                     vrows.append(
                         f"(0,'{o}',{part},{ri},{sq},"
-                        f"CAST({float(a[sq, 0])!r} AS DOUBLE),"
-                        f"CAST({float(a[sq, 1])!r} AS DOUBLE))")
+                        f"CAST('{float(a[sq, 0])!r}' AS DOUBLE),"
+                        f"CAST('{float(a[sq, 1])!r}' AS DOUBLE))")
     body = (SIMPLIFY_ORACLE_BODY + SIMPLIFY_STATS_TAIL).replace(
         "CAST(0.05 AS DOUBLE)", f"CAST({tol!r} AS DOUBLE)"
     ).replace("{S}", repr(SNAP))
@@ -2124,8 +2124,8 @@ def dual_export_oracle_sql(tol: float = 0.05, n_levels: int = 4,
                 for sq in range(len(a)):
                     vrows.append(
                         f"({lv},'{o}',{part},{ri},{sq},"
-                        f"CAST({float(a[sq, 0])!r} AS DOUBLE),"
-                        f"CAST({float(a[sq, 1])!r} AS DOUBLE))")
+                        f"CAST('{float(a[sq, 0])!r}' AS DOUBLE),"
+                        f"CAST('{float(a[sq, 1])!r}' AS DOUBLE))")
     body = (SIMPLIFY_ORACLE_BODY + DUAL_ORACLE_TAIL).replace(
         "CAST(0.05 AS DOUBLE)", f"CAST({tol!r} AS DOUBLE)"
     ).replace("{S}", repr(SNAP))

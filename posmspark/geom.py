@@ -326,15 +326,20 @@ def douglas_peucker(ring: np.ndarray, tol: float) -> np.ndarray:
         a, b = stack.pop()
         if b - a < 2:
             continue
+        # explicit mul+add (not `@`): BLAS dot may contract with FMA,
+        # which flips near-tied argmax picks vs the DuckDB oracle's
+        # mirrored expression tree (found on a symmetric-circle fixture)
         seg = pts[b] - pts[a]
         mid = pts[a + 1:b] - pts[a]
-        seglen2 = float(seg @ seg)
+        seglen2 = float(seg[0] * seg[0] + seg[1] * seg[1])
         if seglen2 == 0.0:
-            d = np.sqrt((mid**2).sum(axis=1))
+            d = np.sqrt(mid[:, 0] * mid[:, 0] + mid[:, 1] * mid[:, 1])
         else:
-            t = np.clip((mid @ seg) / seglen2, 0.0, 1.0)
-            proj = np.outer(t, seg)
-            d = np.sqrt(((mid - proj) ** 2).sum(axis=1))
+            t = np.clip((mid[:, 0] * seg[0] + mid[:, 1] * seg[1]) / seglen2,
+                        0.0, 1.0)
+            dx = mid[:, 0] - t * seg[0]
+            dy = mid[:, 1] - t * seg[1]
+            d = np.sqrt(dx * dx + dy * dy)
         imax = int(np.argmax(d))
         if d[imax] > tol:
             k = a + 1 + imax

@@ -299,3 +299,213 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+POLY_ORACLE_BODY = r"""
+dir AS (
+  SELECT oid, part, CASE WHEN sum(ct) > 0 THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+  FROM (SELECT oid, part,
+               x * coalesce(lead(y) OVER wd, first_value(y) OVER wd)
+               - coalesce(lead(x) OVER wd, first_value(x) OVER wd) * y AS ct
+        FROM verts WINDOW wd AS (PARTITION BY oid, part ORDER BY seq))
+  GROUP BY oid, part),
+nbr AS (
+  SELECT v.*,
+         v.x - coalesce(lag(v.x)  OVER wn, last_value(v.x)  OVER wnf) AS e1x,
+         v.y - coalesce(lag(v.y)  OVER wn, last_value(v.y)  OVER wnf) AS e1y,
+         coalesce(lead(v.x) OVER wn, first_value(v.x) OVER wnf) - v.x AS e2x,
+         coalesce(lead(v.y) OVER wn, first_value(v.y) OVER wnf) - v.y AS e2y
+  FROM verts v
+  WINDOW wn AS (PARTITION BY oid, part ORDER BY seq),
+         wnf AS (PARTITION BY oid, part ORDER BY seq
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)),
+-- unit edge tangents (zero-length guard 1.0), outward normals
+-- (right normal for CCW, negated otherwise), vertex normal sum,
+-- renormalized, offset by DIST: bit-for-bit geom.buffer_ring
+bufp AS (
+  SELECT oid, part, seq,
+         x + nvx / lnv * CAST({DIST} AS DOUBLE) AS bx,
+         y + nvy / lnv * CAST({DIST} AS DOUBLE) AS by_
+  FROM (SELECT *, CASE WHEN sqrt(nvx * nvx + nvy * nvy) = 0
+                       THEN CAST(1.0 AS DOUBLE)
+                       ELSE sqrt(nvx * nvx + nvy * nvy) END AS lnv
+        FROM (SELECT n2.oid, n2.part, n2.seq, n2.x, n2.y,
+                     d.sgn * (e1y / l1) + d.sgn * (e2y / l2) AS nvx,
+                     d.sgn * (-(e1x / l1)) + d.sgn * (-(e2x / l2)) AS nvy
+              FROM (SELECT *,
+                      CASE WHEN sqrt(e1x * e1x + e1y * e1y) = 0
+                           THEN CAST(1.0 AS DOUBLE)
+                           ELSE sqrt(e1x * e1x + e1y * e1y) END AS l1,
+                      CASE WHEN sqrt(e2x * e2x + e2y * e2y) = 0
+                           THEN CAST(1.0 AS DOUBLE)
+                           ELSE sqrt(e2x * e2x + e2y * e2y) END AS l2
+                    FROM nbr) n2
+              JOIN dir d ON d.oid = n2.oid AND d.part = n2.part))),
+bn AS (SELECT oid, part, count(*) AS n FROM bufp GROUP BY oid, part),
+-- closed buffered ring: indices 0..n with point n = point 0
+bufc AS (
+  SELECT * FROM bufp
+  UNION ALL
+  SELECT b.oid, b.part, n.n, b.bx, b.by_
+  FROM bufp b JOIN bn n ON n.oid = b.oid AND n.part = b.part
+  WHERE b.seq = 0),
+-- Douglas-Peucker on the closed ring: geom.douglas_peucker's exact
+-- clip/projection kernel, first-argmax splits, recursive intervals
+ivals AS (
+  SELECT c.oid, c.part, a.a, b.b
+  FROM bn c,
+       LATERAL (SELECT unnest(generate_series(0, c.n)) AS a) a,
+       LATERAL (SELECT unnest(generate_series(0, c.n)) AS b) b
+  WHERE b.b > a.a + 1),
+idist AS MATERIALIZED (
+  SELECT oid, part, a, b, k,
+         CASE WHEN sl2 = 0 THEN sqrt(mx * mx + my * my)
+              ELSE sqrt((mx - tt * sx) * (mx - tt * sx)
+                        + (my - tt * sy) * (my - tt * sy)) END AS d
+  FROM (
+    SELECT *, least(greatest((mx * sx + my * sy)
+                             / (CASE WHEN sl2 = 0 THEN 1 ELSE sl2 END),
+                             CAST(0.0 AS DOUBLE)),
+                    CAST(1.0 AS DOUBLE)) AS tt
+    FROM (
+      SELECT i.oid, i.part, i.a, i.b, j.seq AS k,
+             j.bx - pa.bx AS mx, j.by_ - pa.by_ AS my,
+             pb.bx - pa.bx AS sx, pb.by_ - pa.by_ AS sy,
+             (pb.bx - pa.bx) * (pb.bx - pa.bx)
+             + (pb.by_ - pa.by_) * (pb.by_ - pa.by_) AS sl2
+      FROM ivals i
+      JOIN bufc pa ON pa.oid = i.oid AND pa.part = i.part AND pa.seq = i.a
+      JOIN bufc pb ON pb.oid = i.oid AND pb.part = i.part AND pb.seq = i.b
+      JOIN bufc j ON j.oid = i.oid AND j.part = i.part
+                 AND j.seq > i.a AND j.seq < i.b))),
+splits AS MATERIALIZED (
+  SELECT oid, part, a, b, k, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY oid, part, a, b
+                                 ORDER BY d DESC, k) AS rn
+    FROM idist) WHERE rn = 1),
+dp(oid, part, a, b) AS (
+  SELECT oid, part, 0, n FROM bn WHERE n + 1 >= 3
+  UNION ALL
+  SELECT s.oid, s.part, u.lo, u.hi
+  FROM dp d2
+  JOIN splits s ON s.oid = d2.oid AND s.part = d2.part
+               AND s.a = d2.a AND s.b = d2.b
+               AND s.d > CAST({TOL} AS DOUBLE)
+  , LATERAL (SELECT s.a AS lo, s.k AS hi UNION ALL SELECT s.k, s.b) u),
+keptseq AS (
+  SELECT oid, part, 0 AS seq FROM bn
+  UNION
+  SELECT oid, part, n FROM bn
+  UNION
+  SELECT s.oid, s.part, s.k
+  FROM dp d3 JOIN splits s ON s.oid = d3.oid AND s.part = d3.part
+   AND s.a = d3.a AND s.b = d3.b AND s.d > CAST({TOL} AS DOUBLE)),
+-- simplify_ring_closed fallback: < 4 kept (or < 3 input) keeps ALL
+keptn AS (
+  SELECT k.oid, k.part, count(*) AS nk, any_value(n.n) AS n
+  FROM keptseq k JOIN bn n ON n.oid = k.oid AND n.part = k.part
+  GROUP BY k.oid, k.part),
+kept AS (
+  SELECT c.oid, c.part, c.seq, c.bx, c.by_,
+         row_number() OVER (PARTITION BY c.oid, c.part
+                            ORDER BY c.seq) AS ord
+  FROM bufc c
+  JOIN keptn kn ON kn.oid = c.oid AND kn.part = c.part
+  LEFT JOIN keptseq ks ON ks.oid = c.oid AND ks.part = c.part
+                      AND ks.seq = c.seq
+  WHERE kn.nk < 4 OR kn.n + 1 < 3 OR ks.seq IS NOT NULL),
+-- containment check (prepare_outline iteration-1 termination): every
+-- original vertex even-odd inside its feature's simplified outline
+kedge AS (
+  SELECT oid, part, bx AS ux, by_ AS uy,
+         coalesce(lead(bx) OVER wk, first_value(bx) OVER wk) AS vx,
+         coalesce(lead(by_) OVER wk, first_value(by_) OVER wk) AS vy
+  FROM kept WINDOW wk AS (PARTITION BY oid, part ORDER BY ord)),
+pin AS (
+  SELECT p.oid, p.pseq, e.part,
+         sum(CASE WHEN (e.uy > p.py) <> (e.vy > p.py)
+                   AND p.px < (e.vx - e.ux) * (p.py - e.uy)
+                             / (e.vy - e.uy) + e.ux
+                  THEN 1 ELSE 0 END) % 2 = 1 AS inside
+  FROM origp p JOIN kedge e ON e.oid = p.oid
+  GROUP BY p.oid, p.pseq, e.part),
+contain AS (
+  SELECT oid, bool_and(any_inside) AS all_in
+  FROM (SELECT oid, pseq, bool_or(inside) AS any_inside
+        FROM pin GROUP BY oid, pseq)
+  GROUP BY oid),
+lines AS (
+  SELECT oid, part, CAST(0 AS BIGINT) AS lseq, '1' AS line FROM bn
+  UNION ALL
+  SELECT oid, part, ord, printf('   %.6E   %.6E', bx, by_) FROM kept
+  UNION ALL
+  SELECT k.oid, k.part, max(k.ord) + 1, 'END'
+  FROM kept k GROUP BY k.oid, k.part),
+ptext AS (
+  SELECT oid, string_agg(line, chr(10) ORDER BY part, lseq) AS body
+  FROM lines GROUP BY oid)
+SELECT m.oid AS osm_id, m.pname AS poly_name,
+       CASE WHEN c.all_in
+            THEN m.pname || chr(10) || t.body || chr(10) || 'END'
+                 || chr(10)
+            ELSE '__ORACLE_CONTAINMENT_ITER_GT_1__' END AS poly_text
+FROM meta m
+JOIN ptext t ON t.oid = m.oid
+JOIN contain c ON c.oid = m.oid
+ORDER BY osm_id
+"""
+
+
+def poly_export_oracle_sql(level: int = 0, buffer_distance: float = 0.1,
+                           simplify_distance: float = 0.01,
+                           prepared=None) -> str:
+    """DuckDB twin of the `poly_export` registry query (S10,
+    extract_poly.py:51-69,116-137): re-derives the BYTE-EXACT .poly
+    text in SQL — vertex-normal buffer (IEEE div/sqrt are correctly
+    rounded in both engines, so every offset coordinate is
+    bit-identical), Douglas-Peucker with geom.douglas_peucker's
+    clip/projection expression tree, and printf('%.6E') which matches
+    Python's %-formatting byte-for-byte (pinned in tests). The adaptive
+    containment loop terminates on iteration 1 iff every original
+    vertex falls inside the simplified outline; the oracle derives that
+    check in SQL and emits a sentinel (guaranteed driver mismatch) if a
+    fixture ever needed iteration 2, rather than silently echoing."""
+    if prepared is None:
+        from posmspark import synth
+        from posmspark.joins import prepare_boundaries
+
+        prepared = prepare_boundaries(
+            synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+    lvp = prepared.levels_pdf
+    vrows, meta, orig = [], [], []
+    for r in lvp[lvp.adminlevel == level].itertuples(index=False):
+        oid = r.osm_id
+        o = str(oid).replace("'", "''")
+        pname = (f"{r.iso3166}_{oid}" if isinstance(r.iso3166, str)
+                 else str(oid))
+        meta.append(f"('{o}','{pname}')")
+        pseq = 0
+        for part, rings in enumerate(prepared.polys_by_id[oid]):
+            outer = np.asarray(rings[0], dtype=np.float64)
+            for sq, (x, y) in enumerate(outer[:-1]):
+                vrows.append(f"('{o}',{part},{sq},"
+                             f"CAST('{float(x)!r}' AS DOUBLE),"
+                             f"CAST('{float(y)!r}' AS DOUBLE))")
+            for ring in rings:
+                for x, y in np.asarray(ring, dtype=np.float64):
+                    orig.append(f"('{o}',{pseq},"
+                                f"CAST('{float(x)!r}' AS DOUBLE),"
+                                f"CAST('{float(y)!r}' AS DOUBLE))")
+                    pseq += 1
+    body = POLY_ORACLE_BODY.replace(
+        "{DIST}", repr(float(buffer_distance))).replace(
+        "{TOL}", repr(float(simplify_distance)))
+    return (
+        "\nWITH RECURSIVE verts(oid, part, seq, x, y) AS (VALUES\n"
+        + ",".join(vrows)
+        + "),\norigp(oid, pseq, px, py) AS (VALUES\n" + ",".join(orig)
+        + "),\nmeta(oid, pname) AS (VALUES\n" + ",".join(meta) + "),"
+        + body
+    )

@@ -73,6 +73,7 @@ EXTERNAL_ORACLE_NAMES = [
     "residual_holes",
     "simplify_mesh_stats",
     "dual_export",
+    "poly_export",
     "shapefile_source",
     "ann_lsh_topk",
 ]
@@ -273,3 +274,36 @@ def test_dual_export_oracle_wiggly_and_dropped_shell(spark):
     orc = _duckdb.connect().execute(
         dual_export_oracle_sql(prepared=fake)).fetchall()
     assert sorted(exp) == sorted(tuple(r) for r in orc)
+
+
+def test_poly_export_oracle_circle_byte_exact(spark):
+    """poly_export oracle on irrational coordinates where DP actually
+    drops points: an 80-vertex circle country. The buffered outline's
+    two-segment chord deviations (~0.007) sit under the 0.01 tolerance, so the
+    simplified ring is a strict subset — and the .poly text must still
+    be BYTE-identical between the Spark sink and the SQL re-derivation
+    (vertex-normal buffer arithmetic, DP keep set, printf %.6E)."""
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import sinks, synth
+    from posmspark.joins import prepare_boundaries
+
+    t = np.linspace(0.0, 2 * np.pi, 81)
+    circ = np.column_stack([30 + 2.1 * np.cos(t), -20 + 2.1 * np.sin(t)])
+    circ[-1] = circ[0]
+    rows = [synth._row("C9", "Roundland", "Roundland", "2", "rr",
+                       "administrative", [[circ]], 0)]
+    prepared = prepare_boundaries(pd.DataFrame(rows),
+                                  synth.gen_admin_mapping_pdf())
+    got = {r["osm_id"]: r for r in
+           sinks.poly_export_df(spark, prepared, level=0).collect()}
+    orc = {r[0]: r for r in _duckdb.connect().execute(
+        sinks.poly_export_oracle_sql(prepared=prepared)).fetchall()}
+    assert set(got) == set(orc) == {"C9"}
+    assert got["C9"]["poly_name"] == orc["C9"][1] == "RR_C9"
+    assert got["C9"]["poly_text"] == orc["C9"][2]
+    # the DP drop path really ran: fewer points than the buffered ring
+    n_lines = got["C9"]["poly_text"].count("\n")
+    assert 4 + 4 <= n_lines < 81 + 4
