@@ -1455,15 +1455,17 @@ def _mesh_oracle_ctes(vert_values: str, nch_values: str) -> str:
     points_in_rings). Verified against _mesh_segments /
     dissolve_by_parent / residual_by_parent on the full fixture mesh.
     """
-    s = f"CAST({SNAP!r} AS DOUBLE)"
+    s = f"CAST('{SNAP!r}' AS DOUBLE)"
     return f"""
 WITH RECURSIVE verts(gid, oid, part, ring, seq, x, y) AS (VALUES
 {vert_values}),
 nch(gid, n_children) AS (VALUES
 {nch_values}),
 keyed AS (
-  SELECT *, CAST(round(x / {s}) AS BIGINT) AS kx,
-            CAST(round(y / {s}) AS BIGINT) AS ky
+  -- CAST(double AS BIGINT) rounds ties-to-even in DuckDB == Python
+  -- round() in the engine's _key; round() would be half-away-from-zero
+  SELECT *, CAST(x / {s} AS BIGINT) AS kx,
+            CAST(y / {s} AS BIGINT) AS ky
   FROM verts),
 vset AS (SELECT DISTINCT gid, kx, ky FROM keyed),
 edges AS (
@@ -1680,7 +1682,7 @@ def residual_holes_oracle_sql() -> str:
         groups.append((parent, members))
         p = str(parent).replace("'", "''")
         nch.append(f"('{p}', {len(cs)})")
-    s = f"CAST({SNAP!r} AS DOUBLE)"
+    s = f"CAST('{SNAP!r}' AS DOUBLE)"
     return _mesh_oracle_ctes(_mesh_vert_values(groups),
                              ",\n".join(nch)) + f""",
 outers AS (
@@ -1728,11 +1730,75 @@ FROM nch n LEFT JOIN polyarea p
 """
 
 
+
+def dp_interval_ctes(keys: list[str], pos: str, x: str, y: str,
+                     pts: str, dom: str, tol: str) -> str:
+    """ONE copy of the bit-exactness-critical Douglas-Peucker interval
+    SQL (ivals/idist/splits/dp): geom.douglas_peucker's exact
+    clip/projection expression tree, first-argmax split selection
+    (ORDER BY d DESC, k == numpy first-argmax), and the recursive
+    interval walk whose keep set equals the stack algorithm's.
+    Parameterized by partition keys, position/coordinate columns, the
+    source points CTE, a domain subquery yielding keys + hi (last
+    position), and the tolerance SQL expression. Shared by
+    SIMPLIFY_ORACLE_BODY / DUAL_ORACLE_TAIL (dissolve) and
+    POLY_ORACLE_BODY (sinks) so a kernel fix can never drift between
+    the two (self-review r05)."""
+    K = ", ".join(keys)
+    def eq(a: str, b: str) -> str:
+        return " AND ".join(f"{a}.{k} = {b}.{k}" for k in keys)
+    iK = ", ".join(f"i.{k}" for k in keys)
+    sK = ", ".join(f"s.{k}" for k in keys)
+    return f"""ivals AS (
+  SELECT c.*, a.a, b.b
+  FROM ({dom}) c,
+       LATERAL (SELECT unnest(generate_series(0, c.hi)) AS a) a,
+       LATERAL (SELECT unnest(generate_series(0, c.hi)) AS b) b
+  WHERE b.b > a.a + 1),
+idist AS MATERIALIZED (
+  SELECT {K}, a, b, k,
+         CASE WHEN sl2 = 0 THEN sqrt(mx * mx + my * my)
+              ELSE sqrt((mx - tt * sx) * (mx - tt * sx)
+                        + (my - tt * sy) * (my - tt * sy)) END AS d
+  FROM (
+    SELECT *, least(greatest((mx * sx + my * sy)
+                             / (CASE WHEN sl2 = 0 THEN 1 ELSE sl2 END),
+                             CAST(0.0 AS DOUBLE)),
+                    CAST(1.0 AS DOUBLE)) AS tt
+    FROM (
+      SELECT {iK}, i.a, i.b, pj.{pos} AS k,
+             pj.{x} - pa.{x} AS mx, pj.{y} - pa.{y} AS my,
+             pb.{x} - pa.{x} AS sx, pb.{y} - pa.{y} AS sy,
+             (pb.{x} - pa.{x}) * (pb.{x} - pa.{x})
+             + (pb.{y} - pa.{y}) * (pb.{y} - pa.{y}) AS sl2
+      FROM ivals i
+      JOIN {pts} pa ON {eq("pa", "i")} AND pa.{pos} = i.a
+      JOIN {pts} pb ON {eq("pb", "i")} AND pb.{pos} = i.b
+      JOIN {pts} pj ON {eq("pj", "i")} AND pj.{pos} > i.a
+                   AND pj.{pos} < i.b))),
+splits AS MATERIALIZED (
+  SELECT {K}, a, b, k, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY {K}, a, b
+                                 ORDER BY d DESC, k) AS rn
+    FROM idist) WHERE rn = 1),
+dp({K}, a, b) AS (
+  SELECT {K}, 0, hi FROM ({dom}) WHERE hi >= 2
+  UNION ALL
+  SELECT {sK}, u.lo, u.hi
+  FROM dp d2
+  JOIN splits s ON {eq("s", "d2")}
+               AND s.a = d2.a AND s.b = d2.b AND s.d > {tol}
+  , LATERAL (SELECT s.a AS lo, s.k AS hi UNION ALL
+             SELECT s.k, s.b) u)"""
+
+
 # SQL body shared by simplify_mesh_stats_oracle_sql (built from
 # the verified prototype; VALUES heads are prepended per call)
 SIMPLIFY_ORACLE_BODY = r"""keyed AS (
-  SELECT *, CAST(round(x / CAST({S} AS DOUBLE)) AS BIGINT) AS kx,
-            CAST(round(y / CAST({S} AS DOUBLE)) AS BIGINT) AS ky
+  -- CAST(double AS BIGINT) rounds ties-to-even in DuckDB == Python
+  -- round() in the engine's _key; round() would be half-away-from-zero
+  SELECT *, CAST(x / CAST({S} AS DOUBLE) AS BIGINT) AS kx,
+            CAST(y / CAST({S} AS DOUBLE) AS BIGINT) AS ky
   FROM verts),
 vset AS (SELECT DISTINCT gid, kx, ky FROM keyed),
 edges0 AS (
@@ -1768,15 +1834,24 @@ spts0 AS (
   UNION ALL
   SELECT gid, oid, part, ring, seq,
          row_number() OVER (PARTITION BY oid, part, ring, seq
-                            ORDER BY t) AS sub,
+                            ORDER BY t, vkx, vky) AS sub,
          vkx, vky,
          vkx * CAST({S} AS DOUBLE), vky * CAST({S} AS DOUBLE)
   FROM cand2),
+-- collapse consecutive same-key points (engine keep-mask in
+-- _split_ring_at_vertices: zero-length segments would register no
+-- owner and split chains)
+spts0d AS (
+  SELECT * FROM (
+    SELECT *, lag(kx) OVER wdd AS lkx, lag(ky) OVER wdd AS lky
+    FROM spts0
+    WINDOW wdd AS (PARTITION BY gid, oid, part, ring ORDER BY seq, sub))
+  WHERE lkx IS NULL OR kx <> lkx OR ky <> lky),
 spts AS (
   SELECT *, row_number() OVER (PARTITION BY oid, part, ring
                                ORDER BY seq, sub) - 1 AS pos,
             count(*) OVER (PARTITION BY oid, part, ring) AS n
-  FROM spts0),
+  FROM spts0d),
 -- per-edge (pos -> pos+1 wrap) canonical segment + owner sets
 sedges AS (
   SELECT s.*, 
@@ -1867,56 +1942,7 @@ cpts AS MATERIALIZED (
   FROM ppts q JOIN pflip f
     ON f.oid = q.oid AND f.part = q.part AND f.ring = q.ring
    AND f.piece = q.piece),
--- all-pairs DP interval stats: for (a, b), first-argmax interior dist
-ivals AS (
-  SELECT c.oid, c.part, c.ring, c.piece, a.a, b.b
-  FROM (SELECT DISTINCT oid, part, ring, piece, np FROM cpts) c,
-       LATERAL (SELECT unnest(generate_series(0, c.np - 1)) AS a) a,
-       LATERAL (SELECT unnest(generate_series(0, c.np - 1)) AS b) b
-  WHERE b.b > a.a + 1),
-idist AS MATERIALIZED (
-  SELECT oid, part, ring, piece, a, b, k,
-         CASE WHEN sl2 = 0 THEN sqrt(mx * mx + my * my)
-              ELSE sqrt((mx - tt * sx) * (mx - tt * sx)
-                        + (my - tt * sy) * (my - tt * sy)) END AS d
-  FROM (
-    SELECT *, least(greatest((mx * sx + my * sy)
-                             / (CASE WHEN sl2 = 0 THEN 1 ELSE sl2 END),
-                             CAST(0.0 AS DOUBLE)),
-                    CAST(1.0 AS DOUBLE)) AS tt
-    FROM (
-      SELECT i.oid, i.part, i.ring, i.piece, i.a, i.b, j.cpos AS k,
-             j.px - pa.px AS mx, j.py - pa.py AS my,
-             pb.px - pa.px AS sx, pb.py - pa.py AS sy,
-             (pb.px - pa.px) * (pb.px - pa.px)
-             + (pb.py - pa.py) * (pb.py - pa.py) AS sl2
-      FROM ivals i
-      JOIN cpts pa ON pa.oid = i.oid AND pa.part = i.part
-                  AND pa.ring = i.ring AND pa.piece = i.piece
-                  AND pa.cpos = i.a
-      JOIN cpts pb ON pb.oid = i.oid AND pb.part = i.part
-                  AND pb.ring = i.ring AND pb.piece = i.piece
-                  AND pb.cpos = i.b
-      JOIN cpts j ON j.oid = i.oid AND j.part = i.part
-                 AND j.ring = i.ring AND j.piece = i.piece
-                 AND j.cpos > i.a AND j.cpos < i.b))),
-splits AS MATERIALIZED (
-  SELECT oid, part, ring, piece, a, b, k, d FROM (
-    SELECT *, row_number() OVER (PARTITION BY oid, part, ring, piece, a, b
-                                 ORDER BY d DESC, k) AS rn
-    FROM idist) WHERE rn = 1),
-dp(oid, part, ring, piece, a, b) AS (
-  SELECT oid, part, ring, piece, 0, np - 1
-  FROM (SELECT DISTINCT oid, part, ring, piece, np FROM cpts)
-  WHERE np >= 3
-  UNION ALL
-  SELECT s.oid, s.part, s.ring, s.piece, u.lo, u.hi
-  FROM dp d2
-  JOIN splits s ON s.oid = d2.oid AND s.part = d2.part
-               AND s.ring = d2.ring AND s.piece = d2.piece
-               AND s.a = d2.a AND s.b = d2.b AND s.d > CAST(0.05 AS DOUBLE)
-  , LATERAL (SELECT s.a AS lo, s.k AS hi UNION ALL
-             SELECT s.k, s.b) u),
+{DP_CTES},
 dpsplit AS (
   SELECT d3.oid, d3.part, d3.ring, d3.piece, count(*) AS nsplit
   FROM dp d3
@@ -1944,6 +1970,14 @@ after AS (
   FROM ringkeep r JOIN partkeep p ON p.oid = r.oid AND p.part = r.part
   GROUP BY r.oid)
 """
+SIMPLIFY_ORACLE_BODY = SIMPLIFY_ORACLE_BODY.replace(
+    "{DP_CTES}", dp_interval_ctes(
+        keys=["oid", "part", "ring", "piece"], pos="cpos",
+        x="px", y="py", pts="cpts",
+        dom="SELECT DISTINCT oid, part, ring, piece, np - 1 AS hi"
+            " FROM cpts",
+        tol="CAST(0.05 AS DOUBLE)"))
+
 
 
 # final SELECT of the simplify_mesh_stats oracle (appended after the
@@ -2047,7 +2081,16 @@ def simplify_mesh_stats_oracle_sql(child_level: int = 2,
     outer-must-survive drop rules. The fixture mesh's rect chains
     keep every point at this tolerance; the DP drop path itself is
     pinned by the wiggly-chain SQL-vs-numpy parity test in
-    tests/test_oracle.py."""
+    tests/test_oracle.py.
+
+    Known oracle limitation (self-review r05): at a T-junction whose
+    junction vertex does NOT round-trip through the snap grid
+    (raw != key*SNAP, i.e. off-grid coordinates), the engine
+    deduplicates the two owners' chains to ONE coordinate array
+    (byte-min / first-cached) before DP, while this oracle runs DP on
+    each owner's own array — a near-tied DP decision could then differ
+    by owner. No current fixture has off-grid T-junctions; a fixture
+    that adds one must also port the engine's dedupe rule here."""
     if prepared is None:
         from posmspark import synth
         from posmspark.joins import prepare_boundaries
@@ -2063,10 +2106,13 @@ def simplify_mesh_stats_oracle_sql(child_level: int = 2,
         o = str(oid).replace("'", "''")
         polys = prepared.polys_by_id[oid]
         nb = sum(len(r) for rings in polys for r in rings)
-        parent = str(
-            kids.loc[kids.osm_id == oid, "is_in"].iloc[0]
-        ).replace("'", "''")
-        meta.append(f"('{o}','{parent}',{nb})")
+        pv = kids.loc[kids.osm_id == oid, "is_in"].iloc[0]
+        if pv is None or (isinstance(pv, float) and pv != pv):
+            # engine emits SQL NULL for an orphan, not the string 'None'
+            psql = "CAST(NULL AS VARCHAR)"
+        else:
+            psql = "'" + str(pv).replace("'", "''") + "'"
+        meta.append(f"('{o}',{psql},{nb})")
         for part, rings in enumerate(polys):
             for ri, ring in enumerate(rings):
                 rr = np.asarray(ring, dtype=np.float64)
@@ -2077,8 +2123,8 @@ def simplify_mesh_stats_oracle_sql(child_level: int = 2,
                         f"CAST('{float(a[sq, 0])!r}' AS DOUBLE),"
                         f"CAST('{float(a[sq, 1])!r}' AS DOUBLE))")
     body = (SIMPLIFY_ORACLE_BODY + SIMPLIFY_STATS_TAIL).replace(
-        "CAST(0.05 AS DOUBLE)", f"CAST({tol!r} AS DOUBLE)"
-    ).replace("{S}", repr(SNAP))
+        "CAST(0.05 AS DOUBLE)", f"CAST('{tol!r}' AS DOUBLE)"
+    ).replace("{S}", f"'{SNAP!r}'")
     return (
         "\nWITH RECURSIVE verts(gid, oid, part, ring, seq, x, y)"
         " AS (VALUES\n"
@@ -2127,8 +2173,8 @@ def dual_export_oracle_sql(tol: float = 0.05, n_levels: int = 4,
                         f"CAST('{float(a[sq, 0])!r}' AS DOUBLE),"
                         f"CAST('{float(a[sq, 1])!r}' AS DOUBLE))")
     body = (SIMPLIFY_ORACLE_BODY + DUAL_ORACLE_TAIL).replace(
-        "CAST(0.05 AS DOUBLE)", f"CAST({tol!r} AS DOUBLE)"
-    ).replace("{S}", repr(SNAP))
+        "CAST(0.05 AS DOUBLE)", f"CAST('{tol!r}' AS DOUBLE)"
+    ).replace("{S}", f"'{SNAP!r}'")
     return (
         "\nWITH RECURSIVE verts(gid, oid, part, ring, seq, x, y)"
         " AS (VALUES\n"

@@ -351,49 +351,8 @@ bufc AS (
   SELECT b.oid, b.part, n.n, b.bx, b.by_
   FROM bufp b JOIN bn n ON n.oid = b.oid AND n.part = b.part
   WHERE b.seq = 0),
--- Douglas-Peucker on the closed ring: geom.douglas_peucker's exact
--- clip/projection kernel, first-argmax splits, recursive intervals
-ivals AS (
-  SELECT c.oid, c.part, a.a, b.b
-  FROM bn c,
-       LATERAL (SELECT unnest(generate_series(0, c.n)) AS a) a,
-       LATERAL (SELECT unnest(generate_series(0, c.n)) AS b) b
-  WHERE b.b > a.a + 1),
-idist AS MATERIALIZED (
-  SELECT oid, part, a, b, k,
-         CASE WHEN sl2 = 0 THEN sqrt(mx * mx + my * my)
-              ELSE sqrt((mx - tt * sx) * (mx - tt * sx)
-                        + (my - tt * sy) * (my - tt * sy)) END AS d
-  FROM (
-    SELECT *, least(greatest((mx * sx + my * sy)
-                             / (CASE WHEN sl2 = 0 THEN 1 ELSE sl2 END),
-                             CAST(0.0 AS DOUBLE)),
-                    CAST(1.0 AS DOUBLE)) AS tt
-    FROM (
-      SELECT i.oid, i.part, i.a, i.b, j.seq AS k,
-             j.bx - pa.bx AS mx, j.by_ - pa.by_ AS my,
-             pb.bx - pa.bx AS sx, pb.by_ - pa.by_ AS sy,
-             (pb.bx - pa.bx) * (pb.bx - pa.bx)
-             + (pb.by_ - pa.by_) * (pb.by_ - pa.by_) AS sl2
-      FROM ivals i
-      JOIN bufc pa ON pa.oid = i.oid AND pa.part = i.part AND pa.seq = i.a
-      JOIN bufc pb ON pb.oid = i.oid AND pb.part = i.part AND pb.seq = i.b
-      JOIN bufc j ON j.oid = i.oid AND j.part = i.part
-                 AND j.seq > i.a AND j.seq < i.b))),
-splits AS MATERIALIZED (
-  SELECT oid, part, a, b, k, d FROM (
-    SELECT *, row_number() OVER (PARTITION BY oid, part, a, b
-                                 ORDER BY d DESC, k) AS rn
-    FROM idist) WHERE rn = 1),
-dp(oid, part, a, b) AS (
-  SELECT oid, part, 0, n FROM bn WHERE n + 1 >= 3
-  UNION ALL
-  SELECT s.oid, s.part, u.lo, u.hi
-  FROM dp d2
-  JOIN splits s ON s.oid = d2.oid AND s.part = d2.part
-               AND s.a = d2.a AND s.b = d2.b
-               AND s.d > CAST({TOL} AS DOUBLE)
-  , LATERAL (SELECT s.a AS lo, s.k AS hi UNION ALL SELECT s.k, s.b) u),
+-- Douglas-Peucker on the closed ring: shared kernel fragment
+{DP_CTES},
 keptseq AS (
   SELECT oid, part, 0 AS seq FROM bn
   UNION
@@ -456,6 +415,14 @@ JOIN ptext t ON t.oid = m.oid
 JOIN contain c ON c.oid = m.oid
 ORDER BY osm_id
 """
+from posmspark.dissolve import dp_interval_ctes  # noqa: E402
+
+POLY_ORACLE_BODY = POLY_ORACLE_BODY.replace(
+    "{DP_CTES}", dp_interval_ctes(
+        keys=["oid", "part"], pos="seq", x="bx", y="by_",
+        pts="bufc", dom="SELECT oid, part, n AS hi FROM bn",
+        tol="CAST({TOL} AS DOUBLE)"))
+
 
 
 def poly_export_oracle_sql(level: int = 0, buffer_distance: float = 0.1,
@@ -485,7 +452,7 @@ def poly_export_oracle_sql(level: int = 0, buffer_distance: float = 0.1,
         o = str(oid).replace("'", "''")
         pname = (f"{r.iso3166}_{oid}" if isinstance(r.iso3166, str)
                  else str(oid))
-        meta.append(f"('{o}','{pname}')")
+        meta.append(f"('{o}','{pname.replace(chr(39), chr(39) * 2)}')")
         pseq = 0
         for part, rings in enumerate(prepared.polys_by_id[oid]):
             outer = np.asarray(rings[0], dtype=np.float64)
@@ -500,8 +467,8 @@ def poly_export_oracle_sql(level: int = 0, buffer_distance: float = 0.1,
                                 f"CAST('{float(y)!r}' AS DOUBLE))")
                     pseq += 1
     body = POLY_ORACLE_BODY.replace(
-        "{DIST}", repr(float(buffer_distance))).replace(
-        "{TOL}", repr(float(simplify_distance)))
+        "{DIST}", f"'{float(buffer_distance)!r}'").replace(
+        "{TOL}", f"'{float(simplify_distance)!r}'")
     return (
         "\nWITH RECURSIVE verts(oid, part, seq, x, y) AS (VALUES\n"
         + ",".join(vrows)

@@ -307,3 +307,51 @@ def test_poly_export_oracle_circle_byte_exact(spark):
     # the DP drop path really ran: fewer points than the buffered ring
     n_lines = got["C9"]["poly_text"].count("\n")
     assert 4 + 4 <= n_lines < 81 + 4
+
+
+def test_simplify_oracle_subquantum_duplicate_vertex(spark):
+    """Self-review r05: a ring with two consecutive vertices within
+    half a snap quantum (same snap key) — the engine's
+    _split_ring_at_vertices keep-mask collapses the second; the SQL
+    oracle must apply the identical collapse or its chain structure
+    (and kept counts) diverge."""
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import synth
+    from posmspark.dissolve import (simplify_mesh_global,
+                                    simplify_mesh_stats_oracle_sql)
+    from posmspark.joins import prepare_boundaries
+
+    border = np.array([
+        [5.0, 2.0],
+        [5.0 + 4e-10, 2.0 + 3e-10],  # same snap key as the previous
+        [5.5, 5.0],                   # kept excursion
+        [5.0, 8.0],
+    ])
+    left = np.vstack([[[0.0, 0.0], [5.0, 0.0]], border,
+                      [[5.0, 10.0], [0.0, 10.0], [0.0, 0.0]]])
+    right = np.vstack([[[5.0, 0.0], [10.0, 0.0], [10.0, 10.0], [5.0, 10.0]],
+                       border[::-1], [[5.0, 0.0]]])
+    rows = [
+        synth._row("C1", "Dupland", "Dupland", "2", "dd",
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 0),
+        synth._row("P1", "Dup-1", "Dup-1", "4", None,
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 1),
+        synth._row("K1", "Dup-1-W", "Dup-1-West", "6", None,
+                   "administrative", [[left]], 2),
+        synth._row("K2", "Dup-1-E", "Dup-1-East", "6", None,
+                   "administrative", [[right]], 3),
+    ]
+    prepared = prepare_boundaries(pd.DataFrame(rows),
+                                  synth.gen_admin_mapping_pdf())
+    sdf = simplify_mesh_global(spark, prepared, child_level=2, tol=0.05) \
+        .select("osm_id", "parent_osm_id", "n_points_before",
+                "n_points_after")
+    got = {r["osm_id"]: r for r in sdf.collect()}
+    assert set(got) == {"K1", "K2"}
+    for r in got.values():  # duplicate collapsed, excursion kept
+        assert r["n_points_after"] < r["n_points_before"]
+    _compare("simplify_subquantum", sdf, _duckdb.connect(),
+             simplify_mesh_stats_oracle_sql(prepared=prepared))
