@@ -949,7 +949,17 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
         p, flip = _canonical_chain(path)
         ck = tuple(_key(q) for q in p)
         if ck not in chain_cache:
-            chain_cache[ck] = geom.douglas_peucker(p, tol)
+            # DP runs on the GRID reconstruction of the keys (r05): at
+            # an off-grid T-junction one owner holds the junction as a
+            # raw ring vertex while the other receives it as a
+            # key*SNAP insert, so per-owner arrays can differ in final
+            # bits and a near-tied DP decision could flip by owner /
+            # by which array reached the cache first. key*SNAP is a
+            # pure function of ck — both owners, the distributed path,
+            # and the DuckDB oracle all DP the identical doubles
+            # (same rule dissolve_union's snapf already applies).
+            grid = np.array(ck, dtype=np.float64) * SNAP
+            chain_cache[ck] = geom.douglas_peucker(grid, tol)
         out = chain_cache[ck]
         return out[::-1] if flip else out
 
@@ -1293,9 +1303,15 @@ def simplify_mesh_global(spark, prepared, child_level: int,
                 canon, flip = _canonical_chain(path)
                 keys = np.array([_key(q) for q in canon], dtype="<i8")
                 ck = hashlib.md5(keys.tobytes()).hexdigest()
+                # pts = GRID reconstruction of the keys (r05), a pure
+                # function of ck: every duplicate piece carries
+                # byte-identical pts, min() below is a true dedupe, and
+                # the driver-side simplify_chain DPs the same doubles
                 rows.append((
                     ck, bool(flip), oid, int(pi), int(ri), piece_idx,
-                    np.ascontiguousarray(canon, dtype="<f8").tobytes(),
+                    np.ascontiguousarray(
+                        keys.astype(np.float64) * SNAP,
+                        dtype="<f8").tobytes(),
                 ))
         return pd.DataFrame(
             rows, columns=["chain_key", "flip", "osm_id", "poly_idx",
@@ -1828,8 +1844,13 @@ cand AS (
 cand2 AS (SELECT * FROM cand
           WHERE t > CAST(1e-12 AS DOUBLE) AND t < 1 - CAST(1e-12 AS DOUBLE)),
 -- split ring point sequence WITH coords (originals + snap-grid inserts)
+-- chain points are the GRID reconstruction of the snap keys (r05),
+-- matching the engine's canonical chain arrays exactly on BOTH the
+-- raw-vertex and inserted-split branches
 spts0 AS (
-  SELECT gid, oid, part, ring, seq, 0 AS sub, kx, ky, x AS px, y AS py
+  SELECT gid, oid, part, ring, seq, 0 AS sub, kx, ky,
+         kx * CAST({S} AS DOUBLE) AS px,
+         ky * CAST({S} AS DOUBLE) AS py
   FROM edges0
   UNION ALL
   SELECT gid, oid, part, ring, seq,
@@ -2083,14 +2104,12 @@ def simplify_mesh_stats_oracle_sql(child_level: int = 2,
     pinned by the wiggly-chain SQL-vs-numpy parity test in
     tests/test_oracle.py.
 
-    Known oracle limitation (self-review r05): at a T-junction whose
-    junction vertex does NOT round-trip through the snap grid
-    (raw != key*SNAP, i.e. off-grid coordinates), the engine
-    deduplicates the two owners' chains to ONE coordinate array
-    (byte-min / first-cached) before DP, while this oracle runs DP on
-    each owner's own array — a near-tied DP decision could then differ
-    by owner. No current fixture has off-grid T-junctions; a fixture
-    that adds one must also port the engine's dedupe rule here."""
+    Chain coordinates on both sides are the GRID reconstruction of the
+    snap keys (key*SNAP, r05): a pure function of the chain key, so the
+    engine's two owners, its driver and distributed paths, and this
+    oracle all run DP on bit-identical doubles even at off-grid
+    T-junctions (where one owner holds the junction raw and the other
+    as an inserted split)."""
     if prepared is None:
         from posmspark import synth
         from posmspark.joins import prepare_boundaries

@@ -355,3 +355,62 @@ def test_simplify_oracle_subquantum_duplicate_vertex(spark):
         assert r["n_points_after"] < r["n_points_before"]
     _compare("simplify_subquantum", sdf, _duckdb.connect(),
              simplify_mesh_stats_oracle_sql(prepared=prepared))
+
+
+def test_simplify_offgrid_tjunction_canonical_chains(spark):
+    """r05 chain canonicalization: a T-junction at an OFF-GRID
+    coordinate (raw != key*SNAP) means one owner holds the junction as
+    a raw ring vertex while its neighbor receives it as a key*SNAP
+    insert. All four derivations must agree bit-for-bit: the driver
+    simplifier, the distributed simplifier, both owners' shared-border
+    polylines, and the DuckDB oracle."""
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import dissolve, geom, synth
+    from posmspark.dissolve import (SNAP, simplify_mesh_global,
+                                    simplify_mesh_stats_oracle_sql)
+    from posmspark.joins import prepare_boundaries
+
+    yj = 4.100000000123456  # snaps to 4.1000000000000005 (off-grid)
+    rows = [
+        synth._row("C1", "Tland", "Tland", "2", "tt",
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 0),
+        synth._row("P1", "T-1", "T-1", "4", None,
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 1),
+        synth._row("K1", "T-W", "T-West", "6", None,
+                   "administrative", [[synth.rect(0, 0, 5, 10)]], 2),
+        synth._row("K2", "T-SE", "T-SouthEast", "6", None,
+                   "administrative", [[synth.rect(5, 0, 10, yj)]], 3),
+        synth._row("K3", "T-NE", "T-NorthEast", "6", None,
+                   "administrative", [[synth.rect(5, yj, 10, 10)]], 4),
+    ]
+    prepared = prepare_boundaries(pd.DataFrame(rows),
+                                  synth.gen_admin_mapping_pdf())
+    mesh = {o: prepared.polys_by_id[o] for o in ("K1", "K2", "K3")}
+    drv = dissolve.shared_edge_simplify(mesh, tol=0.05)
+    dist_rows = simplify_mesh_global(spark, prepared, child_level=2,
+                                     tol=0.05).collect()
+    dist = {r["osm_id"]: geom.wkb_to_multipolygon(bytes(r["geom_wkb"]))
+            for r in dist_rows}
+    gridj = (round(5.0 / SNAP) * SNAP, round(yj / SNAP) * SNAP)
+    for oid in mesh:
+        for dp_, ep in zip(dist[oid], drv[oid]):
+            for dr, er in zip(dp_, ep):
+                assert np.array_equal(dr, er), oid  # driver == distributed
+    # the junction lands at its GRID coordinates in every owner
+    for oid in ("K1", "K2", "K3"):
+        pts = {(p[0], p[1]) for p in drv[oid][0][0]}
+        assert gridj in pts, oid
+    # watertight: K1's right border contains the same grid points as
+    # K2/K3's left borders
+    k1 = {(p[0], p[1]) for p in drv["K1"][0][0] if p[0] == 5.0}
+    k23 = {(p[0], p[1]) for o in ("K2", "K3")
+           for p in drv[o][0][0] if p[0] == 5.0}
+    assert k23 <= k1
+    sdf = simplify_mesh_global(spark, prepared, child_level=2, tol=0.05) \
+        .select("osm_id", "parent_osm_id", "n_points_before",
+                "n_points_after")
+    _compare("simplify_tjunction", sdf, _duckdb.connect(),
+             simplify_mesh_stats_oracle_sql(prepared=prepared))
