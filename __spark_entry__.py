@@ -563,12 +563,24 @@ def _q_zip_package_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return package_boundary_zips(spark, prepared, out)
 
 
+def _q_zip_package_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 oracle-checked projection of the packaging manifest: the
+    country/file fan-out and per-file feature counts, DuckDB-verified
+    against an independent recursive hierarchy walk
+    (sinks.zip_package_counts_oracle_sql). n_bytes stays on the
+    rows-only zip_package_manifest entry (json.dumps shortest-float
+    repr is not SQL-expressible)."""
+    return (_q_zip_package_manifest(spark, sf_dir)
+            .select("country", "file_name", "n_features"))
+
+
 _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_manifest": _q_incremental_manifest,
     "dual_export": _q_dual_export,
     "shapefile_source": _q_shapefile_source,
     "topojson_export": _q_topojson_export,
     "zip_package_manifest": _q_zip_package_manifest,
+    "zip_package_counts": _q_zip_package_counts,
     "table_snapshots": _q_table_snapshots,
     "tile_clip_areas": _q_tile_clip_areas,
     "pip_tile_rollup": _q_pip_tile_rollup,
@@ -627,6 +639,7 @@ _VERIFY_FIRST = [
     "residual_holes",         # r05: NEW mesh-cancellation SQL oracle
     "simplify_mesh_stats",    # shares the dissolve mesh machinery
     "dual_export",            # r05: NEW kept-point shoelace SQL oracle
+    "zip_package_counts",     # r05: NEW hierarchy-walk SQL oracle
     "tile_clip_areas",        # r05: per-cell rows + bit-exact SQL oracle
     "pip_assignment",         # anchor oracle for the new rollup oracles
     "pip_tile_rollup",
@@ -693,9 +706,11 @@ def oracle_sql() -> dict[str, str]:
     from posmspark.shp import shapefile_source_oracle_sql
 
     out["shapefile_source"] = shapefile_source_oracle_sql()
-    from posmspark.sinks import poly_export_oracle_sql
+    from posmspark.sinks import (poly_export_oracle_sql,
+                                 zip_package_counts_oracle_sql)
 
     out["poly_export"] = poly_export_oracle_sql()
+    out["zip_package_counts"] = zip_package_counts_oracle_sql()
     from posmspark.ann import lsh_topk_oracle_sql
 
     out["ann_lsh_topk"] = lsh_topk_oracle_sql(

@@ -476,3 +476,55 @@ def poly_export_oracle_sql(level: int = 0, buffer_distance: float = 0.1,
         + "),\nmeta(oid, pname) AS (VALUES\n" + ",".join(meta) + "),"
         + body
     )
+
+
+def zip_package_counts_oracle_sql(prepared=None) -> str:
+    """DuckDB twin of the `zip_package_counts` registry query (S12,
+    generate_geojson.py:117-141): the per-country ZIP packaging
+    manifest minus its n_bytes column (exact UTF-8 json.dumps payload
+    lengths are shortest-float-repr and stay rows-only on the
+    `zip_package_manifest` entry). The oracle independently re-derives
+    the country-of assignment — package_boundary_zips' driver-side
+    parent-pointer walk — as a recursive CTE over (osm_id, is_in), then
+    the per-(country, level, variant) member counts and file names.
+    The fixture hierarchy is acyclic; a cyclic is_in would hang the
+    recursion where the engine's seen-set breaks out."""
+    if prepared is None:
+        from posmspark import synth
+        from posmspark.joins import prepare_boundaries
+
+        prepared = prepare_boundaries(
+            synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+            n_levels=4)
+    rows = []
+    for r in prepared.levels_pdf.itertuples(index=False):
+        o = str(r.osm_id).replace("'", "''")
+        isin = (  # NULL for roots, matching the engine's None
+            "CAST(NULL AS VARCHAR)" if r.is_in is None
+            or (isinstance(r.is_in, float) and r.is_in != r.is_in)
+            else "'" + str(r.is_in).replace("'", "''") + "'")
+        rows.append(f"('{o}',{int(r.adminlevel)},{isin})")
+    return (
+        "\nWITH RECURSIVE lv(osm_id, adminlevel, is_in) AS (VALUES\n"
+        + ",".join(rows) + """),
+walk(osm_id, adminlevel, cur, cur_isin, depth) AS (
+  SELECT osm_id, adminlevel, osm_id, is_in, 0 FROM lv
+  UNION ALL
+  SELECT w.osm_id, w.adminlevel, p.osm_id, p.is_in, w.depth + 1
+  FROM walk w JOIN lv p ON p.osm_id = w.cur_isin),
+assigned AS (
+  SELECT osm_id, adminlevel, arg_max(cur, depth) AS country
+  FROM walk GROUP BY osm_id, adminlevel),
+counts AS (
+  SELECT a.country, a.adminlevel, count(*) AS n_features
+  FROM assigned a
+  JOIN lv c ON c.osm_id = a.country AND c.adminlevel = 0
+  GROUP BY a.country, a.adminlevel)
+SELECT c.country,
+       printf('admin_level_%d_%s.geojson', c.adminlevel, v.variant)
+         AS file_name,
+       c.n_features
+FROM counts c
+JOIN (SELECT unnest(['natural', 'simplified']) AS variant) v ON TRUE
+ORDER BY country, file_name
+""")

@@ -74,6 +74,7 @@ EXTERNAL_ORACLE_NAMES = [
     "simplify_mesh_stats",
     "dual_export",
     "poly_export",
+    "zip_package_counts",
     "shapefile_source",
     "ann_lsh_topk",
 ]
