@@ -546,6 +546,25 @@ def _q_table_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "snapshot_id int, operation string, n_rows long")
 
 
+def _q_topojson_arc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 oracle-checked projection of the topo tile-tree stats: arc
+    references, shared arcs, and quantized point totals per (parent,
+    object), DuckDB-verified against an independent SQL re-derivation
+    of the chain/arc topology (topo.topojson_arc_stats_oracle_sql).
+    artifact_bytes stays on the rows-only topojson_export entry
+    (json.dumps shortest-float-repr is not SQL-expressible)."""
+    from posmspark import synth, topo
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(), n_levels=4
+    )
+    return (topo.topology_tree_by_parent(spark, prepared)
+            .select("parent_osm_id", "osm_id", "is_boundary",
+                    "n_arc_refs", "n_shared_arcs", "n_quantized_points")
+            .orderBy("parent_osm_id", "osm_id"))
+
+
 def _q_zip_package_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12: per-country ZIP packaging of the GeoJSON exports
     (generate_geojson.py:117-141) — surfaces the packaging manifest."""
@@ -579,6 +598,7 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dual_export": _q_dual_export,
     "shapefile_source": _q_shapefile_source,
     "topojson_export": _q_topojson_export,
+    "topojson_arc_stats": _q_topojson_arc_stats,
     "zip_package_manifest": _q_zip_package_manifest,
     "zip_package_counts": _q_zip_package_counts,
     "table_snapshots": _q_table_snapshots,
@@ -640,6 +660,7 @@ _VERIFY_FIRST = [
     "simplify_mesh_stats",    # shares the dissolve mesh machinery
     "dual_export",            # r05: NEW kept-point shoelace SQL oracle
     "zip_package_counts",     # r05: NEW hierarchy-walk SQL oracle
+    "topojson_arc_stats",     # r05: NEW chain/arc-topology SQL oracle
     "tile_clip_areas",        # r05: per-cell rows + bit-exact SQL oracle
     "pip_assignment",         # anchor oracle for the new rollup oracles
     "pip_tile_rollup",
@@ -711,6 +732,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["poly_export"] = poly_export_oracle_sql()
     out["zip_package_counts"] = zip_package_counts_oracle_sql()
+    from posmspark.topo import topojson_arc_stats_oracle_sql
+
+    out["topojson_arc_stats"] = topojson_arc_stats_oracle_sql()
     from posmspark.ann import lsh_topk_oracle_sql
 
     out["ann_lsh_topk"] = lsh_topk_oracle_sql(

@@ -1850,13 +1850,15 @@ cand2 AS (SELECT * FROM cand
 spts0 AS (
   SELECT gid, oid, part, ring, seq, 0 AS sub, kx, ky,
          kx * CAST({S} AS DOUBLE) AS px,
-         ky * CAST({S} AS DOUBLE) AS py
+         ky * CAST({S} AS DOUBLE) AS py,
+         x AS rx, y AS ry
   FROM edges0
   UNION ALL
   SELECT gid, oid, part, ring, seq,
          row_number() OVER (PARTITION BY oid, part, ring, seq
                             ORDER BY t, vkx, vky) AS sub,
          vkx, vky,
+         vkx * CAST({S} AS DOUBLE), vky * CAST({S} AS DOUBLE),
          vkx * CAST({S} AS DOUBLE), vky * CAST({S} AS DOUBLE)
   FROM cand2),
 -- collapse consecutive same-key points (engine keep-mask in
@@ -1879,7 +1881,9 @@ sedges AS (
          coalesce(lead(kx) OVER wp, first_value(kx) OVER wp) AS nkx,
          coalesce(lead(ky) OVER wp, first_value(ky) OVER wp) AS nky,
          coalesce(lead(px) OVER wp, first_value(px) OVER wp) AS npx,
-         coalesce(lead(py) OVER wp, first_value(py) OVER wp) AS npy
+         coalesce(lead(py) OVER wp, first_value(py) OVER wp) AS npy,
+         coalesce(lead(rx) OVER wp, first_value(rx) OVER wp) AS nrx,
+         coalesce(lead(ry) OVER wp, first_value(ry) OVER wp) AS nry
   FROM spts s
   WINDOW wp AS (PARTITION BY oid, part, ring ORDER BY pos)),
 canonseg AS (

@@ -280,3 +280,153 @@ def arc_stats(topo: dict, object_name: str = "boundaries") -> list[dict]:
                 sum(len(topo["arcs"][i]) for i in set(ids))),
         })
     return rows
+
+
+TOPO_ORACLE_TAIL = """,
+-- per-group TopoJSON transform (bbox over the raw mesh coords)
+tf AS (
+  SELECT gid, min(x) AS x0, min(y) AS y0,
+         CASE WHEN (max(x) - min(x)) / CAST({QM1} AS DOUBLE) = 0
+              THEN CAST(1.0 AS DOUBLE)
+              ELSE (max(x) - min(x)) / CAST({QM1} AS DOUBLE) END AS sx,
+         CASE WHEN (max(y) - min(y)) / CAST({QM1} AS DOUBLE) = 0
+              THEN CAST(1.0 AS DOUBLE)
+              ELSE (max(y) - min(y)) / CAST({QM1} AS DOUBLE) END AS sy
+  FROM verts GROUP BY gid),
+-- canonical-order point rows per piece with RAW coords (the engine
+-- quantizes the raw canonical path, not the grid reconstruction)
+tpts0 AS (
+  SELECT gid, oid, part, ring, piece, 0 AS ppos, kx, ky, rx, ry
+  FROM (SELECT *, min(rk) OVER (PARTITION BY oid, part, ring, piece)
+                    AS mrk
+        FROM chained)
+  WHERE rk = mrk
+  UNION ALL
+  SELECT gid, oid, part, ring, piece,
+         row_number() OVER (PARTITION BY oid, part, ring, piece
+                            ORDER BY rk) AS ppos,
+         nkx, nky, nrx, nry
+  FROM chained),
+tcan AS MATERIALIZED (
+  SELECT q.gid, q.oid, q.part, q.ring, q.piece,
+         CASE WHEN f.flip THEN f.np - 1 - q.ppos ELSE q.ppos END AS cpos,
+         q.kx, q.ky, q.rx, q.ry
+  FROM tpts0 q JOIN pflip f
+    ON f.oid = q.oid AND f.part = q.part AND f.ring = q.ring
+   AND f.piece = q.piece),
+-- arc identity = canonical snap-key sequence (topology()'s arc_index)
+arcid AS MATERIALIZED (
+  SELECT gid, oid, part, ring, piece,
+         string_agg(CAST(kx AS VARCHAR) || ':' || CAST(ky AS VARCHAR),
+                    ',' ORDER BY cpos) AS ak
+  FROM tcan GROUP BY gid, oid, part, ring, piece),
+refcnt AS (SELECT gid, ak, count(*) AS rc FROM arcid GROUP BY gid, ak),
+-- arc representative = first piece in the engine's iteration order
+-- (sorted object id, then poly/ring/chain order)
+arcrep AS (
+  SELECT gid, ak, oid, part, ring, piece FROM (
+    SELECT *, row_number() OVER (PARTITION BY gid, ak
+                                 ORDER BY oid, part, ring, piece) AS rn
+    FROM arcid) WHERE rn = 1),
+-- quantized point count per arc: ties-to-even grid snap (CAST ==
+-- np.round), consecutive-duplicate collapse, floor of 2 points
+qcoll AS (
+  SELECT gid, ak, count(*) AS nq0 FROM (
+    SELECT r.gid, r.ak, t.cpos,
+           CAST((t.rx - f.x0) / f.sx AS BIGINT) AS gx,
+           CAST((t.ry - f.y0) / f.sy AS BIGINT) AS gy,
+           lag(CAST((t.rx - f.x0) / f.sx AS BIGINT))
+             OVER wq AS pgx,
+           lag(CAST((t.ry - f.y0) / f.sy AS BIGINT))
+             OVER wq AS pgy
+    FROM arcrep r
+    JOIN tcan t ON t.gid = r.gid AND t.oid = r.oid AND t.part = r.part
+               AND t.ring = r.ring AND t.piece = r.piece
+    JOIN tf f ON f.gid = r.gid
+    WINDOW wq AS (PARTITION BY r.gid, r.ak ORDER BY t.cpos))
+  WHERE pgx IS NULL OR gx <> pgx OR gy <> pgy
+  GROUP BY gid, ak),
+nqp AS (SELECT gid, ak, CASE WHEN nq0 < 2 THEN 2 ELSE nq0 END AS nq
+        FROM qcoll),
+objarc AS (SELECT DISTINCT gid, oid, ak FROM arcid),
+stats AS (
+  SELECT o.gid, o.oid,
+         sum(CASE WHEN rc.rc > 1 THEN 1 ELSE 0 END) AS n_shared,
+         CAST(sum(n.nq) AS BIGINT) AS n_qpts
+  FROM objarc o
+  JOIN refcnt rc ON rc.gid = o.gid AND rc.ak = o.ak
+  JOIN nqp n ON n.gid = o.gid AND n.ak = o.ak
+  GROUP BY o.gid, o.oid),
+nrefs AS (SELECT gid, oid, count(*) AS n_refs
+          FROM arcid GROUP BY gid, oid)
+SELECT m.parent_osm_id, m.osm_id, m.is_boundary,
+       CAST(r.n_refs AS BIGINT) AS n_arc_refs,
+       CAST(s.n_shared AS BIGINT) AS n_shared_arcs,
+       s.n_qpts AS n_quantized_points
+FROM meta m
+JOIN nrefs r ON r.oid = m.cid
+JOIN stats s ON s.oid = m.cid
+ORDER BY m.parent_osm_id, m.osm_id
+"""
+
+
+def topojson_arc_stats_oracle_sql(quantization: int = 100_000,
+                                  prepared=None) -> str:
+    """DuckDB twin of the `topojson_arc_stats` registry query (S11,
+    prepare_topojson.py:87-162): per (parent group, object) the arc
+    reference count, shared-arc count, and quantized point total,
+    re-derived in SQL from raw ring-vertex VALUES via the shared chain
+    CTEs (owner-set runs, rotation + direction canonicalization) plus
+    a topo tail: arc identity = canonical snap-key sequence, transform
+    = per-group bbox / (q-1), grid snap with ties-to-even CAST
+    (== np.round), consecutive-duplicate collapse with a 2-point
+    floor, and the engine's first-in-sorted-order arc representative.
+    artifact_bytes stays rows-only on `topojson_export` (json.dumps
+    shortest-float-repr). Objects appear in multiple groups (a level-1
+    feature is a child in one and the boundary of its own), so VALUES
+    object ids are gid-composite and meta maps them back."""
+    from posmspark.dissolve import SIMPLIFY_ORACLE_BODY, SNAP
+
+    if prepared is None:
+        from posmspark import synth
+        from posmspark.joins import prepare_boundaries
+
+        prepared = prepare_boundaries(
+            synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+            n_levels=4)
+    lp = prepared.levels_pdf
+    vrows, meta = [], []
+    for lv in sorted(lp.adminlevel.unique()):
+        kids = lp[lp.adminlevel == lv + 1]
+        members_by_parent = {
+            p: g.osm_id.tolist() for p, g in kids.groupby("is_in")}
+        for parent in lp[lp.adminlevel == lv].osm_id:
+            members = members_by_parent.get(parent)
+            if not members:
+                continue
+            g = str(parent).replace("'", "''")
+            for oid in [parent] + list(members):
+                if oid not in prepared.polys_by_id:
+                    continue
+                o = str(oid).replace("'", "''")
+                cid = f"{g}|{o}"
+                meta.append(f"('{cid}','{g}','{o}',"
+                            f"{'true' if oid == parent else 'false'})")
+                for part, rings in enumerate(prepared.polys_by_id[oid]):
+                    for ri, ring in enumerate(rings):
+                        rr = np.asarray(ring, dtype=np.float64)
+                        a = rr[:-1] if np.allclose(rr[0], rr[-1]) else rr
+                        for sq in range(len(a)):
+                            vrows.append(
+                                f"('{g}','{cid}',{part},{ri},{sq},"
+                                f"CAST('{float(a[sq, 0])!r}' AS DOUBLE),"
+                                f"CAST('{float(a[sq, 1])!r}' AS DOUBLE))")
+    body = (SIMPLIFY_ORACLE_BODY + TOPO_ORACLE_TAIL).replace(
+        "{S}", f"'{SNAP!r}'").replace(
+        "{QM1}", str(max(int(quantization), 2) - 1))
+    return (
+        "\nWITH RECURSIVE verts(gid, oid, part, ring, seq, x, y)"
+        " AS (VALUES\n" + ",".join(vrows)
+        + "),\nmeta(cid, parent_osm_id, osm_id, is_boundary) AS (VALUES\n"
+        + ",".join(meta) + "),\n" + body
+    )

@@ -75,6 +75,7 @@ EXTERNAL_ORACLE_NAMES = [
     "dual_export",
     "poly_export",
     "zip_package_counts",
+    "topojson_arc_stats",
     "shapefile_source",
     "ann_lsh_topk",
 ]
@@ -415,3 +416,51 @@ def test_simplify_offgrid_tjunction_canonical_chains(spark):
                 "n_points_after")
     _compare("simplify_tjunction", sdf, _duckdb.connect(),
              simplify_mesh_stats_oracle_sql(prepared=prepared))
+
+
+def test_topojson_arc_stats_oracle_subcell_collapse(spark):
+    """topojson_arc_stats oracle on the path the registry fixture never
+    reaches: consecutive border vertices closer than one quantization
+    cell (range/99999) collapse to one quantized point — the engine's
+    quantize() keep-mask and the SQL collapse must agree."""
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import synth, topo
+    from posmspark.joins import prepare_boundaries
+
+    border = np.array([
+        [5.0, 2.0],
+        [5.00001, 2.00001],  # < one 1e-4 cell from the previous point
+        [5.5, 5.0],
+        [5.0, 8.0],
+    ])
+    left = np.vstack([[[0.0, 0.0], [5.0, 0.0]], border,
+                      [[5.0, 10.0], [0.0, 10.0], [0.0, 0.0]]])
+    right = np.vstack([[[5.0, 0.0], [10.0, 0.0], [10.0, 10.0], [5.0, 10.0]],
+                       border[::-1], [[5.0, 0.0]]])
+    rows = [
+        synth._row("C1", "Qland", "Qland", "2", "qq",
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 0),
+        synth._row("P1", "Q-1", "Q-1", "4", None,
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 1),
+        synth._row("K1", "Q-1-W", "Q-1-West", "6", None,
+                   "administrative", [[left]], 2),
+        synth._row("K2", "Q-1-E", "Q-1-East", "6", None,
+                   "administrative", [[right]], 3),
+    ]
+    prepared = prepare_boundaries(pd.DataFrame(rows),
+                                  synth.gen_admin_mapping_pdf())
+    sdf = (topo.topology_tree_by_parent(spark, prepared)
+           .select("parent_osm_id", "osm_id", "is_boundary",
+                   "n_arc_refs", "n_shared_arcs", "n_quantized_points")
+           .orderBy("parent_osm_id", "osm_id"))
+    got = {(r["parent_osm_id"], r["osm_id"]): r for r in sdf.collect()}
+    # the collapse really happened: K1/K2's shared-border arc lost the
+    # sub-cell twin (raw canonical chain has 4 interior+2 end points;
+    # quantized arc must have fewer points than the chain)
+    k1 = got[("P1", "K1")]
+    assert k1["n_quantized_points"] < 6 + 4 + 4  # < full vertex budget
+    _compare("topo_subcell", sdf, _duckdb.connect(),
+             topo.topojson_arc_stats_oracle_sql(prepared=prepared))
