@@ -466,69 +466,77 @@ def test_topojson_arc_stats_oracle_subcell_collapse(spark):
              topo.topojson_arc_stats_oracle_sql(prepared=prepared))
 
 
-@pytest.mark.parametrize("seed", [1, 4, 9, 11, 12, 32])
-def test_dual_oracle_fuzz_pinned(seed):
-    """Pinned subset of the external dual-oracle fuzz campaign
-    (/tmp/fuzz-style harness, 200 random meshes clean in r05): random
-    conformal BSP tilings, wiggly borders with amplitudes straddling
-    tol (near-threshold DP decisions), and off-grid magnitudes —
-    shared_edge_simplify + shoelace vs the DuckDB dual oracle. Counts
-    exact; areas to machine precision (the fuzz runs magnitudes where
-    round(.,9) sits AT double ulp; the driver fixture is ~1e5x inside
-    that boundary)."""
-    import math
-    import types
 
-    import duckdb as _duckdb
+
+def _fuzz_rect(x0, y0, x1, y1):
     import numpy as np
-    import pandas as pd
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
 
-    from posmspark import dissolve, geom
-    from posmspark.dissolve import dual_export_oracle_sql
 
-    def rect(x0, y0, x1, y1):
-        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+def _fuzz_bsp(x0, y0, x1, y1, rng, depth):
+    if depth == 0 or rng.random() < 0.3:
+        return [_fuzz_rect(x0, y0, x1, y1)]
+    if rng.random() < 0.5:
+        xm = x0 + (x1 - x0) * rng.uniform(0.3, 0.7)
+        return (_fuzz_bsp(x0, y0, xm, y1, rng, depth - 1)
+                + _fuzz_bsp(xm, y0, x1, y1, rng, depth - 1))
+    ym = y0 + (y1 - y0) * rng.uniform(0.3, 0.7)
+    return (_fuzz_bsp(x0, y0, x1, ym, rng, depth - 1)
+            + _fuzz_bsp(x0, ym, x1, y1, rng, depth - 1))
 
-    def bsp(x0, y0, x1, y1, rng, depth):
-        if depth == 0 or rng.random() < 0.3:
-            return [rect(x0, y0, x1, y1)]
-        if rng.random() < 0.5:
-            xm = x0 + (x1 - x0) * rng.uniform(0.3, 0.7)
-            return (bsp(x0, y0, xm, y1, rng, depth - 1)
-                    + bsp(xm, y0, x1, y1, rng, depth - 1))
-        ym = y0 + (y1 - y0) * rng.uniform(0.3, 0.7)
-        return (bsp(x0, y0, x1, ym, rng, depth - 1)
-                + bsp(x0, ym, x1, y1, rng, depth - 1))
 
-    def wiggly(rng, base, scale, tol):
-        n = rng.integers(4, 14)
-        ys = np.sort(rng.uniform(0.5, 9.5, n)) * scale + base
-        amp = (rng.uniform(0.5 * tol, 1.5 * tol, n)
-               * np.where(rng.random(n) < 0.5, 1, -1) * scale)
-        border = np.column_stack([base + 5.0 * scale + amp, ys])
-        b0, b1, mid = base, base + 10.0 * scale, base + 5.0 * scale
-        left = np.vstack([[[b0, b0], [mid, b0]], border,
-                          [[mid, b1], [b0, b1], [b0, b0]]])
-        right = np.vstack([[[mid, b0], [b1, b0], [b1, b1], [mid, b1]],
-                           border[::-1], [[mid, b0]]])
-        return {"K1": [[left]], "K2": [[right]]}
+def _fuzz_wiggly(rng, base, scale, tol):
+    import numpy as np
+    n = rng.integers(4, 14)
+    ys = np.sort(rng.uniform(0.5, 9.5, n)) * scale + base
+    amp = (rng.uniform(0.5 * tol, 1.5 * tol, n)
+           * np.where(rng.random(n) < 0.5, 1, -1) * scale)
+    border = np.column_stack([base + 5.0 * scale + amp, ys])
+    b0, b1, mid = base, base + 10.0 * scale, base + 5.0 * scale
+    left = np.vstack([[[b0, b0], [mid, b0]], border,
+                      [[mid, b1], [b0, b1], [b0, b0]]])
+    right = np.vstack([[[mid, b0], [b1, b0], [b1, b1], [mid, b1]],
+                       border[::-1], [[mid, b0]]])
+    return {"K1": [[left]], "K2": [[right]]}
 
+
+def _fuzz_mesh(seed):
+    """Random mesh + tolerance for the oracle fuzz campaigns: BSP rect
+    tilings (kind 0), wiggly near-threshold borders (kind 1), the same
+    at off-grid magnitudes (kind 2)."""
+    import numpy as np
     rng = np.random.default_rng(seed)
     tol = float(rng.uniform(0.02, 0.2))
     if seed % 3 == 0:
         scale = 10.0 ** float(rng.integers(-2, 3))
         b = float(rng.uniform(0, 100)) * scale
-        tiles = bsp(b, b, b + rng.uniform(5, 12) * scale,
-                    b + rng.uniform(5, 12) * scale, rng, 3)
-        polys = {f"c{i}": [[t]] for i, t in enumerate(tiles)}
-        tol *= scale
-    elif seed % 3 == 1:
-        polys = wiggly(rng, 0.0, 1.0, tol)
-    else:
-        base = float(rng.uniform(0, 50)) + rng.uniform(0, 1e-7)
-        scale = 10.0 ** float(rng.integers(-1, 2))
-        polys = wiggly(rng, base, scale, tol)
-        tol *= scale
+        tiles = _fuzz_bsp(b, b, b + rng.uniform(5, 12) * scale,
+                          b + rng.uniform(5, 12) * scale, rng, 3)
+        return {f"c{i}": [[t]] for i, t in enumerate(tiles)}, tol * scale
+    if seed % 3 == 1:
+        return _fuzz_wiggly(rng, 0.0, 1.0, tol), tol
+    base = float(rng.uniform(0, 50)) + rng.uniform(0, 1e-7)
+    scale = 10.0 ** float(rng.integers(-1, 2))
+    return _fuzz_wiggly(rng, base, scale, tol * scale), tol * scale
+
+
+@pytest.mark.parametrize("seed", [1, 4, 9, 11, 12, 32])
+def test_dual_oracle_fuzz_pinned(seed):
+    """Pinned subset of the external dual-oracle fuzz campaign (200
+    random meshes clean in r05) — shared_edge_simplify + shoelace vs
+    the DuckDB dual oracle. Counts exact; areas to machine precision
+    (the fuzz runs magnitudes where round(.,9) sits AT double ulp; the
+    driver fixture is ~1e5x inside that boundary)."""
+    import math
+    import types
+
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from posmspark import dissolve, geom
+    from posmspark.dissolve import dual_export_oracle_sql
+
+    polys, tol = _fuzz_mesh(seed)
     fake = types.SimpleNamespace(
         levels_pdf=pd.DataFrame({"osm_id": sorted(polys),
                                  "adminlevel": [2] * len(polys)}),
@@ -547,3 +555,31 @@ def test_dual_oracle_fuzz_pinned(seed):
     for a, b in zip(exp, got):
         assert a[:4] == b[:4], (a, b)
         assert math.isclose(a[4], b[4], rel_tol=1e-11, abs_tol=1e-11), (a, b)
+
+
+@pytest.mark.parametrize("seed", [3, 7, 20])
+def test_topo_oracle_fuzz_pinned(seed):
+    """Pinned subset of the external topo-oracle fuzz campaign (150
+    random meshes clean in r05): topo.topology + arc_stats vs the
+    DuckDB arc-stats oracle on the same three mesh kinds."""
+    import types
+
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from posmspark import topo
+
+    polys, _tol = _fuzz_mesh(seed)
+    t = topo.topology(polys, quantization=100_000)
+    exp = sorted(
+        ("G", s["osm_id"], False, s["n_arc_refs"],
+         s["n_shared_arcs"], s["n_quantized_points"])
+        for s in topo.arc_stats(t))
+    lp = pd.DataFrame(
+        [{"osm_id": "G", "adminlevel": 0, "is_in": None}]
+        + [{"osm_id": o, "adminlevel": 1, "is_in": "G"}
+           for o in sorted(polys)])
+    fake = types.SimpleNamespace(levels_pdf=lp, polys_by_id=polys)
+    got = sorted(tuple(r) for r in _duckdb.connect().execute(
+        topo.topojson_arc_stats_oracle_sql(prepared=fake)).fetchall())
+    assert exp == got
