@@ -487,8 +487,9 @@ def zip_package_counts_oracle_sql(prepared=None) -> str:
     the country-of assignment — package_boundary_zips' driver-side
     parent-pointer walk — as a recursive CTE over (osm_id, is_in), then
     the per-(country, level, variant) member counts and file names.
-    The fixture hierarchy is acyclic; a cyclic is_in would hang the
-    recursion where the engine's seen-set breaks out."""
+    The fixture hierarchy is acyclic; on a cyclic is_in the engine's
+    seen-set walk terminates while the recursion is cut at depth 64,
+    surfacing the divergence as a loud mismatch instead of a hang."""
     if prepared is None:
         from posmspark import synth
         from posmspark.joins import prepare_boundaries
@@ -511,7 +512,8 @@ walk(osm_id, adminlevel, cur, cur_isin, depth) AS (
   SELECT osm_id, adminlevel, osm_id, is_in, 0 FROM lv
   UNION ALL
   SELECT w.osm_id, w.adminlevel, p.osm_id, p.is_in, w.depth + 1
-  FROM walk w JOIN lv p ON p.osm_id = w.cur_isin),
+  FROM walk w JOIN lv p ON p.osm_id = w.cur_isin
+  WHERE w.depth < 64),
 assigned AS (
   SELECT osm_id, adminlevel, arg_max(cur, depth) AS country
   FROM walk GROUP BY osm_id, adminlevel),

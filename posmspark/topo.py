@@ -384,7 +384,8 @@ def topojson_arc_stats_oracle_sql(quantization: int = 100_000,
     artifact_bytes stays rows-only on `topojson_export` (json.dumps
     shortest-float-repr). Objects appear in multiple groups (a level-1
     feature is a child in one and the boundary of its own), so VALUES
-    object ids are gid-composite and meta maps them back."""
+    object ids are a per-(group, object) running index — unique by
+    construction, no delimiter collisions — and meta maps them back."""
     from posmspark.dissolve import SIMPLIFY_ORACLE_BODY, SNAP
 
     if prepared is None:
@@ -409,7 +410,9 @@ def topojson_arc_stats_oracle_sql(quantization: int = 100_000,
                 if oid not in prepared.polys_by_id:
                     continue
                 o = str(oid).replace("'", "''")
-                cid = f"{g}|{o}"
+                # composite id must be collision-free even when osm_ids
+                # contain the delimiter, so key on a running index
+                cid = f"c{len(meta)}"
                 meta.append(f"('{cid}','{g}','{o}',"
                             f"{'true' if oid == parent else 'false'})")
                 for part, rings in enumerate(prepared.polys_by_id[oid]):

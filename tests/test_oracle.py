@@ -392,14 +392,15 @@ def test_simplify_offgrid_tjunction_canonical_chains(spark):
                                   synth.gen_admin_mapping_pdf())
     mesh = {o: prepared.polys_by_id[o] for o in ("K1", "K2", "K3")}
     drv = dissolve.shared_edge_simplify(mesh, tol=0.05)
-    dist_rows = simplify_mesh_global(spark, prepared, child_level=2,
-                                     tol=0.05).collect()
+    full = simplify_mesh_global(spark, prepared, child_level=2,
+                                tol=0.05).persist()
+    dist_rows = full.collect()
     dist = {r["osm_id"]: geom.wkb_to_multipolygon(bytes(r["geom_wkb"]))
             for r in dist_rows}
     gridj = (round(5.0 / SNAP) * SNAP, round(yj / SNAP) * SNAP)
     for oid in mesh:
-        for dp_, ep in zip(dist[oid], drv[oid]):
-            for dr, er in zip(dp_, ep):
+        for dp_, ep in zip(dist[oid], drv[oid], strict=True):
+            for dr, er in zip(dp_, ep, strict=True):
                 assert np.array_equal(dr, er), oid  # driver == distributed
     # the junction lands at its GRID coordinates in every owner
     for oid in ("K1", "K2", "K3"):
@@ -411,11 +412,11 @@ def test_simplify_offgrid_tjunction_canonical_chains(spark):
     k23 = {(p[0], p[1]) for o in ("K2", "K3")
            for p in drv[o][0][0] if p[0] == 5.0}
     assert k23 <= k1
-    sdf = simplify_mesh_global(spark, prepared, child_level=2, tol=0.05) \
-        .select("osm_id", "parent_osm_id", "n_points_before",
-                "n_points_after")
+    sdf = full.select("osm_id", "parent_osm_id", "n_points_before",
+                      "n_points_after")
     _compare("simplify_tjunction", sdf, _duckdb.connect(),
              simplify_mesh_stats_oracle_sql(prepared=prepared))
+    full.unpersist()
 
 
 def test_topojson_arc_stats_oracle_subcell_collapse(spark):
@@ -468,14 +469,10 @@ def test_topojson_arc_stats_oracle_subcell_collapse(spark):
 
 
 
-def _fuzz_rect(x0, y0, x1, y1):
-    import numpy as np
-    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-
-
 def _fuzz_bsp(x0, y0, x1, y1, rng, depth):
+    from posmspark.synth import rect
     if depth == 0 or rng.random() < 0.3:
-        return [_fuzz_rect(x0, y0, x1, y1)]
+        return [rect(x0, y0, x1, y1)]
     if rng.random() < 0.5:
         xm = x0 + (x1 - x0) * rng.uniform(0.3, 0.7)
         return (_fuzz_bsp(x0, y0, xm, y1, rng, depth - 1)
