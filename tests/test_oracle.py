@@ -469,6 +469,66 @@ def test_topojson_arc_stats_oracle_subcell_collapse(spark):
 
 
 
+def test_zip_counts_oracle_cyclic_isin_terminates():
+    """A cyclic is_in must not hang the recursive-CTE oracle: the
+    depth-64 guard cuts the walk, cycle members drop out of the
+    country rollup (they never reach an adminlevel-0 node), and the
+    acyclic country still reports — the engine's seen-set walk agrees
+    that no level-0 country claims the cycle."""
+    import types
+
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from posmspark.sinks import zip_package_counts_oracle_sql
+
+    lp = pd.DataFrame([
+        {"osm_id": "C", "adminlevel": 0, "is_in": None},
+        {"osm_id": "X", "adminlevel": 1, "is_in": "Y"},
+        {"osm_id": "Y", "adminlevel": 1, "is_in": "X"},
+    ])
+    fake = types.SimpleNamespace(levels_pdf=lp)
+    got = sorted(_duckdb.connect().execute(
+        zip_package_counts_oracle_sql(prepared=fake)).fetchall())
+    assert got == [("C", "admin_level_0_natural.geojson", 1),
+                   ("C", "admin_level_0_simplified.geojson", 1)]
+
+
+def test_topo_arc_stats_oracle_pipe_osm_ids(spark):
+    """osm_ids containing the old composite-id delimiter '|' must not
+    collide across (group, object) pairs: group 'A' object 'B|C' and
+    group 'A|B' object 'C' both rendered cid 'A|B|C' under the retired
+    f'{{g}}|{{o}}' scheme, merging their vertex sets. The running-index
+    cids keep them distinct — engine and oracle must match exactly."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from posmspark import synth, topo
+    from posmspark.joins import prepare_boundaries
+
+    rows = [
+        synth._row("A", "Aland", "Aland", "2", "aa",
+                   "administrative", [[synth.rect(0, 0, 10, 10)]], 0),
+        synth._row("A|B", "West", "West", "4", None,
+                   "administrative", [[synth.rect(0, 0, 5, 10)]], 1),
+        synth._row("B|C", "East", "East", "4", None,
+                   "administrative", [[synth.rect(5, 0, 10, 10)]], 2),
+        synth._row("C", "SubWest", "SubWest", "6", None,
+                   "administrative", [[synth.rect(0, 0, 5, 5)]], 3),
+    ]
+    prepared = prepare_boundaries(pd.DataFrame(rows),
+                                  synth.gen_admin_mapping_pdf())
+    # the collision precondition really holds in this fixture
+    assert {("A", "B|C"), ("A|B", "C")} <= {
+        (p, o) for p, o in zip(prepared.levels_pdf.is_in,
+                               prepared.levels_pdf.osm_id) if p}
+    sdf = (topo.topology_tree_by_parent(spark, prepared)
+           .select("parent_osm_id", "osm_id", "is_boundary",
+                   "n_arc_refs", "n_shared_arcs", "n_quantized_points"))
+    _compare("topo_pipe_ids", sdf, _duckdb.connect(),
+             topo.topojson_arc_stats_oracle_sql(prepared=prepared))
+
+
 def _fuzz_bsp(x0, y0, x1, y1, rng, depth):
     from posmspark.synth import rect
     if depth == 0 or rng.random() < 0.3:
