@@ -189,6 +189,23 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cos_sim", 6).alias("cos_sim"), "rn")
 
 
+def _q_ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe + exact re-rank over a DATA-DERIVED deterministic
+    codebook (the n_centroids lowest-id embeddings — kmeans' init,
+    zero iterations): the oracle-checkable sibling of ann_ivf_topk.
+    Assignment is one map-only array-of-structs argmax expression
+    (no shuffle, no Python); the DuckDB oracle re-derives codebook,
+    assignment, probes, and re-rank from the table with mirrored
+    sequential folds (ann.ivf_probe_topk_oracle_sql)."""
+    from posmspark import ann
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.ivf_probe_topk_exact(vecs, spark, k=5, n_centroids=8,
+                                   n_probe=2, query_lo=100, n_queries=10)
+    return out.select("query_id", "vec_id",
+                      F.round("cos_sim", 6).alias("cos_sim"), "rn")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over the fixture media table. DuckDB-
     oracled since r05: payload pixels are md5-portable draws, so
@@ -612,6 +629,7 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": _q_simhash_near_pairs,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
+    "ann_ivf_probe_topk": _q_ann_ivf_probe_topk,
     "multimodal_features": _q_multimodal_features,
     "streaming_tile_counts": _q_streaming_tile_counts,
     "streaming_dedup": _q_streaming_dedup,
@@ -664,6 +682,7 @@ _VERIFY_FIRST = [
     "tile_clip_areas",        # r05: per-cell rows + bit-exact SQL oracle
     "pip_assignment",         # anchor oracle for the new rollup oracles
     "pip_tile_rollup",
+    "ann_ivf_probe_topk",     # r05: NEW data-derived-codebook SQL oracle
     # --- rows-only residue: keep their rows fresh every round (their
     # oracle-backed siblings cover the checkable semantics)
     "topojson_export",
@@ -744,4 +763,8 @@ def oracle_sql() -> dict[str, str]:
 
     out["ann_lsh_topk"] = lsh_topk_oracle_sql(
         k=5, dim=64, n_planes=8, n_tables=4)
+    from posmspark.ann import ivf_probe_topk_oracle_sql
+
+    out["ann_ivf_probe_topk"] = ivf_probe_topk_oracle_sql(
+        k=5, n_centroids=8, n_probe=2, query_lo=100, n_queries=10)
     return out

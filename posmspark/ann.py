@@ -611,3 +611,149 @@ SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim,
        CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= {k}
 """
+
+
+def _py_fold_dot(a, b) -> float:
+    """Sequential left-fold dot product — the driver-side mirror of the
+    engines' `aggregate`/`list_reduce` folds (same IEEE add order, so
+    bit-identical to both)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def ivf_probe_topk_exact(vectors: DataFrame, spark: SparkSession, k: int = 5,
+                         n_centroids: int = 8, n_probe: int = 2,
+                         query_lo: int = 100, n_queries: int = 10,
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> DataFrame:
+    """IVF probe + exact re-rank with DATA-DERIVED deterministic
+    centroids — the oracle-checkable sibling of ivf_topk (whose trained
+    spherical-kmeans codebook is float-sum-order sensitive and hence
+    honestly rows-only). The codebook here is the embeddings of the
+    n_centroids lowest ids (exactly kmeans' deterministic init, zero
+    iterations), so BOTH engines re-derive it independently from the
+    table and every downstream float — cell scores, probe picks,
+    re-rank cosines — is a mirrored sequential fold (bit-identical,
+    ranks can never drift).
+
+    Scale shape: cell assignment is MAP-ONLY — the bounded codebook
+    (n_centroids rows) is collected once and baked into one
+    array-of-structs argmax expression per row (no shuffle, no Python;
+    at cluster scale `ivf_cell` doubles as the table's partition/bucket
+    key). Probe rows are a broadcast equi-join on the cell id; the only
+    shuffle is the final per-query top-k window over candidates
+    (~n_probe/n_centroids of the table).
+    """
+    crows = (vectors.filter(F.col(id_col) < n_centroids)
+             .select(id_col, emb_col).orderBy(id_col).collect())
+    cents = []
+    for r in crows:
+        emb = [float(x) for x in r[emb_col]]
+        cents.append((int(r[id_col]), emb, math.sqrt(_py_fold_dot(emb, emb))))
+
+    structs = []
+    for cell, emb, nc in cents:
+        lits = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in emb)
+        dot = F.expr(
+            f"aggregate(zip_with({emb_col}, array({lits}),"
+            " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v)")
+        structs.append(F.struct((dot / F.lit(nc)).alias("s"),
+                                F.lit(-cell).alias("m")))
+    assigned = vectors.withColumn(
+        "ivf_cell", F.array_max(F.array(*structs))["m"] * -1)
+
+    qrows = (vectors.filter(
+        (F.col(id_col) >= query_lo) & (F.col(id_col) < query_lo + n_queries))
+        .select(id_col, emb_col).orderBy(id_col).collect())
+    probe_rows = []
+    for r in qrows:
+        q = [float(x) for x in r[emb_col]]
+        scores = [(_py_fold_dot(q, emb) / nc, cell) for cell, emb, nc in cents]
+        for _s, cell in sorted(scores, key=lambda t: (-t[0], t[1]))[:n_probe]:
+            probe_rows.append({"query_id": str(r[id_col]),
+                               "ivf_cell": int(cell), "q_emb": q})
+    probes = spark.createDataFrame(pd.DataFrame(probe_rows))
+
+    cand = (assigned.join(F.broadcast(probes), ["ivf_cell"], "inner")
+            .filter(F.col(id_col).cast("string") != F.col("query_id")))
+    return cosine_rerank(cand, k, id_col, emb_col)
+
+
+def ivf_probe_topk_oracle_sql(k: int = 5, n_centroids: int = 8,
+                              n_probe: int = 2, query_lo: int = 100,
+                              n_queries: int = 10) -> str:
+    """DuckDB twin of `ann_ivf_probe_topk`. NOTHING enters as VALUES:
+    the codebook is the table's n_centroids lowest-id embeddings, so
+    the oracle independently re-derives codebook, normalized cell
+    scores, per-vector argmax assignment (ties -> lowest cell, the
+    engine's struct-max mirror), per-query top-n_probe cells, the
+    cell equi-join candidates, and cosine_rerank's fold tree term for
+    term."""
+    dot_fold = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(len(e.embedding)),
+             i -> CAST(e.embedding[i + 1] AS DOUBLE)
+                  * CAST(q.q_emb[i + 1] AS DOUBLE))),
+           (acc, v) -> acc + v)"""
+    nv_fold = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(len(e.embedding)),
+             i -> CAST(e.embedding[i + 1] AS DOUBLE)
+                  * CAST(e.embedding[i + 1] AS DOUBLE))),
+           (acc, v) -> acc + v))"""
+    nq_fold = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(len(q.q_emb)),
+             i -> CAST(q.q_emb[i + 1] AS DOUBLE)
+                  * CAST(q.q_emb[i + 1] AS DOUBLE))),
+           (acc, v) -> acc + v))"""
+    q_hi = query_lo + n_queries
+    return f"""
+WITH cnorm AS MATERIALIZED (
+  SELECT vec_id AS cell, embedding AS c_emb,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(len(embedding)),
+             i -> CAST(embedding[i + 1] AS DOUBLE)
+                  * CAST(embedding[i + 1] AS DOUBLE))),
+           (acc, v) -> acc + v)) AS nc
+  FROM embeddings WHERE vec_id < {n_centroids}),
+vscore AS MATERIALIZED (
+  SELECT e.vec_id, c.cell,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(len(e.embedding)),
+             i -> CAST(e.embedding[i + 1] AS DOUBLE)
+                  * CAST(c.c_emb[i + 1] AS DOUBLE))),
+           (acc, v) -> acc + v) / c.nc AS s
+  FROM embeddings e CROSS JOIN cnorm c),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM vscore) WHERE rn = 1),
+qprobe AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM vscore WHERE vec_id >= {query_lo} AND vec_id < {q_hi})
+  WHERE rn <= {n_probe}),
+qv AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id >= {query_lo} AND vec_id < {q_hi}),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN qprobe p ON p.cell = a.cell
+  WHERE CAST(a.vec_id AS VARCHAR) <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {dot_fold} / ({nv_fold} * {nq_fold}) AS cos_sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qv q ON q.query_id = c.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}
+"""

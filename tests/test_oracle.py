@@ -78,6 +78,7 @@ EXTERNAL_ORACLE_NAMES = [
     "topojson_arc_stats",
     "shapefile_source",
     "ann_lsh_topk",
+    "ann_ivf_probe_topk",
 ]
 
 

@@ -260,3 +260,25 @@ def test_cosine_near_pairs_lsh_plan_never_cartesian(spark):
     # appear for the bounded hot-bucket list of the skew cap — so pin
     # the verify joins by SHJ count, not by banning broadcast.)
     assert plan.count("ShuffledHashJoin") >= 2
+
+
+def test_ivf_probe_assignment_is_map_only(spark):
+    """ann_ivf_probe_topk's scale contract: cell assignment is ONE
+    map-side array-of-structs argmax (no Exchange between the scan and
+    the probe join), the probe join is a broadcast equi-join on the
+    cell id, and the only shuffle is the final per-query top-k window
+    — never a cartesian / broadcast-nested-loop product."""
+    from posmspark import ann
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ann.ivf_probe_topk_exact(df, spark, k=5, n_centroids=4,
+                                          n_probe=2, query_lo=10,
+                                          n_queries=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    # exactly one Exchange: the rank window's hashpartitioning on
+    # query_id (broadcast exchanges print as BroadcastExchange)
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(shuffles) == 1 and shuffles[0].startswith("query_id"), plan
