@@ -641,3 +641,52 @@ def test_topo_oracle_fuzz_pinned(seed):
     got = sorted(tuple(r) for r in _duckdb.connect().execute(
         topo.topojson_arc_stats_oracle_sql(prepared=fake)).fetchall())
     assert exp == got
+
+
+@pytest.mark.parametrize("seed,n_centroids,n_probe",
+                         [(2, 4, 2), (5, 8, 3), (13, 6, 1)])
+def test_ivf_probe_oracle_fuzz_pinned(spark, tmp_path, seed, n_centroids,
+                                      n_probe):
+    """ann_ivf_probe_topk's bit-exactness claim under adversarial ties:
+    random float32 embeddings where centroid 1 DUPLICATES centroid 0
+    (every vector's cell scores tie across cells 0/1 -> the argmax
+    tie-break to the LOWEST cell is load-bearing) and several query
+    vectors have exact duplicates in the table (equal re-rank cosines
+    -> the vec_id tie-break is load-bearing). Engine and SQL oracle
+    must agree exactly at three (n_centroids, n_probe) shapes.
+    Pinned subset of a 40-seed external campaign (random n/dim/
+    n_centroids/n_probe with the same tie injections — all clean,
+    r05)."""
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from posmspark import ann
+
+    rng = np.random.default_rng(seed)
+    n, dim, q_lo, n_q = 240, 16, 100, 6
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    m[1] = m[0]                       # duplicate centroid pair
+    for i in range(q_lo, q_lo + n_q, 2):
+        m[i + 60] = m[i + 1]          # duplicate candidates near queries
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row for row in m],
+        "label": (np.arange(n) % 5).astype(np.int32),
+    })
+    path = str(tmp_path / "emb.parquet")
+    pdf.to_parquet(path)
+
+    vecs = spark.read.parquet(path)
+    sdf = (ann.ivf_probe_topk_exact(
+        vecs, spark, k=5, n_centroids=n_centroids, n_probe=n_probe,
+        query_lo=q_lo, n_queries=n_q)
+        .select("query_id", "vec_id",
+                F.round("cos_sim", 6).alias("cos_sim"), "rn"))
+    con = _duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    _compare(f"ivf_probe_fuzz_{seed}", sdf, con,
+             ann.ivf_probe_topk_oracle_sql(
+                 k=5, n_centroids=n_centroids, n_probe=n_probe,
+                 query_lo=q_lo, n_queries=n_q))
