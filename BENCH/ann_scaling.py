@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: projection stops pruning on high-dim near-isotropic embeddings
 #: (measured 129s at just 8k vectors, ~quadratic — THE finding that
 #: motivated ann.cosine_near_pairs_lsh, the scale path benched here).
-OPS = ["lsh_topk", "ivf_topk", "cosine_near_pairs_lsh"]
+OPS = ["lsh_topk", "ivf_topk", "ivf_probe_topk", "cosine_near_pairs_lsh"]
 
 CHILD = r"""
 import json, os, sys, time
@@ -88,6 +88,14 @@ for op in ops:
     elif op == "ivf_topk":
         df = ann.ivf_topk(vecs, queries, k=10, spark=spark,
                           n_centroids=64, n_probe=8)
+    elif op == "ivf_probe_topk":
+        # the oracle-checked sibling: data-derived codebook baked into
+        # one map-only argmax expression — 16 cells keeps the literal
+        # expression tree bounded (the by-design regime; a trained
+        # 64-cell codebook belongs to ivf_topk's broadcast path)
+        df = ann.ivf_probe_topk_exact(vecs, spark, k=10, n_centroids=16,
+                                      n_probe=4, query_lo=100,
+                                      n_queries=8)
     elif op == "cosine_near_pairs_lsh":
         df = ann.cosine_near_pairs_lsh(
             vecs, threshold=0.99, spark=spark, dim=DIM,
