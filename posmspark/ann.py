@@ -631,10 +631,12 @@ def ivf_probe_topk_exact(vectors: DataFrame, spark: SparkSession, k: int = 5,
     """IVF probe + exact re-rank with DATA-DERIVED deterministic
     centroids — the oracle-checkable sibling of ivf_topk (whose trained
     spherical-kmeans codebook is float-sum-order sensitive and hence
-    honestly rows-only). The codebook here is the embeddings of the
-    n_centroids lowest ids (exactly kmeans' deterministic init, zero
-    iterations), so BOTH engines re-derive it independently from the
-    table and every downstream float — cell scores, probe picks,
+    honestly rows-only). The codebook here is the embeddings with
+    {id_col} < n_centroids — a guarded dense-0 id contract, like the
+    other registry fixtures' query windows; on the registry tables
+    this IS kmeans' deterministic init (the n_centroids lowest ids)
+    with zero iterations — so BOTH engines re-derive it independently
+    from the table and every downstream float — cell scores, probe picks,
     re-rank cosines — is a mirrored sequential fold (bit-identical,
     ranks can never drift).
 
@@ -646,8 +648,21 @@ def ivf_probe_topk_exact(vectors: DataFrame, spark: SparkSession, k: int = 5,
     shuffle is the final per-query top-k window over candidates
     (~n_probe/n_centroids of the table).
     """
-    crows = (vectors.filter(F.col(id_col) < n_centroids)
-             .select(id_col, emb_col).orderBy(id_col).collect())
+    q_hi = query_lo + n_queries
+    rows = (vectors.filter((F.col(id_col) < n_centroids)
+                           | ((F.col(id_col) >= query_lo)
+                              & (F.col(id_col) < q_hi)))
+            .select(id_col, emb_col).orderBy(id_col).collect())
+    crows = [r for r in rows if r[id_col] < n_centroids]
+    qrows = [r for r in rows if query_lo <= r[id_col] < q_hi]
+    if len(crows) < n_centroids:
+        raise ValueError(
+            f"codebook needs dense ids 0..{n_centroids - 1}: "
+            f"found {len(crows)} rows with {id_col} < {n_centroids}")
+    if not qrows:
+        raise ValueError(
+            f"no query rows in [{query_lo}, {q_hi}) — the oracle compare "
+            "would pass vacuously")
     cents = []
     for r in crows:
         emb = [float(x) for x in r[emb_col]]
@@ -665,9 +680,6 @@ def ivf_probe_topk_exact(vectors: DataFrame, spark: SparkSession, k: int = 5,
     assigned = vectors.withColumn(
         "ivf_cell", F.array_max(F.array(*structs))["m"] * -1)
 
-    qrows = (vectors.filter(
-        (F.col(id_col) >= query_lo) & (F.col(id_col) < query_lo + n_queries))
-        .select(id_col, emb_col).orderBy(id_col).collect())
     probe_rows = []
     for r in qrows:
         q = [float(x) for x in r[emb_col]]

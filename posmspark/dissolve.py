@@ -1271,12 +1271,17 @@ def simplify_mesh_global(spark, prepared, child_level: int,
     edges = src.groupBy("osm_id").applyInPandas(emit_edges, edge_schema)
 
     # stage 2: global owner-set id per segment (order-canonical md5 of
-    # the sorted owner list — only ever compared for equality)
+    # the sorted owner list — only ever compared for equality). Each
+    # owner is length-prefixed so the join is INJECTIVE: a bare '|'
+    # join would merge e.g. {'A','B','C'} with {'A','B|C'} when ids
+    # contain the delimiter, diverging from the driver's frozensets
     owners = (
         edges.select("seg_key", "osm_id").distinct()
         .groupBy("seg_key")
-        .agg(F.md5(F.concat_ws(
-            "|", F.sort_array(F.collect_set("osm_id")))).alias("oset_id"))
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_set(
+            F.concat_ws(":", F.length("osm_id").cast("string"),
+                        F.col("osm_id"))))))
+            .alias("oset_id"))
     )
 
     piece_schema = T.StructType([
@@ -1891,7 +1896,10 @@ canonseg AS (
                  THEN (kx, ky, nkx, nky) ELSE (nkx, nky, kx, ky) END AS sk
   FROM sedges),
 owners AS (
-  SELECT gid, sk, string_agg(DISTINCT oid, '|' ORDER BY oid) AS oset
+  SELECT gid, sk,
+         string_agg(DISTINCT CAST(length(oid) AS VARCHAR) || ':' || oid,
+                    '|' ORDER BY CAST(length(oid) AS VARCHAR) || ':' || oid)
+           AS oset
   FROM canonseg GROUP BY gid, sk),
 oedges AS (
   SELECT c.*, o.oset FROM canonseg c

@@ -322,12 +322,16 @@ arcid AS MATERIALIZED (
   FROM tcan GROUP BY gid, oid, part, ring, piece),
 refcnt AS (SELECT gid, ak, count(*) AS rc FROM arcid GROUP BY gid, ak),
 -- arc representative = first piece in the engine's iteration order
--- (sorted object id, then poly/ring/chain order)
+-- (sorted REAL osm_id, then poly/ring/chain order). The VALUES object
+-- ids are running-index surrogates whose string order is neither
+-- numeric nor the engine's sorted-id order, so rank via meta's osm_id
 arcrep AS (
   SELECT gid, ak, oid, part, ring, piece FROM (
-    SELECT *, row_number() OVER (PARTITION BY gid, ak
-                                 ORDER BY oid, part, ring, piece) AS rn
-    FROM arcid) WHERE rn = 1),
+    SELECT a.gid, a.ak, a.oid, a.part, a.ring, a.piece,
+           row_number() OVER (PARTITION BY a.gid, a.ak
+                              ORDER BY m.osm_id, a.part, a.ring,
+                                       a.piece) AS rn
+    FROM arcid a JOIN meta m ON m.cid = a.oid) WHERE rn = 1),
 -- quantized point count per arc: ties-to-even grid snap (CAST ==
 -- np.round), consecutive-duplicate collapse, floor of 2 points
 qcoll AS (

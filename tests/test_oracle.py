@@ -690,3 +690,85 @@ def test_ivf_probe_oracle_fuzz_pinned(spark, tmp_path, seed, n_centroids,
              ann.ivf_probe_topk_oracle_sql(
                  k=5, n_centroids=n_centroids, n_probe=n_probe,
                  query_lo=q_lo, n_queries=n_q))
+
+
+def test_topo_arc_stats_oracle_rep_order_quant_straddle():
+    """The arc-representative rule: the engine quantizes the FIRST
+    inserter's raw path in sorted-real-osm_id order. The running-index
+    cids sort neither numerically nor in engine order, so arcrep must
+    rank via meta's osm_id — pinned on a fixture where it matters:
+    K1/K2 share a border whose interior vertex differs between owners
+    by 4e-10 (same 1e-9 snap key -> same arc) straddling a ties-even
+    quantization-grid boundary, so K1's raw path collapses to one
+    fewer quantized point than K2's. Child insertion order is K2-first
+    so a cid-ordered representative would wrongly pick K2."""
+    import types
+
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import topo
+
+    # found numerically: u and va share a quant cell (collapse), vb is
+    # one cell over; va/vb share the snap key round(v / 1e-9)
+    u = 3.9990399908999095
+    va = 3.9990899906999093
+    vb = 3.9990899910999094
+    K1 = np.array([[0, 0], [5, 0], [5, u], [5, va], [5, 10],
+                   [0, 10], [0, 0]])
+    K2 = np.array([[5, 0], [10, 0], [10, 10], [5, 10], [5, vb],
+                   [5, u], [5, 0]])
+    P1 = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    polys = {"P1": [[P1]], "K2": [[K2]], "K1": [[K1]]}
+    t = topo.topology(polys, quantization=100_000)
+    exp = sorted(("G", s["osm_id"], False, s["n_arc_refs"],
+                  s["n_shared_arcs"], s["n_quantized_points"])
+                 for s in topo.arc_stats(t))
+    # the straddle really is asymmetric: K1/K2 totals differ from P1's
+    by_id = {e[1]: e[5] for e in exp}
+    assert by_id["K1"] == by_id["K2"] == by_id["P1"] - 1
+    lp = pd.DataFrame(
+        [{"osm_id": "G", "adminlevel": 0, "is_in": None}]
+        + [{"osm_id": o, "adminlevel": 1, "is_in": "G"}
+           for o in ("P1", "K2", "K1")])  # cid order != sorted order
+    fake = types.SimpleNamespace(levels_pdf=lp, polys_by_id=polys)
+    got = sorted(tuple(r) for r in _duckdb.connect().execute(
+        topo.topojson_arc_stats_oracle_sql(prepared=fake)).fetchall())
+    assert exp == got
+
+
+def test_owner_set_encoding_injective():
+    """Owner-set fingerprints must be injective for pipe-bearing ids:
+    {'A','B','C'} and {'A','B|C'} joined bare with '|' collide, which
+    would merge distinct chain runs in BOTH the distributed engine's
+    oset_id and the SQL oracle's oset. The length-prefixed encoding
+    keeps them distinct."""
+    import duckdb as _duckdb
+    from pyspark.sql import functions as F
+
+    sql = ("SELECT string_agg(DISTINCT CAST(length(oid) AS VARCHAR)"
+           " || ':' || oid, '|'"
+           " ORDER BY CAST(length(oid) AS VARCHAR) || ':' || oid)"
+           " FROM (SELECT unnest({ids}) AS oid)")
+    con = _duckdb.connect()
+    a = con.execute(sql.format(ids="['A','B','C']")).fetchone()[0]
+    b = con.execute(sql.format(ids="['A','B|C']")).fetchone()[0]
+    assert a != b
+
+
+def test_owner_set_spark_oset_id_injective(spark):
+    """Spark twin of the injectivity pin: simplify's stage-2 oset_id
+    md5 must distinguish the colliding owner sets."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("s1", "A"), ("s1", "B"), ("s1", "C"), ("s2", "A"), ("s2", "B|C")],
+        "seg_key string, osm_id string")
+    ids = {r["seg_key"]: r["oid"] for r in (
+        df.distinct().groupBy("seg_key")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_set(
+            F.concat_ws(":", F.length("osm_id").cast("string"),
+                        F.col("osm_id"))))))
+            .alias("oid"))).collect()}
+    assert ids["s1"] != ids["s2"]
