@@ -772,3 +772,51 @@ def test_owner_set_spark_oset_id_injective(spark):
                         F.col("osm_id"))))))
             .alias("oid"))).collect()}
     assert ids["s1"] != ids["s2"]
+
+
+def test_topo_arc_stats_oracle_ties_even_boundary():
+    """Exact half-cell quantization ties must round ties-EVEN in both
+    engines (np.round == DuckDB CAST AS BIGINT; half-away-from-zero
+    would diverge): border vertices sit at y = (k + 0.5) * sy with the
+    division exactly representable (searched), paired with a
+    cell-center neighbor so the consecutive-duplicate collapse — and
+    hence n_quantized_points — flips if either engine rounds the tie
+    up instead of to even."""
+    import types
+
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+
+    from posmspark import topo
+
+    sy = 10 / 99999
+    y_tie = (39000 + 0.5) * sy     # y_tie / sy == 39000.5 exactly
+    assert y_tie / sy == 39000.5
+    y_lo = 39000 * sy              # cell 39000 center
+    y_tie2 = (59000 + 0.5) * sy
+    assert y_tie2 / sy == 59000.5
+    y_hi = 59000 * sy              # cell 59000 center
+    border = [[5, 0], [5, y_lo], [5, y_tie], [5, 5],
+              [5, y_hi], [5, y_tie2], [5, 10]]
+    K1 = np.array([[0, 0], [5, 0]] + border[1:-1] + [[5, 10], [0, 10],
+                                                     [0, 0]])
+    K2 = np.array([[5, 0], [10, 0], [10, 10], [5, 10]]
+                  + border[-2:0:-1] + [[5, 0]])
+    polys = {"K1": [[K1]], "K2": [[K2]]}
+    t = topo.topology(polys, quantization=100_000)
+    exp = sorted(("G", s["osm_id"], False, s["n_arc_refs"],
+                  s["n_shared_arcs"], s["n_quantized_points"])
+                 for s in topo.arc_stats(t))
+    # ties-even collapsed BOTH tie/center pairs on the shared arc:
+    # 7 raw border points -> 5 quantized (a half-up rule would keep 7,
+    # reading 11 per object instead of 9 with the 4-point solo arc)
+    assert [e[5] for e in exp] == [9, 9]
+    lp = pd.DataFrame(
+        [{"osm_id": "G", "adminlevel": 0, "is_in": None}]
+        + [{"osm_id": o, "adminlevel": 1, "is_in": "G"}
+           for o in sorted(polys)])
+    fake = types.SimpleNamespace(levels_pdf=lp, polys_by_id=polys)
+    got = sorted(tuple(r) for r in _duckdb.connect().execute(
+        topo.topojson_arc_stats_oracle_sql(prepared=fake)).fetchall())
+    assert exp == got
