@@ -530,6 +530,43 @@ def cosine_near_pairs_lsh(vectors: DataFrame, threshold: float,
     )
 
 
+def _sql_dot_fold(a: str, b: str) -> str:
+    """DuckDB mirror of the engines' sequential-left-fold dot product
+    (Spark `aggregate`/`zip_with`, driver `_py_fold_dot`): identical
+    IEEE add order, so every ANN oracle shares ONE bit-exactness
+    contract instead of hand-copied fold trees."""
+    return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(len({a})),
+             i -> CAST({a}[i + 1] AS DOUBLE)
+                  * CAST({b}[i + 1] AS DOUBLE))),
+           (acc, v) -> acc + v)"""
+
+
+def _sql_norm_fold(a: str) -> str:
+    return f"sqrt({_sql_dot_fold(a, a)})"
+
+
+def _sql_rerank_tail(k: int) -> str:
+    """Shared scored -> ranked -> top-k SQL tail — the twin of
+    cosine_rerank's exact fold + (cos DESC, vec_id) ordering. Expects
+    CTEs `cand(query_id, vec_id)` and `qv(query_id, q_emb)` upstream."""
+    return f"""scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_sql_dot_fold("e.embedding", "q.q_emb")}
+         / ({_sql_norm_fold("e.embedding")}
+            * {_sql_norm_fold("q.q_emb")}) AS cos_sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qv q ON q.query_id = c.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {k}"""
+
+
 def lsh_topk_oracle_sql(k: int = 5, dim: int = 64, n_planes: int = 8,
                         n_tables: int = 4, multiprobe: bool = True,
                         seed: int = SEED, n_queries: int = 3) -> str:
@@ -557,21 +594,6 @@ def lsh_topk_oracle_sql(k: int = 5, dim: int = 64, n_planes: int = 8,
     SELECT q.query_id, q.tbl, xor(q.sig, CAST(1 AS BIGINT) << b.b) AS sig
     FROM qsig q, (SELECT unnest(generate_series(0, {n_planes - 1})) AS b) b
 """ if multiprobe else ""
-    dot_fold = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(len(e.embedding)),
-             i -> CAST(e.embedding[i + 1] AS DOUBLE)
-                  * CAST(q.q_emb[i + 1] AS DOUBLE))),
-           (acc, v) -> acc + v)"""
-    nv_fold = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(len(e.embedding)),
-             i -> CAST(e.embedding[i + 1] AS DOUBLE)
-                  * CAST(e.embedding[i + 1] AS DOUBLE))),
-           (acc, v) -> acc + v))"""
-    nq_fold = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(len(q.q_emb)),
-             i -> CAST(q.q_emb[i + 1] AS DOUBLE)
-                  * CAST(q.q_emb[i + 1] AS DOUBLE))),
-           (acc, v) -> acc + v))"""
     return f"""
 WITH planes(tbl, p, w) AS (VALUES
 {",".join(prows)}),
@@ -597,19 +619,7 @@ cand AS (
 qv AS (
   SELECT CAST(vec_id AS VARCHAR) AS query_id, embedding AS q_emb
   FROM embeddings WHERE vec_id < {n_queries}),
-scored AS (
-  SELECT c.query_id, c.vec_id,
-         {dot_fold} / ({nv_fold} * {nq_fold}) AS cos_sim
-  FROM cand c
-  JOIN embeddings e ON e.vec_id = c.vec_id
-  JOIN qv q ON q.query_id = c.query_id),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_sim DESC, vec_id) AS rn
-  FROM scored)
-SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim,
-       CAST(rn AS INT) AS rn
-FROM ranked WHERE rn <= {k}
+{_sql_rerank_tail(k)}
 """
 
 
@@ -655,10 +665,11 @@ def ivf_probe_topk_exact(vectors: DataFrame, spark: SparkSession, k: int = 5,
             .select(id_col, emb_col).orderBy(id_col).collect())
     crows = [r for r in rows if r[id_col] < n_centroids]
     qrows = [r for r in rows if query_lo <= r[id_col] < q_hi]
-    if len(crows) < n_centroids:
+    cids = sorted(int(r[id_col]) for r in crows)
+    if cids != list(range(n_centroids)):
         raise ValueError(
-            f"codebook needs dense ids 0..{n_centroids - 1}: "
-            f"found {len(crows)} rows with {id_col} < {n_centroids}")
+            f"codebook needs dense unique ids 0..{n_centroids - 1}: "
+            f"found {id_col} values {cids[:n_centroids + 2]}")
     if not qrows:
         raise ValueError(
             f"no query rows in [{query_lo}, {q_hi}) — the oracle compare "
@@ -666,7 +677,15 @@ def ivf_probe_topk_exact(vectors: DataFrame, spark: SparkSession, k: int = 5,
     cents = []
     for r in crows:
         emb = [float(x) for x in r[emb_col]]
-        cents.append((int(r[id_col]), emb, math.sqrt(_py_fold_dot(emb, emb))))
+        nc = math.sqrt(_py_fold_dot(emb, emb))
+        if nc == 0.0:
+            # A zero-norm centroid would divide by zero three different
+            # ways (driver raise, Spark NULL cell, DuckDB inf score).
+            raise ValueError(
+                f"codebook vector {id_col}={int(r[id_col])} has zero norm "
+                "— cell scores would be undefined and the engines would "
+                "diverge; exclude zero embeddings or raise query_lo")
+        cents.append((int(r[id_col]), emb, nc))
 
     structs = []
     for cell, emb, nc in cents:
@@ -704,38 +723,15 @@ def ivf_probe_topk_oracle_sql(k: int = 5, n_centroids: int = 8,
     engine's struct-max mirror), per-query top-n_probe cells, the
     cell equi-join candidates, and cosine_rerank's fold tree term for
     term."""
-    dot_fold = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(len(e.embedding)),
-             i -> CAST(e.embedding[i + 1] AS DOUBLE)
-                  * CAST(q.q_emb[i + 1] AS DOUBLE))),
-           (acc, v) -> acc + v)"""
-    nv_fold = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(len(e.embedding)),
-             i -> CAST(e.embedding[i + 1] AS DOUBLE)
-                  * CAST(e.embedding[i + 1] AS DOUBLE))),
-           (acc, v) -> acc + v))"""
-    nq_fold = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(len(q.q_emb)),
-             i -> CAST(q.q_emb[i + 1] AS DOUBLE)
-                  * CAST(q.q_emb[i + 1] AS DOUBLE))),
-           (acc, v) -> acc + v))"""
     q_hi = query_lo + n_queries
     return f"""
 WITH cnorm AS MATERIALIZED (
   SELECT vec_id AS cell, embedding AS c_emb,
-         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(len(embedding)),
-             i -> CAST(embedding[i + 1] AS DOUBLE)
-                  * CAST(embedding[i + 1] AS DOUBLE))),
-           (acc, v) -> acc + v)) AS nc
+         {_sql_norm_fold("embedding")} AS nc
   FROM embeddings WHERE vec_id < {n_centroids}),
 vscore AS MATERIALIZED (
   SELECT e.vec_id, c.cell,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(len(e.embedding)),
-             i -> CAST(e.embedding[i + 1] AS DOUBLE)
-                  * CAST(c.c_emb[i + 1] AS DOUBLE))),
-           (acc, v) -> acc + v) / c.nc AS s
+         {_sql_dot_fold("e.embedding", "c.c_emb")} / c.nc AS s
   FROM embeddings e CROSS JOIN cnorm c),
 assigned AS (
   SELECT vec_id, cell FROM (
@@ -755,17 +751,5 @@ cand AS (
   SELECT p.query_id, a.vec_id
   FROM assigned a JOIN qprobe p ON p.cell = a.cell
   WHERE CAST(a.vec_id AS VARCHAR) <> p.query_id),
-scored AS (
-  SELECT c.query_id, c.vec_id,
-         {dot_fold} / ({nv_fold} * {nq_fold}) AS cos_sim
-  FROM cand c
-  JOIN embeddings e ON e.vec_id = c.vec_id
-  JOIN qv q ON q.query_id = c.query_id),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_sim DESC, vec_id) AS rn
-  FROM scored)
-SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim,
-       CAST(rn AS INT) AS rn
-FROM ranked WHERE rn <= {k}
+{_sql_rerank_tail(k)}
 """

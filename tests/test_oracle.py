@@ -745,7 +745,6 @@ def test_owner_set_encoding_injective():
     oset_id and the SQL oracle's oset. The length-prefixed encoding
     keeps them distinct."""
     import duckdb as _duckdb
-    from pyspark.sql import functions as F
 
     sql = ("SELECT string_agg(DISTINCT CAST(length(oid) AS VARCHAR)"
            " || ':' || oid, '|'"
