@@ -268,3 +268,43 @@ def test_auto_n_planes_scales_log2_and_clamps():
     # monotonic non-decreasing
     vals = [ann.auto_n_planes(n) for n in (10, 1e3, 1e5, 1e7, 1e9, 1e12)]
     assert vals == sorted(vals)
+
+
+def test_ivf_probe_codebook_guards_reject_bad_contracts(spark):
+    """ivf_probe_topk_exact's dense-0-id codebook contract must be
+    enforced as stated, not just row-counted: duplicated low ids pass a
+    pure count check while silently dropping a cell, and a zero-norm
+    codebook vector would divide by zero three different ways (driver
+    raise, Spark NULL cell, DuckDB inf score) — each gets an explicit
+    ValueError before any job runs."""
+    dim = 8
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    base = [(i, [float(i + 1)] * dim) for i in range(120)]
+
+    # duplicated low id (0,1,2,2): len == n_centroids but cell 3 missing
+    dup = [(0, base[0][1]), (1, base[1][1]), (2, base[2][1]),
+           (2, base[3][1])] + base[4:]
+    with pytest.raises(ValueError, match="dense unique ids"):
+        ann.ivf_probe_topk_exact(mkdf(dup), spark, n_centroids=4,
+                                 query_lo=100, n_queries=4)
+
+    # sparse ids (gap at 3): fewer codebook rows than n_centroids
+    sparse = [r for r in base if r[0] != 3]
+    with pytest.raises(ValueError, match="dense unique ids"):
+        ann.ivf_probe_topk_exact(mkdf(sparse), spark, n_centroids=4,
+                                 query_lo=100, n_queries=4)
+
+    # zero-norm codebook vector
+    zero = [(0, [0.0] * dim)] + base[1:]
+    with pytest.raises(ValueError, match="zero norm"):
+        ann.ivf_probe_topk_exact(mkdf(zero), spark, n_centroids=4,
+                                 query_lo=100, n_queries=4)
+
+    # empty query window
+    with pytest.raises(ValueError, match="no query rows"):
+        ann.ivf_probe_topk_exact(mkdf(base), spark, n_centroids=4,
+                                 query_lo=500, n_queries=4)
