@@ -683,6 +683,7 @@ _VERIFY_FIRST = [
     "pip_assignment",         # anchor oracle for the new rollup oracles
     "pip_tile_rollup",
     "ann_ivf_probe_topk",     # r05: NEW data-derived-codebook SQL oracle
+    "repetition_stats",       # r05: NEW Gopher-style repetition filters
     # --- rows-only residue: keep their rows fresh every round (their
     # oracle-backed siblings cover the checkable semantics)
     "topojson_export",

@@ -744,6 +744,92 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality signals per document: the share
+    of word 2-grams claimed by the most frequent 2-gram, the share of
+    2-gram slots whose gram occurs more than once, and the most
+    frequent single word's share of tokens — the repetition filters a
+    training-data pipeline runs before dedup (cf. Rae et al. 2021 §A1).
+
+    Cross-engine exactness: every metric stays an integer count until
+    ONE exact IEEE division (ints << 2^53, correctly rounded in both
+    engines), so no rounding grid is needed. max(count) avoids any
+    argmax tie-break entirely. Scale shape: token split + 2-gram
+    transform are per-row JVM expressions (the token array is a
+    materialized column, NOT re-split inside the lambda); the only
+    shuffles are the two (doc_id, gram/word) groupBys — map-side
+    combinable, output cardinality bounded by total tokens."""
+    d = _t(spark, sf, "documents")
+    toks = (d.select("doc_id", F.split("text", " ").alias("w"))
+            .withColumn("n_tokens", F.size("w"))
+            .filter(F.col("n_tokens") >= 2))
+    # ONE tagged explode (kind 0 = word, kind 1 = 2-gram) so the text
+    # column is scanned once and both metric families share one
+    # map-side-combinable groupBy pair — no second scan, no join.
+    ex = toks.select(
+        "doc_id", "n_tokens",
+        F.explode(F.concat(
+            F.expr("transform(w, x -> struct(0 AS kind, x AS tok))"),
+            F.expr("transform(sequence(0, size(w) - 2),"
+                   " i -> struct(1 AS kind,"
+                   " concat(element_at(w, i + 1), ' ',"
+                   " element_at(w, i + 2)) AS tok))"))).alias("e"))
+    cnt = (ex.groupBy("doc_id", "n_tokens",
+                      F.col("e.kind").alias("kind"),
+                      F.col("e.tok").alias("tok"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    is_g = F.col("kind") == 1
+    agg = cnt.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(is_g, F.col("c"))).alias("top_c"),
+        F.sum(F.when(is_g, F.col("c")).otherwise(F.lit(0)))
+        .alias("n_grams"),
+        F.sum(F.when(is_g & (F.col("c") > 1), F.col("c"))
+              .otherwise(F.lit(0))).alias("dup_g"),
+        F.max(F.when(~is_g, F.col("c"))).alias("top_w"))
+    return agg.select(
+        "doc_id", "n_tokens",
+        (F.col("top_c").cast("double") / F.col("n_grams").cast("double"))
+        .alias("top_2gram_frac"),
+        (F.col("dup_g").cast("double") / F.col("n_grams").cast("double"))
+        .alias("dup_2gram_frac"),
+        (F.col("top_w").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("top_word_frac"))
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+t2 AS (SELECT * FROM toks WHERE n_tokens >= 2),
+grams AS (
+  SELECT doc_id, n_tokens,
+         unnest(list_transform(range(n_tokens - 1),
+                i -> w[i + 1] || ' ' || w[i + 2])) AS gram
+  FROM t2),
+gagg AS (
+  SELECT doc_id, n_tokens, max(c) AS top_c, sum(c) AS n_grams,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_g
+  FROM (SELECT doc_id, n_tokens, gram, count(*) AS c
+        FROM grams GROUP BY doc_id, n_tokens, gram)
+  GROUP BY doc_id, n_tokens),
+wc AS (
+  SELECT doc_id, max(cw) AS top_w
+  FROM (SELECT doc_id, word, count(*) AS cw
+        FROM (SELECT doc_id, unnest(w) AS word FROM t2)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id)
+SELECT g.doc_id, g.n_tokens,
+       CAST(g.top_c AS DOUBLE) / CAST(g.n_grams AS DOUBLE)
+         AS top_2gram_frac,
+       CAST(g.dup_g AS DOUBLE) / CAST(g.n_grams AS DOUBLE)
+         AS dup_2gram_frac,
+       CAST(w.top_w AS DOUBLE) / CAST(g.n_tokens AS DOUBLE)
+         AS top_word_frac
+FROM gagg g JOIN wc w ON w.doc_id = g.doc_id
+"""
+
+
 #: doc-frequency above which a shingle counts as boilerplate and is
 #: excluded from CANDIDATE generation (never from the exact Jaccard).
 NGRAM_MAX_SHINGLE_FREQ = 50
@@ -1481,6 +1567,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rand_indicators": (q_rand_indicators, SQL_RAND_INDICATORS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "lang_quality": (q_lang_quality, SQL_LANG_QUALITY),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_band_candidates": (q_minhash_band_candidates,

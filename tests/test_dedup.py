@@ -428,3 +428,35 @@ def test_simhash_oracle_null_text_parity(spark, tmp_path):
     assert got == want
     # the three NULL docs must all pair at hamming 0
     assert {(1, 2, 0), (1, 4, 0), (2, 4, 0), (3, 5, 0)} <= set(got)
+
+
+def test_repetition_stats_semantics_pinned(spark, tmp_path):
+    """Gopher-style repetition metrics on a handcrafted corpus: every
+    fraction is a known small rational, single-token docs are excluded
+    (no 2-gram slots), and an all-identical-token doc maxes out all
+    three metrics."""
+    import pandas as pd
+
+    from posmspark.relops import q_repetition_stats
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a a a b",      # grams: aa,aa,ab -> top 2/3 dup 2/3; a 3/4
+                 "x y",          # one gram -> top 1.0 dup 0.0; word 1/2
+                 "z",            # 1 token -> filtered
+                 "w w w"],       # grams: ww,ww -> top 1.0 dup 1.0; w 3/3
+    })
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet")
+    rows = {r["doc_id"]: r for r in q_repetition_stats(spark, sf).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["top_2gram_frac"] == 2 / 3
+    assert rows[1]["dup_2gram_frac"] == 2 / 3
+    assert rows[1]["top_word_frac"] == 3 / 4
+    assert rows[2]["top_2gram_frac"] == 1.0
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[2]["top_word_frac"] == 0.5
+    assert rows[4]["top_2gram_frac"] == 1.0
+    assert rows[4]["dup_2gram_frac"] == 1.0
+    assert rows[4]["top_word_frac"] == 1.0

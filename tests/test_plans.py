@@ -282,3 +282,27 @@ def test_ivf_probe_assignment_is_map_only(spark):
     import re
     shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert len(shuffles) == 1 and shuffles[0].startswith("query_id"), plan
+
+
+def test_repetition_stats_single_pass_no_join(spark):
+    """repetition_stats' scale contract: the tagged explode computes
+    word AND 2-gram counts from ONE text scan — no join, no second
+    scan, and both groupBys are plain hash aggregations (map-side
+    combinable exchanges only)."""
+    from posmspark.relops import q_repetition_stats
+
+    # sparkPlan (pre-AQE) so node counts aren't doubled by the
+    # adaptive wrapper's original-plan text
+    plan = (q_repetition_stats(spark, SF)
+            ._jdf.queryExecution().sparkPlan().toString())
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Generate") == 1
+    # both aggregations are partial->final (map-side combinable); at
+    # most the two agg exchanges (zero here: the sf0.001 scan is a
+    # single partition, which already satisfies both distributions)
+    assert plan.count("partial_count") == 1
+    assert plan.count("partial_max") == 2
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+    assert len(shuffles) <= 2, plan
