@@ -374,37 +374,27 @@ def _crossing_params(segs: np.ndarray, i: int):
     return t, u, noncol, perp_col, li
 
 
-def _has_proper_crossing(segs: np.ndarray) -> bool:
-    """True iff any two segments cross at interior points of BOTH —
-    the one configuration the conformal mesh machinery cannot
-    represent (T-junctions land on vertices and are vertex-split).
-
-    Runs on EVERY dissolve/residual dispatch, so the common conformal
-    case must be cheap: blocks of rows against all segments in one
-    broadcast numpy pass (bounded temp memory), not a per-segment
-    Python loop (review r03 — ~5k-edge parents paid 5k interpreter
-    iterations here before any union work)."""
-    eps = 1e-9
+def _sweep_candidate_blocks(segs: np.ndarray):
+    """Yield (a, b) candidate-pair index blocks whose bboxes overlap —
+    sort-sweep on x then y-reject, in bounded blocks of i (degenerate
+    all-overlapping-x inputs would otherwise build O(n^2) indices).
+    Candidate volume on a conformal mesh is O(n * local overlap), not
+    n^2 — the whole scan is numpy."""
     n = len(segs)
     if n < 2:
-        return False
+        return
     x0 = np.minimum(segs[:, 0], segs[:, 2])
     x1 = np.maximum(segs[:, 0], segs[:, 2])
     y0 = np.minimum(segs[:, 1], segs[:, 3])
     y1 = np.maximum(segs[:, 1], segs[:, 3])
-    # sort-sweep on x: pair (i, j) can only cross if x-intervals
-    # overlap; in x0-sorted order the partners of i are exactly the
-    # contiguous window (i, e_i). Candidate volume on a conformal mesh
-    # is O(n * local overlap), not n^2 — the whole scan is numpy.
+    # pair (i, j) can only cross if x-intervals overlap; in x0-sorted
+    # order the partners of i are exactly the contiguous window (i, e_i)
     order = np.argsort(x0, kind="stable")
     sx0, sx1 = x0[order], x1[order]
     e = np.searchsorted(sx0, sx1, side="right")
     cnt = np.maximum(e - np.arange(1, n + 1), 0)
-    total = int(cnt.sum())
-    if total == 0:
-        return False
-    # generate candidate pairs in bounded blocks of i (degenerate
-    # all-overlapping-x inputs would otherwise build O(n^2) indices)
+    if int(cnt.sum()) == 0:
+        return
     ends = np.cumsum(cnt)
     block_starts = [0]
     while block_starts[-1] < n:
@@ -424,26 +414,63 @@ def _has_proper_crossing(segs: np.ndarray) -> bool:
         a, b = order[ii], order[jj]
         m = (y0[a] <= y1[b]) & (y0[b] <= y1[a])  # y-bbox reject
         a, b = a[m], b[m]
-        if not len(a):
-            continue
-        p = segs[a, :2]
-        r = segs[a, 2:] - p
-        q = segs[b, :2]
-        s = segs[b, 2:] - q
-        rxs = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
-        qp = q - p
-        qpxr = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
-        qpxs = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
-        li = np.hypot(r[:, 0], r[:, 1])
-        ls = np.hypot(s[:, 0], s[:, 1])
-        noncol = np.abs(rxs) > 1e-12 * li * np.maximum(ls, 1e-300)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = np.where(noncol, qpxs / rxs, np.nan)
-            u = np.where(noncol, qpxr / rxs, np.nan)
-        if (noncol & (t > eps) & (t < 1 - eps)
-                & (u > eps) & (u < 1 - eps)).any():
+        if len(a):
+            yield a, b
+
+
+def _proper_mask(segs: np.ndarray, a: np.ndarray, b: np.ndarray
+                 ) -> np.ndarray:
+    """Boolean mask over candidate pairs (a[k], b[k]): True where the
+    two segments cross at interior points of BOTH (strict parameter
+    window, endpoint touches and collinear overlaps excluded)."""
+    eps = 1e-9
+    p = segs[a, :2]
+    r = segs[a, 2:] - p
+    q = segs[b, :2]
+    s = segs[b, 2:] - q
+    rxs = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    qp = q - p
+    qpxr = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+    qpxs = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+    li = np.hypot(r[:, 0], r[:, 1])
+    ls = np.hypot(s[:, 0], s[:, 1])
+    noncol = np.abs(rxs) > 1e-12 * li * np.maximum(ls, 1e-300)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(noncol, qpxs / rxs, np.nan)
+        u = np.where(noncol, qpxr / rxs, np.nan)
+    return (noncol & (t > eps) & (t < 1 - eps)
+            & (u > eps) & (u < 1 - eps))
+
+
+def _has_proper_crossing(segs: np.ndarray) -> bool:
+    """True iff any two segments cross at interior points of BOTH —
+    the one configuration the conformal mesh machinery cannot
+    represent (T-junctions land on vertices and are vertex-split).
+
+    Runs on EVERY dissolve/residual dispatch, so the common conformal
+    case must be cheap: blocks of rows against all segments in one
+    broadcast numpy pass (bounded temp memory), not a per-segment
+    Python loop (review r03 — ~5k-edge parents paid 5k interpreter
+    iterations here before any union work). Early-exits per block."""
+    for a, b in _sweep_candidate_blocks(segs):
+        if _proper_mask(segs, a, b).any():
             return True
     return False
+
+
+def _proper_crossing_pairs(segs: np.ndarray) -> np.ndarray:
+    """All (i, j) segment-index pairs that properly cross — the
+    pair-collecting sibling of _has_proper_crossing (no early exit),
+    used by the simplifier's topology repair to find WHICH chains
+    collided. Returns an (k, 2) int array (possibly empty)."""
+    out = []
+    for a, b in _sweep_candidate_blocks(segs):
+        m = _proper_mask(segs, a, b)
+        if m.any():
+            out.append(np.stack([a[m], b[m]], axis=1))
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.concatenate(out, axis=0)
 
 
 def _group_side_membership(segs: np.ndarray, groups: list):
@@ -919,8 +946,55 @@ def dissolve_union_from_boundary(boundary_segs: list[tuple]
 # shared-edge consistent simplification (the PostGIS-topology replacement)
 
 
+def _repair_chain_crossings(chain_grid: dict[tuple, np.ndarray],
+                            chain_out: dict[tuple, np.ndarray]) -> int:
+    """Topology repair for per-chain DP (mutates chain_out in place):
+    endpoint-pinned Douglas-Peucker keeps every border watertight but
+    can move a chain's interior ACROSS another chain (or across itself),
+    pinching the mesh union into multiple components — found by the
+    r05 watertight fuzz (seeds 6321/6406). Fixpoint: find all proper
+    crossings among the current polylines (_proper_crossing_pairs, the
+    same predicate the overlay dispatch trusts), revert every chain
+    involved to its full grid reconstruction, repeat. Terminates: each
+    round reverts >= 1 new chain, and the fully-reverted mesh is the
+    conformal (planar) input. Deterministic: all dirty chains of a
+    round revert together, so no order dependence. Returns the number
+    of reverted chains (0 on the overwhelmingly common crossing-free
+    mesh, where the repair costs one bbox sweep over the simplified
+    segments)."""
+    reverted: set = set()
+    while True:
+        cks = list(chain_out)
+        seg_arrays = []
+        seg_chain = []
+        for ci, ck in enumerate(cks):
+            pts = chain_out[ck]
+            if len(pts) < 2:
+                continue
+            seg_arrays.append(
+                np.concatenate([pts[:-1], pts[1:]], axis=1))
+            seg_chain.append(np.full(len(pts) - 1, ci))
+        if not seg_arrays:
+            return len(reverted)
+        segs = np.concatenate(seg_arrays, axis=0)
+        seg_chain = np.concatenate(seg_chain)
+        pairs = _proper_crossing_pairs(segs)
+        if not len(pairs):
+            return len(reverted)
+        dirty = {cks[ci] for ci in seg_chain[pairs.ravel()]} - reverted
+        if not dirty:
+            # residual crossings among full-resolution chains: the
+            # input mesh itself wasn't planar — nothing simplification-
+            # induced left to repair
+            return len(reverted)
+        for ck in dirty:
+            chain_out[ck] = chain_grid[ck]
+        reverted |= dirty
+
+
 def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
-                         tol: float = 0.001
+                         tol: float = 0.001,
+                         _stats: dict | None = None
                          ) -> dict[str, list[list[np.ndarray]]]:
     """Simplify a mesh so shared borders stay watertight.
 
@@ -929,49 +1003,73 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
        pair of polygons = one chain)
     2. Douglas-Peucker each chain ONCE in canonical direction, endpoints
        pinned (junction nodes where owner-sets change are never dropped)
-    3. rebuild every ring by substituting each traversed chain with its
+    3. topology repair: chains whose simplified polylines properly
+       cross another chain (or themselves) revert to full resolution,
+       to a fixpoint (_repair_chain_crossings) — per-chain DP alone is
+       watertight but NOT crossing-free, the r05 fuzz find
+    4. rebuild every ring by substituting each traversed chain with its
        simplified polyline
 
     Consistency is structural: both owners of a border reuse the same
     simplified chain, so no slivers/gaps — the same guarantee the
     reference buys with toTopoGeom + ST_Simplify(topo)
-    (proc_functions.sql:27-82,219).
-    """
+    (proc_functions.sql:27-82,219) — plus the crossing repair PostGIS
+    topology ST_Simplify does not attempt. `_stats`, when passed, gets
+    `n_reverted` (how many chains the repair returned to full
+    resolution; 0 on a crossing-free mesh, so downstream SQL oracles
+    that mirror pure per-chain DP stay exact there)."""
     _, seg_owners, rings_split = _mesh_segments(polys_by_id)
 
-    chain_cache: dict[tuple, np.ndarray] = {}
+    # pass 1: enumerate every ring's chain traversal; simplify each
+    # canonical chain ONCE.
+    # cache key = EVERY snapped point of the canonical-direction
+    # chain (injective). Endpoints+length+midpoint alone could let
+    # two distinct borders collide and silently swap polylines
+    # (ADVICE r01). DP runs on the GRID reconstruction of the keys
+    # (r05): at an off-grid T-junction one owner holds the junction as
+    # a raw ring vertex while the other receives it as a key*SNAP
+    # insert, so per-owner arrays can differ in final bits and a
+    # near-tied DP decision could flip by owner / by which array
+    # reached the cache first. key*SNAP is a pure function of ck —
+    # both owners, the distributed path, and the DuckDB oracle all DP
+    # the identical doubles (same rule dissolve_union's snapf already
+    # applies).
+    chain_grid: dict[tuple, np.ndarray] = {}
+    chain_out: dict[tuple, np.ndarray] = {}
+    traversal: dict[str, list] = {}
+    for oid, polys in rings_split.items():
+        tpolys = []
+        for rings in polys:
+            trings = []
+            for ring in rings:
+                tring = []
+                for _oset, path in ring_chain_pieces(ring, seg_owners):
+                    p, flip = _canonical_chain(path)
+                    ck = tuple(_key(q) for q in p)
+                    if ck not in chain_out:
+                        grid = np.array(ck, dtype=np.float64) * SNAP
+                        chain_grid[ck] = grid
+                        chain_out[ck] = geom.douglas_peucker(grid, tol)
+                    tring.append((ck, flip))
+                trings.append(tring)
+            tpolys.append(trings)
+        traversal[oid] = tpolys
 
-    def simplify_chain(path: np.ndarray) -> np.ndarray:
-        # cache key = EVERY snapped point of the canonical-direction
-        # chain (injective). Endpoints+length+midpoint alone could let
-        # two distinct borders collide and silently swap polylines
-        # (ADVICE r01).
-        p, flip = _canonical_chain(path)
-        ck = tuple(_key(q) for q in p)
-        if ck not in chain_cache:
-            # DP runs on the GRID reconstruction of the keys (r05): at
-            # an off-grid T-junction one owner holds the junction as a
-            # raw ring vertex while the other receives it as a
-            # key*SNAP insert, so per-owner arrays can differ in final
-            # bits and a near-tied DP decision could flip by owner /
-            # by which array reached the cache first. key*SNAP is a
-            # pure function of ck — both owners, the distributed path,
-            # and the DuckDB oracle all DP the identical doubles
-            # (same rule dissolve_union's snapf already applies).
-            grid = np.array(ck, dtype=np.float64) * SNAP
-            chain_cache[ck] = geom.douglas_peucker(grid, tol)
-        out = chain_cache[ck]
-        return out[::-1] if flip else out
+    n_reverted = _repair_chain_crossings(chain_grid, chain_out)
+    if _stats is not None:
+        _stats["n_reverted"] = n_reverted
 
     result: dict[str, list[list[np.ndarray]]] = {}
-    for oid, polys in rings_split.items():
+    for oid, tpolys in traversal.items():
         new_polys = []
-        for rings in polys:
+        for trings in tpolys:
             new_rings = []
-            for ri, ring in enumerate(rings):
+            for ri, tring in enumerate(trings):
                 rebuilt = []
-                for _oset, path in ring_chain_pieces(ring, seg_owners):
-                    simp = simplify_chain(path)
+                for ck, flip in tring:
+                    simp = chain_out[ck]
+                    if flip:
+                        simp = simp[::-1]
                     rebuilt.extend(simp[:-1])
                 rebuilt.append(rebuilt[0])
                 arr = np.array(rebuilt)
@@ -1341,10 +1439,29 @@ def simplify_mesh_global(spark, prepared, child_level: int,
 
     # stage 4: one DP per distinct chain (all duplicates carry the
     # identical canonical bytes, so min() is a pure dedupe)
-    chains = (
+    dp_rows = (
         pieces.groupBy("chain_key").agg(F.min("pts").alias("pts"))
-        .select("chain_key", dp_chain("pts").alias("spts"))
+        .select("chain_key", "pts", dp_chain("pts").alias("spts"))
+        .collect()
     )
+    # stage 4.5: topology repair — THE SAME _repair_chain_crossings the
+    # driver-side shared_edge_simplify runs, so the two paths stay
+    # equivalent by construction on crossing meshes too. Driver-side is
+    # architecturally consistent here: the whole mesh is already a
+    # driver-held broadcast dimension (prepared.polys_by_id); the
+    # distributed stages exist to parallelize DP compute, not to hold
+    # data the driver can't.
+    chain_grid = {r["chain_key"]: np.frombuffer(
+        r["pts"], dtype="<f8").reshape(-1, 2) for r in dp_rows}
+    chain_out = {r["chain_key"]: np.frombuffer(
+        r["spts"], dtype="<f8").reshape(-1, 2) for r in dp_rows}
+    _repair_chain_crossings(chain_grid, chain_out)
+    chains = spark.createDataFrame(
+        pd.DataFrame({
+            "chain_key": list(chain_out),
+            "spts": [np.ascontiguousarray(v, dtype="<f8").tobytes()
+                     for v in chain_out.values()],
+        }))
 
     out_schema = T.StructType([
         T.StructField("osm_id", T.StringType()),
@@ -2121,7 +2238,13 @@ def simplify_mesh_stats_oracle_sql(child_level: int = 2,
     engine's two owners, its driver and distributed paths, and this
     oracle all run DP on bit-identical doubles even at off-grid
     T-junctions (where one owner holds the junction raw and the other
-    as an inserted split)."""
+    as an inserted split).
+
+    Scope: this oracle mirrors pure per-chain DP. The engine's
+    topology repair (_repair_chain_crossings) reverts crossing chains
+    to full resolution, which the SQL does not model — valid because
+    the registry fixture reverts ZERO chains, pinned by
+    tests/test_dissolve.py::test_registry_fixture_simplify_repair_free."""
     if prepared is None:
         from posmspark import synth
         from posmspark.joins import prepare_boundaries

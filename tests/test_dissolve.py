@@ -936,33 +936,73 @@ def test_shared_edge_simplify_random_mesh_watertight():
         return [[np.array(
             [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]]
 
-    def noisy(ring):
-        pts = []
-        for i in range(len(ring) - 1):
-            a, b = ring[i], ring[i + 1]
-            for k in range(5):
-                t = k / 5
-                p = a + t * (b - a)
-                if k > 0:
-                    # deterministic per-point offset: both owners of a
-                    # shared border compute the identical polyline
-                    h = hash((round(p[0] / 1e-9), round(p[1] / 1e-9))) % 1000
-                    d = b - a
-                    ln = np.hypot(*d)
-                    p = p + np.array([-d[1], d[0]]) / ln * (
-                        (h / 1000 - 0.5) * 0.02)
-                pts.append(p.copy())
-        pts.append(pts[0].copy())
-        return np.array(pts)
+    def conformal_noisy_children(tiles):
+        # r05 harness fix: the old per-edge densification sampled
+        # DIFFERENT points on the two sides of a border with mismatched
+        # BSP subdivision, so the per-point noise diverged and the raw
+        # mesh itself had sliver gaps (external fuzz seeds 6321/6406
+        # split the union through no fault of the engine). Subdivide at
+        # T-junction vertices first and sample each subsegment in
+        # canonical direction -> both owners compute bit-identical
+        # polylines, a genuinely conformal wiggled mesh.
+        verts = set()
+        for t in tiles:
+            for p in t[0][:-1]:
+                verts.add((float(p[0]), float(p[1])))
 
-    for seed in range(8):
+        def noisy_edge(a, b):
+            lo, hi = (a, b) if a <= b else (b, a)
+            if a[0] == b[0]:
+                mids = sorted(v for v in verts
+                              if v[0] == a[0] and lo[1] < v[1] < hi[1])
+            else:
+                mids = sorted(v for v in verts
+                              if v[1] == a[1] and lo[0] < v[0] < hi[0])
+            nodes = [lo] + mids + [hi]
+            pts = []
+            for i in range(len(nodes) - 1):
+                aa, bb = np.array(nodes[i]), np.array(nodes[i + 1])
+                d = bb - aa
+                ln = np.hypot(*d)
+                for k in range(5):
+                    p = aa + (k / 5) * d
+                    if k > 0:
+                        h = hash((round(p[0] / 1e-9),
+                                  round(p[1] / 1e-9))) % 1000
+                        p = p + np.array([-d[1], d[0]]) / ln * (
+                            (h / 1000 - 0.5) * 0.02)
+                    pts.append(p)
+            pts.append(np.array(hi, dtype=float))
+            if a != lo:
+                pts = pts[::-1]
+            return pts[:-1]
+
+        out = {}
+        for i, t in enumerate(tiles):
+            ring = t[0]
+            pts = []
+            for k in range(len(ring) - 1):
+                a = (float(ring[k][0]), float(ring[k][1]))
+                b = (float(ring[k + 1][0]), float(ring[k + 1][1]))
+                pts.extend(noisy_edge(a, b))
+            pts.append(pts[0].copy())
+            out[f"c{i}"] = [[np.array(pts)]]
+        return out
+
+    # 6321/6406: the seeds whose non-conformal old-generator meshes
+    # split the union in the r05 external campaign — pinned green here
+    # under the fixed generator
+    for seed in [*range(8), 6321, 6406]:
         rng = np.random.default_rng(seed)
         x0, y0 = rng.uniform(0, 1, 2) * np.pi / 3
         W, H = rng.uniform(5, 9, 2) * np.sqrt(2) / 1.3
         tiles = bsp(x0, y0, x0 + W, y0 + H, rng, 3)
         if len(tiles) < 3:
             continue
-        children = {f"c{i}": [[noisy(t[0])]] for i, t in enumerate(tiles)}
+        children = conformal_noisy_children(tiles)
+        # conformality sanity: the RAW union is one single-ring polygon
+        u0 = dissolve_union(children)
+        assert len(u0) == 1 and len(u0[0]) == 1, seed
         simp = shared_edge_simplify(children, tol=0.05)
 
         cnt = Counter()
@@ -1174,3 +1214,90 @@ def test_eps_side_parity_grid_mesh_pruned_path():
                | (np.isin(ab[:, 1], (0.0, 6.0)) & (ab[:, 1] == ab[:, 3])))
     assert (tot[on_hull] == 1).all()
     assert (tot[~on_hull] == 2).all()
+
+
+def _crossing_repair_mesh():
+    """Mesh where endpoint-pinned per-chain DP breaks topology: the
+    A|B border dips to y=0.55 (max deviation 0.45 < tol 0.5, so DP
+    alone would flatten it to the straight chord y=1), and C is a
+    square enclave of A straddling that chord above the dip — the
+    flattened border would properly cross C's ring. The r05 repair
+    must detect the crossing and revert both chains."""
+    br = [(0.0, 1.0), (1.0, 1.0), (1.2, 0.58), (1.5, 0.56), (2.0, 0.55),
+          (2.5, 0.56), (2.8, 0.58), (3.0, 1.0), (4.0, 1.0)]
+    c_ring = np.array([[1.8, 0.8], [2.2, 0.8], [2.2, 1.2], [1.8, 1.2],
+                       [1.8, 0.8]])
+    a_outer = np.array(br + [(4.0, 2.0), (0.0, 2.0), (0.0, 1.0)])
+    b_ring = np.array([(0.0, 0.0), (4.0, 0.0)] + br[::-1] + [(0.0, 0.0)])
+    return {"A": [[a_outer, c_ring[::-1].copy()]], "B": [[b_ring]],
+            "C": [[c_ring]]}
+
+
+def test_simplify_repair_reverts_crossing_chains():
+    """r05 topology repair: DP flattening a deep dip across an enclave
+    must be detected and reverted, leaving a crossing-free watertight
+    mesh whose union is still the single parent outline."""
+    from posmspark.dissolve import (_has_proper_crossing, dissolve_union,
+                                    shared_edge_simplify)
+
+    children = _crossing_repair_mesh()
+    stats = {}
+    simp = shared_edge_simplify(children, tol=0.5, _stats=stats)
+    # the A|B dip chain and C's enclave chain collided -> both reverted
+    assert stats["n_reverted"] == 2
+    segs = np.concatenate([
+        np.concatenate([r[:-1], r[1:]], axis=1)
+        for polys in simp.values() for rings in polys for r in rings])
+    assert not _has_proper_crossing(segs)
+    u = dissolve_union(simp)
+    assert len(u) == 1 and len(u[0]) == 1
+    area = sum(geom.ring_area(r) for p in u for r in p)
+    assert abs(area - 8.0) < 1e-9
+
+
+def test_simplify_mesh_global_repair_matches_driver(spark):
+    """The distributed path must apply the IDENTICAL repair: on the
+    crossing-triggering mesh, simplify_mesh_global's output equals the
+    driver-side shared_edge_simplify array-for-array."""
+    import types
+
+    import pandas as pd
+
+    from posmspark.dissolve import shared_edge_simplify, simplify_mesh_global
+
+    children = _crossing_repair_mesh()
+    lp = pd.DataFrame({
+        "osm_id": ["A", "B", "C"],
+        "is_in": ["P", "P", "P"],
+        "adminlevel": [2, 2, 2],
+    })
+    prepared = types.SimpleNamespace(levels_pdf=lp, polys_by_id=children)
+    rows = {r["osm_id"]: r
+            for r in simplify_mesh_global(spark, prepared, child_level=2,
+                                          tol=0.5).collect()}
+    exp = shared_edge_simplify(children, tol=0.5)
+    assert set(rows) == {"A", "B", "C"}
+    for oid, exp_polys in exp.items():
+        got = geom.wkb_to_multipolygon(bytes(rows[oid]["geom_wkb"]))
+        exp_polys = [rings for rings in exp_polys if rings]
+        assert len(got) == len(exp_polys), oid
+        for gp, ep in zip(got, exp_polys):
+            assert len(gp) == len(ep), oid
+            for gr, er in zip(gp, ep):
+                assert np.array_equal(gr, er), oid
+
+
+def test_registry_fixture_simplify_repair_free():
+    """Pins the simplify_mesh_stats ORACLE's scope: the SQL mirrors
+    pure per-chain DP (no repair modeling), which is exact because the
+    registry fixture's mesh triggers zero reverts."""
+    from posmspark.dissolve import shared_edge_simplify
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
+    kids = prepared.levels_pdf.query("adminlevel == 2")
+    mesh = {oid: prepared.polys_by_id[oid] for oid in kids.osm_id}
+    stats = {}
+    shared_edge_simplify(mesh, tol=0.05, _stats=stats)
+    assert stats["n_reverted"] == 0
