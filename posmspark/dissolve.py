@@ -458,14 +458,43 @@ def _has_proper_crossing(segs: np.ndarray) -> bool:
     return False
 
 
-def _proper_crossing_pairs(segs: np.ndarray) -> np.ndarray:
-    """All (i, j) segment-index pairs that properly cross — the
-    pair-collecting sibling of _has_proper_crossing (no early exit),
-    used by the simplifier's topology repair to find WHICH chains
-    collided. Returns an (k, 2) int array (possibly empty)."""
+def _collinear_overlap_mask(segs: np.ndarray, a: np.ndarray,
+                            b: np.ndarray) -> np.ndarray:
+    """Boolean mask over candidate pairs (a[k], b[k]): True where the
+    two segments lie on the same carrier line AND overlap over a
+    positive 1-D length (shared-endpoint touches excluded). The second
+    simplification artifact class the repair reverts: a DP chord can
+    land exactly ON another chain (axis-aligned/snap-grid data), which
+    never registers as a proper crossing."""
+    p = segs[a, :2]
+    r = segs[a, 2:] - p
+    q = segs[b, :2]
+    s = segs[b, 2:] - q
+    rxs = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    qp = q - p
+    qpxr = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+    li = np.hypot(r[:, 0], r[:, 1])
+    ls = np.hypot(s[:, 0], s[:, 1])
+    col = ((np.abs(rxs) <= 1e-12 * li * np.maximum(ls, 1e-300))
+           & (np.abs(qpxr) <= 1e-9 * np.maximum(li, 1e-300)))
+    rr = np.maximum(li * li, 1e-300)
+    t0 = (qp[:, 0] * r[:, 0] + qp[:, 1] * r[:, 1]) / rr
+    qe = qp + s
+    t1 = (qe[:, 0] * r[:, 0] + qe[:, 1] * r[:, 1]) / rr
+    ov = (np.minimum(np.maximum(t0, t1), 1.0)
+          - np.maximum(np.minimum(t0, t1), 0.0))
+    return col & (ov > 1e-9)
+
+
+def _chain_conflict_pairs(segs: np.ndarray) -> np.ndarray:
+    """All (i, j) segment-index pairs that properly cross OR overlap
+    collinearly over a positive length — the pair-collecting sibling
+    of _has_proper_crossing (no early exit), used by the simplifier's
+    topology repair to find WHICH chains collided. Returns a (k, 2)
+    int array (possibly empty)."""
     out = []
     for a, b in _sweep_candidate_blocks(segs):
-        m = _proper_mask(segs, a, b)
+        m = _proper_mask(segs, a, b) | _collinear_overlap_mask(segs, a, b)
         if m.any():
             out.append(np.stack([a[m], b[m]], axis=1))
     if not out:
@@ -947,24 +976,48 @@ def dissolve_union_from_boundary(boundary_segs: list[tuple]
 
 
 def _repair_chain_crossings(chain_grid: dict[tuple, np.ndarray],
-                            chain_out: dict[tuple, np.ndarray]) -> int:
+                            chain_out: dict[tuple, np.ndarray],
+                            polys_traversal: list) -> int:
     """Topology repair for per-chain DP (mutates chain_out in place):
     endpoint-pinned Douglas-Peucker keeps every border watertight but
     can move a chain's interior ACROSS another chain (or across itself),
-    pinching the mesh union into multiple components — found by the
-    r05 watertight fuzz (seeds 6321/6406). Fixpoint: find all proper
-    crossings among the current polylines (_proper_crossing_pairs, the
-    same predicate the overlay dispatch trusts), revert every chain
-    involved to its full grid reconstruction, repeat. Terminates: each
-    round reverts >= 1 new chain, and the fully-reverted mesh is the
+    pinching the mesh union into multiple components. Fixpoint: find
+    all conflicts among the polylines of SURVIVING rings
+    (_chain_conflict_pairs: proper crossings — the predicate the
+    overlay dispatch trusts — plus positive-length collinear overlaps,
+    which a DP chord landing exactly ON another chain produces),
+    revert every chain involved to its full grid reconstruction,
+    repeat. `polys_traversal` (list of polygons, each a list of rings,
+    each a list of chain keys, outer ring first) scopes the scan:
+    rings that degenerate-drop never reach the output, so a collapsed
+    sub-tolerance sliver landing on its neighbor's border stays
+    dropped instead of being resurrected. Terminates: each round
+    reverts >= 1 new chain, and the fully-reverted mesh is the
     conformal (planar) input. Deterministic: all dirty chains of a
-    round revert together, so no order dependence. Returns the number
-    of reverted chains (0 on the overwhelmingly common crossing-free
+    round revert together, and survivors are a pure function of the
+    current chain_out, so no order dependence. Returns the number of
+    reverted chains (0 on the overwhelmingly common conflict-free
     mesh, where the repair costs one bbox sweep over the simplified
     segments)."""
     reverted: set = set()
     while True:
-        cks = list(chain_out)
+        # scope the scan to chains that survive ring reassembly: a
+        # ring keeps >= 4 rebuilt points, and a polygon whose OUTER
+        # ring degenerates drops entirely (the dropped-shell rule).
+        # A collapsed sub-tolerance sliver may legitimately land
+        # exactly ON its neighbor's border — its rings drop, so the
+        # output contains no conflict and it must NOT be reverted.
+        live: set = set()
+        for poly in polys_traversal:
+            ring_lens = [
+                sum(len(chain_out[ck]) - 1 for ck in ring) + 1
+                for ring in poly]
+            if not ring_lens or ring_lens[0] < 4:
+                continue
+            for ring, rl in zip(poly, ring_lens):
+                if rl >= 4:
+                    live.update(ring)
+        cks = [ck for ck in chain_out if ck in live]
         seg_arrays = []
         seg_chain = []
         for ci, ck in enumerate(cks):
@@ -978,12 +1031,12 @@ def _repair_chain_crossings(chain_grid: dict[tuple, np.ndarray],
             return len(reverted)
         segs = np.concatenate(seg_arrays, axis=0)
         seg_chain = np.concatenate(seg_chain)
-        pairs = _proper_crossing_pairs(segs)
+        pairs = _chain_conflict_pairs(segs)
         if not len(pairs):
             return len(reverted)
         dirty = {cks[ci] for ci in seg_chain[pairs.ravel()]} - reverted
         if not dirty:
-            # residual crossings among full-resolution chains: the
+            # residual conflicts among full-resolution chains: the
             # input mesh itself wasn't planar — nothing simplification-
             # induced left to repair
             return len(reverted)
@@ -1055,7 +1108,11 @@ def shared_edge_simplify(polys_by_id: dict[str, list[list[np.ndarray]]],
             tpolys.append(trings)
         traversal[oid] = tpolys
 
-    n_reverted = _repair_chain_crossings(chain_grid, chain_out)
+    polys_traversal = [
+        [[ck for ck, _flip in tring] for tring in trings]
+        for tpolys in traversal.values() for trings in tpolys]
+    n_reverted = _repair_chain_crossings(chain_grid, chain_out,
+                                         polys_traversal)
     if _stats is not None:
         _stats["n_reverted"] = n_reverted
 
@@ -1455,13 +1512,24 @@ def simplify_mesh_global(spark, prepared, child_level: int,
         r["pts"], dtype="<f8").reshape(-1, 2) for r in dp_rows}
     chain_out = {r["chain_key"]: np.frombuffer(
         r["spts"], dtype="<f8").reshape(-1, 2) for r in dp_rows}
-    _repair_chain_crossings(chain_grid, chain_out)
+    ring_map: dict[tuple, list] = {}
+    for r in pieces.select("osm_id", "poly_idx", "ring_idx", "piece_idx",
+                           "chain_key").collect():
+        ring_map.setdefault((r["osm_id"], r["poly_idx"]), {}).setdefault(
+            r["ring_idx"], []).append((r["piece_idx"], r["chain_key"]))
+    polys_traversal = [
+        [[ck for _pi, ck in sorted(rings[ri])] for ri in sorted(rings)]
+        for rings in ring_map.values()]
+    _repair_chain_crossings(chain_grid, chain_out, polys_traversal)
+    # explicit schema: an all-empty-polys mesh yields zero chains, and
+    # untyped createDataFrame on an empty frame raises schema-inference
+    # errors (same class as the mesh_ids guard above, review r03)
     chains = spark.createDataFrame(
         pd.DataFrame({
             "chain_key": list(chain_out),
             "spts": [np.ascontiguousarray(v, dtype="<f8").tobytes()
                      for v in chain_out.values()],
-        }))
+        }), schema="chain_key string, spts binary")
 
     out_schema = T.StructType([
         T.StructField("osm_id", T.StringType()),

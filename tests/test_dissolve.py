@@ -1220,13 +1220,14 @@ def _crossing_repair_mesh():
     """Mesh where endpoint-pinned per-chain DP breaks topology: the
     A|B border dips to y=0.55 (max deviation 0.45 < tol 0.5, so DP
     alone would flatten it to the straight chord y=1), and C is a
-    square enclave of A straddling that chord above the dip — the
-    flattened border would properly cross C's ring. The r05 repair
-    must detect the crossing and revert both chains."""
+    SUPER-tolerance square enclave of A (side 1.2 > tol, so its ring
+    survives simplification) straddling that chord above the dip —
+    the flattened border properly crosses C's surviving ring. The r05
+    repair must detect the crossing and revert both chains."""
     br = [(0.0, 1.0), (1.0, 1.0), (1.2, 0.58), (1.5, 0.56), (2.0, 0.55),
           (2.5, 0.56), (2.8, 0.58), (3.0, 1.0), (4.0, 1.0)]
-    c_ring = np.array([[1.8, 0.8], [2.2, 0.8], [2.2, 1.2], [1.8, 1.2],
-                       [1.8, 0.8]])
+    c_ring = np.array([[1.4, 0.65], [2.6, 0.65], [2.6, 1.85], [1.4, 1.85],
+                       [1.4, 0.65]])
     a_outer = np.array(br + [(4.0, 2.0), (0.0, 2.0), (0.0, 1.0)])
     b_ring = np.array([(0.0, 0.0), (4.0, 0.0)] + br[::-1] + [(0.0, 0.0)])
     return {"A": [[a_outer, c_ring[::-1].copy()]], "B": [[b_ring]],
@@ -1288,16 +1289,75 @@ def test_simplify_mesh_global_repair_matches_driver(spark):
 
 
 def test_registry_fixture_simplify_repair_free():
-    """Pins the simplify_mesh_stats ORACLE's scope: the SQL mirrors
-    pure per-chain DP (no repair modeling), which is exact because the
-    registry fixture's mesh triggers zero reverts."""
+    """Pins the simplify_mesh_stats AND dual_export ORACLES' scope:
+    their SQL mirrors pure per-chain DP (no repair modeling), which is
+    exact because the registry fixtures' meshes trigger zero reverts —
+    checked per adminlevel across the FULL n_levels=4 hierarchy
+    dual_export simplifies, not just the level-2 mesh
+    simplify_mesh_stats uses."""
     from posmspark.dissolve import shared_edge_simplify
     from posmspark.joins import prepare_boundaries
 
     prepared = prepare_boundaries(
-        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf())
-    kids = prepared.levels_pdf.query("adminlevel == 2")
-    mesh = {oid: prepared.polys_by_id[oid] for oid in kids.osm_id}
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+        n_levels=4)
+    for lvl in sorted(prepared.levels_pdf.adminlevel.unique()):
+        kids = prepared.levels_pdf.query(f"adminlevel == {lvl}")
+        mesh = {oid: prepared.polys_by_id[oid] for oid in kids.osm_id
+                if oid in prepared.polys_by_id}
+        if not mesh:
+            continue
+        stats = {}
+        shared_edge_simplify(mesh, tol=0.05, _stats=stats)
+        assert stats["n_reverted"] == 0, lvl
+
+
+def test_simplify_repair_collinear_landing():
+    """Collinear conflict class (review r05): a sub-tolerance spike's
+    A|E border collapses to its chord, landing EXACTLY on the E|B
+    chain below — never a proper crossing. The repair's conservative
+    rule reverts both chains (the spike survives unsimplified rather
+    than risking inconsistent coincident borders), and the union stays
+    one single-ring outline with exact area."""
+    from posmspark.dissolve import dissolve_union, shared_edge_simplify
+
+    a_ring = np.array([(0.0, 1.0), (1.9, 1.0), (1.9, 1.4), (2.0, 1.4),
+                       (2.1, 1.4), (2.1, 1.0), (4.0, 1.0), (4.0, 2.0),
+                       (0.0, 2.0), (0.0, 1.0)])
+    e_ring = np.array([(1.9, 1.0), (2.1, 1.0), (2.1, 1.4), (2.0, 1.4),
+                       (1.9, 1.4), (1.9, 1.0)])
+    b_ring = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (2.1, 1.0),
+                       (1.9, 1.0), (0.0, 1.0), (0.0, 0.0)])
+    children = {"A": [[a_ring]], "B": [[b_ring]], "E": [[e_ring]]}
     stats = {}
-    shared_edge_simplify(mesh, tol=0.05, _stats=stats)
-    assert stats["n_reverted"] == 0
+    simp = shared_edge_simplify(children, tol=0.5, _stats=stats)
+    assert stats["n_reverted"] == 2
+    # the spike survives at full resolution instead of overlapping
+    assert [len(r) for p in simp["E"] for r in p] == [6]
+    u = dissolve_union(simp)
+    assert len(u) == 1 and len(u[0]) == 1
+    area = sum(geom.ring_area(r) for p in u for r in p)
+    assert abs(area - 8.0) < 1e-9
+
+
+def test_simplify_mesh_global_all_empty_polys(spark):
+    """Review r05: features present at child_level but with EMPTY
+    polys lists pass the mesh_ids guard yet yield zero chains; the
+    repaired chains frame must use an explicit schema so the empty
+    createDataFrame doesn't raise a schema-inference error."""
+    import types
+
+    import pandas as pd
+
+    from posmspark.dissolve import simplify_mesh_global
+
+    lp = pd.DataFrame({
+        "osm_id": ["X", "Y"],
+        "is_in": ["P", "P"],
+        "adminlevel": [2, 2],
+    })
+    prepared = types.SimpleNamespace(levels_pdf=lp,
+                                     polys_by_id={"X": [], "Y": []})
+    rows = simplify_mesh_global(spark, prepared, child_level=2,
+                                tol=0.5).collect()
+    assert rows == [] or all(r["n_points_after"] == 0 for r in rows)
