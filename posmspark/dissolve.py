@@ -418,11 +418,18 @@ def _sweep_candidate_blocks(segs: np.ndarray):
             yield a, b
 
 
-def _proper_mask(segs: np.ndarray, a: np.ndarray, b: np.ndarray
-                 ) -> np.ndarray:
-    """Boolean mask over candidate pairs (a[k], b[k]): True where the
-    two segments cross at interior points of BOTH (strict parameter
-    window, endpoint touches and collinear overlaps excluded)."""
+def _pair_masks(segs: np.ndarray, a: np.ndarray, b: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(proper, collinear_overlap) masks over candidate pairs
+    (a[k], b[k]), computed from ONE shared prologue so the two
+    tolerance expressions cannot drift apart:
+    - proper: the segments cross at interior points of BOTH (strict
+      parameter window; endpoint touches and collinear overlaps
+      excluded) — the configuration the conformal mesh machinery
+      cannot represent.
+    - collinear_overlap: same carrier line AND positive 1-D overlap
+      length (shared-endpoint touches excluded) — the artifact a DP
+      chord landing exactly ON another chain produces."""
     eps = 1e-9
     p = segs[a, :2]
     r = segs[a, 2:] - p
@@ -438,8 +445,21 @@ def _proper_mask(segs: np.ndarray, a: np.ndarray, b: np.ndarray
     with np.errstate(divide="ignore", invalid="ignore"):
         t = np.where(noncol, qpxs / rxs, np.nan)
         u = np.where(noncol, qpxr / rxs, np.nan)
-    return (noncol & (t > eps) & (t < 1 - eps)
-            & (u > eps) & (u < 1 - eps))
+    proper = (noncol & (t > eps) & (t < 1 - eps)
+              & (u > eps) & (u < 1 - eps))
+    col = (~noncol) & (np.abs(qpxr) <= 1e-9 * np.maximum(li, 1e-300))
+    rr = np.maximum(li * li, 1e-300)
+    t0 = (qp[:, 0] * r[:, 0] + qp[:, 1] * r[:, 1]) / rr
+    qe = qp + s
+    t1 = (qe[:, 0] * r[:, 0] + qe[:, 1] * r[:, 1]) / rr
+    ov = (np.minimum(np.maximum(t0, t1), 1.0)
+          - np.maximum(np.minimum(t0, t1), 0.0))
+    return proper, col & (ov > eps)
+
+
+def _proper_mask(segs: np.ndarray, a: np.ndarray, b: np.ndarray
+                 ) -> np.ndarray:
+    return _pair_masks(segs, a, b)[0]
 
 
 def _has_proper_crossing(segs: np.ndarray) -> bool:
@@ -458,48 +478,50 @@ def _has_proper_crossing(segs: np.ndarray) -> bool:
     return False
 
 
-def _collinear_overlap_mask(segs: np.ndarray, a: np.ndarray,
-                            b: np.ndarray) -> np.ndarray:
-    """Boolean mask over candidate pairs (a[k], b[k]): True where the
-    two segments lie on the same carrier line AND overlap over a
-    positive 1-D length (shared-endpoint touches excluded). The second
-    simplification artifact class the repair reverts: a DP chord can
-    land exactly ON another chain (axis-aligned/snap-grid data), which
-    never registers as a proper crossing."""
-    p = segs[a, :2]
-    r = segs[a, 2:] - p
-    q = segs[b, :2]
-    s = segs[b, 2:] - q
-    rxs = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
-    qp = q - p
-    qpxr = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
-    li = np.hypot(r[:, 0], r[:, 1])
-    ls = np.hypot(s[:, 0], s[:, 1])
-    col = ((np.abs(rxs) <= 1e-12 * li * np.maximum(ls, 1e-300))
-           & (np.abs(qpxr) <= 1e-9 * np.maximum(li, 1e-300)))
-    rr = np.maximum(li * li, 1e-300)
-    t0 = (qp[:, 0] * r[:, 0] + qp[:, 1] * r[:, 1]) / rr
-    qe = qp + s
-    t1 = (qe[:, 0] * r[:, 0] + qe[:, 1] * r[:, 1]) / rr
-    ov = (np.minimum(np.maximum(t0, t1), 1.0)
-          - np.maximum(np.minimum(t0, t1), 0.0))
-    return col & (ov > 1e-9)
-
-
-def _chain_conflict_pairs(segs: np.ndarray) -> np.ndarray:
-    """All (i, j) segment-index pairs that properly cross OR overlap
-    collinearly over a positive length — the pair-collecting sibling
-    of _has_proper_crossing (no early exit), used by the simplifier's
-    topology repair to find WHICH chains collided. Returns a (k, 2)
-    int array (possibly empty)."""
-    out = []
+def _chain_conflict_key_pairs(chain_map: dict, keys: list) -> set:
+    """Canonical chain-key pairs among `keys` whose polylines in
+    `chain_map` properly cross OR overlap collinearly over a positive
+    length (no early exit) — the conflict set the simplifier's
+    topology repair acts on. Self-conflicts appear as (k, k)."""
+    seg_arrays = []
+    seg_chain = []
+    for ci, ck in enumerate(keys):
+        pts = chain_map[ck]
+        if len(pts) < 2:
+            continue
+        seg_arrays.append(np.concatenate([pts[:-1], pts[1:]], axis=1))
+        seg_chain.append(np.full(len(pts) - 1, ci))
+    if not seg_arrays:
+        return set()
+    segs = np.concatenate(seg_arrays, axis=0)
+    seg_chain = np.concatenate(seg_chain)
+    out = set()
     for a, b in _sweep_candidate_blocks(segs):
-        m = _proper_mask(segs, a, b) | _collinear_overlap_mask(segs, a, b)
+        proper, col = _pair_masks(segs, a, b)
+        m = proper | col
         if m.any():
-            out.append(np.stack([a[m], b[m]], axis=1))
-    if not out:
-        return np.empty((0, 2), dtype=np.int64)
-    return np.concatenate(out, axis=0)
+            for ia, ib in zip(seg_chain[a[m]], seg_chain[b[m]]):
+                ka, kb = keys[ia], keys[ib]
+                out.add((ka, kb) if not kb < ka else (kb, ka))
+    return out
+
+
+def _surviving_ring_chains(polys_traversal: list, chain_out: dict) -> set:
+    """Chain keys reaching the OUTPUT under the ring reassembly drop
+    rules: a ring keeps >= 4 rebuilt points (sum(len(chain)-1)+1), and
+    a polygon whose OUTER ring degenerates drops entirely — the same
+    two rules the driver rebuild and the distributed `assemble` apply
+    to the actual arrays (keep the three in sync)."""
+    live: set = set()
+    for poly in polys_traversal:
+        ring_lens = [sum(len(chain_out[ck]) - 1 for ck in ring) + 1
+                     for ring in poly]
+        if not ring_lens or ring_lens[0] < 4:
+            continue
+        for ring, rl in zip(poly, ring_lens):
+            if rl >= 4:
+                live.update(ring)
+    return live
 
 
 def _group_side_membership(segs: np.ndarray, groups: list):
@@ -988,57 +1010,32 @@ def _repair_chain_crossings(chain_grid: dict[tuple, np.ndarray],
     which a DP chord landing exactly ON another chain produces),
     revert every chain involved to its full grid reconstruction,
     repeat. `polys_traversal` (list of polygons, each a list of rings,
-    each a list of chain keys, outer ring first) scopes the scan:
-    rings that degenerate-drop never reach the output, so a collapsed
-    sub-tolerance sliver landing on its neighbor's border stays
-    dropped instead of being resurrected. Terminates: each round
-    reverts >= 1 new chain, and the fully-reverted mesh is the
-    conformal (planar) input. Deterministic: all dirty chains of a
-    round revert together, and survivors are a pure function of the
-    current chain_out, so no order dependence. Returns the number of
-    reverted chains (0 on the overwhelmingly common conflict-free
-    mesh, where the repair costs one bbox sweep over the simplified
-    segments)."""
+    each a list of chain keys, outer ring first) scopes the scan
+    through _surviving_ring_chains: rings that degenerate-drop never
+    reach the output, so a collapsed sub-tolerance sliver landing on
+    its neighbor's border stays dropped instead of being resurrected.
+    Conflicts already present between the FULL-resolution polylines
+    (review r05: e.g. a zero-width out-and-back spike taller than tol
+    self-overlaps in the input itself) are input-inherent — reverting
+    cannot fix them, so they are baselined out and never revert
+    anything (n_reverted stays 0 on such meshes, keeping the pure-DP
+    oracle-scope invariant meaningful). Terminates: each round reverts
+    >= 1 new chain, and the fully-reverted mesh carries only baseline
+    conflicts. Deterministic: all dirty chains of a round revert
+    together, and survivors are a pure function of the current
+    chain_out, so no order dependence. Returns the number of reverted
+    chains (0 on the overwhelmingly common conflict-free mesh, where
+    the repair costs one bbox sweep over the full mesh and one over
+    the simplified segments)."""
+    baseline = _chain_conflict_key_pairs(chain_grid, list(chain_grid))
     reverted: set = set()
     while True:
-        # scope the scan to chains that survive ring reassembly: a
-        # ring keeps >= 4 rebuilt points, and a polygon whose OUTER
-        # ring degenerates drops entirely (the dropped-shell rule).
-        # A collapsed sub-tolerance sliver may legitimately land
-        # exactly ON its neighbor's border — its rings drop, so the
-        # output contains no conflict and it must NOT be reverted.
-        live: set = set()
-        for poly in polys_traversal:
-            ring_lens = [
-                sum(len(chain_out[ck]) - 1 for ck in ring) + 1
-                for ring in poly]
-            if not ring_lens or ring_lens[0] < 4:
-                continue
-            for ring, rl in zip(poly, ring_lens):
-                if rl >= 4:
-                    live.update(ring)
+        live = _surviving_ring_chains(polys_traversal, chain_out)
         cks = [ck for ck in chain_out if ck in live]
-        seg_arrays = []
-        seg_chain = []
-        for ci, ck in enumerate(cks):
-            pts = chain_out[ck]
-            if len(pts) < 2:
-                continue
-            seg_arrays.append(
-                np.concatenate([pts[:-1], pts[1:]], axis=1))
-            seg_chain.append(np.full(len(pts) - 1, ci))
-        if not seg_arrays:
-            return len(reverted)
-        segs = np.concatenate(seg_arrays, axis=0)
-        seg_chain = np.concatenate(seg_chain)
-        pairs = _chain_conflict_pairs(segs)
-        if not len(pairs):
-            return len(reverted)
-        dirty = {cks[ci] for ci in seg_chain[pairs.ravel()]} - reverted
+        conflicts = _chain_conflict_key_pairs(chain_out, cks)
+        induced = conflicts - baseline
+        dirty = {ck for pair in induced for ck in pair} - reverted
         if not dirty:
-            # residual conflicts among full-resolution chains: the
-            # input mesh itself wasn't planar — nothing simplification-
-            # induced left to repair
             return len(reverted)
         for ck in dirty:
             chain_out[ck] = chain_grid[ck]

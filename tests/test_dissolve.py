@@ -1303,10 +1303,10 @@ def test_registry_fixture_simplify_repair_free():
         n_levels=4)
     for lvl in sorted(prepared.levels_pdf.adminlevel.unique()):
         kids = prepared.levels_pdf.query(f"adminlevel == {lvl}")
-        mesh = {oid: prepared.polys_by_id[oid] for oid in kids.osm_id
-                if oid in prepared.polys_by_id}
-        if not mesh:
-            continue
+        # UNGUARDED lookup, mirroring dual_geojson_feature_df's own
+        # mesh construction (sinks.py) — a missing id must fail here
+        # exactly like it would in the shipped oracle path
+        mesh = {oid: prepared.polys_by_id[oid] for oid in kids.osm_id}
         stats = {}
         shared_edge_simplify(mesh, tol=0.05, _stats=stats)
         assert stats["n_reverted"] == 0, lvl
@@ -1361,3 +1361,25 @@ def test_simplify_mesh_global_all_empty_polys(spark):
     rows = simplify_mesh_global(spark, prepared, child_level=2,
                                 tol=0.5).collect()
     assert rows == [] or all(r["n_points_after"] == 0 for r in rows)
+
+
+def test_simplify_repair_ignores_input_inherent_overlap():
+    """Review r05 (confirmed regression probe): a zero-width
+    out-and-back spike TALLER than tol self-overlaps collinearly in
+    the INPUT itself — reverting cannot fix that, so the repair must
+    baseline it out: n_reverted stays 0 (the pure-DP oracle-scope
+    invariant) and the chain still simplifies normally elsewhere."""
+    from posmspark.dissolve import shared_edge_simplify
+
+    a_ring = np.array([(0.0, 1.0), (4.0, 1.0), (4.0, 2.0), (2.0, 2.0),
+                       (2.0, 3.5), (2.0, 2.0), (0.0, 2.0), (0.0, 1.0)])
+    b_ring = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (0.0, 1.0),
+                       (0.0, 0.0)])
+    stats = {}
+    simp = shared_edge_simplify({"A": [[a_ring]], "B": [[b_ring]]},
+                                tol=0.5, _stats=stats)
+    assert stats["n_reverted"] == 0
+    # the spike itself (deviation 1.5 > tol) is kept by DP — the
+    # chain is simplified, not reverted wholesale
+    assert any((r == [2.0, 3.5]).all(axis=1).any()
+               for p in simp["A"] for r in p)
