@@ -418,8 +418,9 @@ def _sweep_candidate_blocks(segs: np.ndarray):
             yield a, b
 
 
-def _pair_masks(segs: np.ndarray, a: np.ndarray, b: np.ndarray
-                ) -> tuple[np.ndarray, np.ndarray]:
+def _pair_masks(segs: np.ndarray, a: np.ndarray, b: np.ndarray,
+                want_collinear: bool = True
+                ) -> tuple[np.ndarray, np.ndarray | None]:
     """(proper, collinear_overlap) masks over candidate pairs
     (a[k], b[k]), computed from ONE shared prologue so the two
     tolerance expressions cannot drift apart:
@@ -429,7 +430,10 @@ def _pair_masks(segs: np.ndarray, a: np.ndarray, b: np.ndarray
       cannot represent.
     - collinear_overlap: same carrier line AND positive 1-D overlap
       length (shared-endpoint touches excluded) — the artifact a DP
-      chord landing exactly ON another chain produces."""
+      chord landing exactly ON another chain produces. Skipped (None)
+      when want_collinear=False, so the proper-only dispatch hot path
+      (_has_proper_crossing, every dissolve/residual dispatch) pays
+      nothing for it."""
     eps = 1e-9
     p = segs[a, :2]
     r = segs[a, 2:] - p
@@ -447,6 +451,8 @@ def _pair_masks(segs: np.ndarray, a: np.ndarray, b: np.ndarray
         u = np.where(noncol, qpxr / rxs, np.nan)
     proper = (noncol & (t > eps) & (t < 1 - eps)
               & (u > eps) & (u < 1 - eps))
+    if not want_collinear:
+        return proper, None
     col = (~noncol) & (np.abs(qpxr) <= 1e-9 * np.maximum(li, 1e-300))
     rr = np.maximum(li * li, 1e-300)
     t0 = (qp[:, 0] * r[:, 0] + qp[:, 1] * r[:, 1]) / rr
@@ -459,7 +465,7 @@ def _pair_masks(segs: np.ndarray, a: np.ndarray, b: np.ndarray
 
 def _proper_mask(segs: np.ndarray, a: np.ndarray, b: np.ndarray
                  ) -> np.ndarray:
-    return _pair_masks(segs, a, b)[0]
+    return _pair_masks(segs, a, b, want_collinear=False)[0]
 
 
 def _has_proper_crossing(segs: np.ndarray) -> bool:
@@ -478,11 +484,15 @@ def _has_proper_crossing(segs: np.ndarray) -> bool:
     return False
 
 
-def _chain_conflict_key_pairs(chain_map: dict, keys: list) -> set:
-    """Canonical chain-key pairs among `keys` whose polylines in
-    `chain_map` properly cross OR overlap collinearly over a positive
-    length (no early exit) — the conflict set the simplifier's
-    topology repair acts on. Self-conflicts appear as (k, k)."""
+def _chain_conflict_key_pairs(chain_map: dict, keys: list
+                              ) -> tuple[set, set]:
+    """(proper_pairs, collinear_pairs): canonical chain-key pairs among
+    `keys` whose polylines in `chain_map` properly cross / overlap
+    collinearly over a positive length (no early exit) — the conflict
+    sets the simplifier's topology repair acts on. The two classes are
+    returned SEPARATELY so an input-inherent conflict of one class
+    can't mask a simplification-induced conflict of the other on the
+    same pair (review r05). Self-conflicts appear as (k, k)."""
     seg_arrays = []
     seg_chain = []
     for ci, ck in enumerate(keys):
@@ -492,18 +502,19 @@ def _chain_conflict_key_pairs(chain_map: dict, keys: list) -> set:
         seg_arrays.append(np.concatenate([pts[:-1], pts[1:]], axis=1))
         seg_chain.append(np.full(len(pts) - 1, ci))
     if not seg_arrays:
-        return set()
+        return set(), set()
     segs = np.concatenate(seg_arrays, axis=0)
     seg_chain = np.concatenate(seg_chain)
-    out = set()
+    out_p: set = set()
+    out_c: set = set()
     for a, b in _sweep_candidate_blocks(segs):
         proper, col = _pair_masks(segs, a, b)
-        m = proper | col
-        if m.any():
-            for ia, ib in zip(seg_chain[a[m]], seg_chain[b[m]]):
-                ka, kb = keys[ia], keys[ib]
-                out.add((ka, kb) if not kb < ka else (kb, ka))
-    return out
+        for m, out in ((proper, out_p), (col, out_c)):
+            if m.any():
+                for ia, ib in zip(seg_chain[a[m]], seg_chain[b[m]]):
+                    ka, kb = keys[ia], keys[ib]
+                    out.add((ka, kb) if not kb < ka else (kb, ka))
+    return out_p, out_c
 
 
 def _surviving_ring_chains(polys_traversal: list, chain_out: dict) -> set:
@@ -1005,7 +1016,7 @@ def _repair_chain_crossings(chain_grid: dict[tuple, np.ndarray],
     can move a chain's interior ACROSS another chain (or across itself),
     pinching the mesh union into multiple components. Fixpoint: find
     all conflicts among the polylines of SURVIVING rings
-    (_chain_conflict_pairs: proper crossings — the predicate the
+    (_chain_conflict_key_pairs: proper crossings — the predicate the
     overlay dispatch trusts — plus positive-length collinear overlaps,
     which a DP chord landing exactly ON another chain produces),
     revert every chain involved to its full grid reconstruction,
@@ -1019,21 +1030,29 @@ def _repair_chain_crossings(chain_grid: dict[tuple, np.ndarray],
     self-overlaps in the input itself) are input-inherent — reverting
     cannot fix them, so they are baselined out and never revert
     anything (n_reverted stays 0 on such meshes, keeping the pure-DP
-    oracle-scope invariant meaningful). Terminates: each round reverts
-    >= 1 new chain, and the fully-reverted mesh carries only baseline
-    conflicts. Deterministic: all dirty chains of a round revert
-    together, and survivors are a pure function of the current
-    chain_out, so no order dependence. Returns the number of reverted
-    chains (0 on the overwhelmingly common conflict-free mesh, where
-    the repair costs one bbox sweep over the full mesh and one over
-    the simplified segments)."""
-    baseline = _chain_conflict_key_pairs(chain_grid, list(chain_grid))
+    oracle-scope invariant meaningful). The baseline is subtracted
+    PER CONFLICT CLASS (proper vs collinear, review r05 round 2): an
+    inherent collinear self-overlap on a pair must not mask a
+    simplification-induced proper crossing on the same pair. It is
+    also computed lazily — the overwhelmingly common conflict-free
+    mesh pays one sweep over the simplified segments and never scans
+    the full mesh. Terminates: each round reverts >= 1 new chain, and
+    the fully-reverted mesh carries only baseline conflicts.
+    Deterministic: all dirty chains of a round revert together, and
+    survivors are a pure function of the current chain_out, so no
+    order dependence. Returns the number of reverted chains."""
+    baseline = None
     reverted: set = set()
     while True:
         live = _surviving_ring_chains(polys_traversal, chain_out)
         cks = [ck for ck in chain_out if ck in live]
-        conflicts = _chain_conflict_key_pairs(chain_out, cks)
-        induced = conflicts - baseline
+        conf_p, conf_c = _chain_conflict_key_pairs(chain_out, cks)
+        if not conf_p and not conf_c:
+            return len(reverted)
+        if baseline is None:
+            baseline = _chain_conflict_key_pairs(chain_grid,
+                                                 list(chain_grid))
+        induced = (conf_p - baseline[0]) | (conf_c - baseline[1])
         dirty = {ck for pair in induced for ck in pair} - reverted
         if not dirty:
             return len(reverted)

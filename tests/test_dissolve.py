@@ -1383,3 +1383,28 @@ def test_simplify_repair_ignores_input_inherent_overlap():
     # chain is simplified, not reverted wholesale
     assert any((r == [2.0, 3.5]).all(axis=1).any()
                for p in simp["A"] for r in p)
+
+
+def test_simplify_repair_baseline_is_class_granular():
+    """Review r05 round 2: the inherent-conflict baseline is keyed by
+    conflict CLASS — A's zero-width spike (inherent collinear
+    self-overlap, kept by DP) must not mask the simplification-induced
+    PROPER crossing of A's dip chain through C's surviving enclave.
+    The dip still reverts; the spike neither reverts nor blocks."""
+    from posmspark.dissolve import shared_edge_simplify
+
+    br = [(0.0, 1.0), (1.0, 1.0), (1.2, 0.58), (1.5, 0.56), (2.0, 0.55),
+          (2.5, 0.56), (2.8, 0.58), (3.0, 1.0), (4.0, 1.0)]
+    c_ring = np.array([[1.4, 0.65], [2.6, 0.65], [2.6, 1.85], [1.4, 1.85],
+                       [1.4, 0.65]])
+    a_outer = np.array(br + [(4.0, 2.0), (3.5, 2.0), (3.5, 3.0),
+                             (3.5, 2.0), (0.0, 2.0), (0.0, 1.0)])
+    b_ring = np.array([(0.0, 0.0), (4.0, 0.0)] + br[::-1] + [(0.0, 0.0)])
+    children = {"A": [[a_outer, c_ring[::-1].copy()]], "B": [[b_ring]],
+                "C": [[c_ring]]}
+    stats = {}
+    simp = shared_edge_simplify(children, tol=0.5, _stats=stats)
+    assert stats["n_reverted"] == 2
+    apts = simp["A"][0][0]
+    assert (apts == [3.5, 3.0]).all(axis=1).any()   # spike survives DP
+    assert (apts == [2.0, 0.55]).all(axis=1).any()  # dip chain reverted
