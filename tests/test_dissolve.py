@@ -1408,3 +1408,91 @@ def test_simplify_repair_baseline_is_class_granular():
     apts = simp["A"][0][0]
     assert (apts == [3.5, 3.0]).all(axis=1).any()   # spike survives DP
     assert (apts == [2.0, 0.55]).all(axis=1).any()  # dip chain reverted
+
+
+@pytest.mark.parametrize("seed", [13, 43, 51, 72, 0])
+def test_simplify_repair_random_dip_fuzz_pinned(seed):
+    """Bounded in-suite subset of the r05 repair-triggering fuzz
+    (1,150 external seeds clean): random deep dips in a two-row mesh
+    border (deviation < tol, so DP flattens them) with super-tolerance
+    chord-straddling enclaves and optional zero-width hull spikes.
+    Seeds 13/43/51/72 trigger the repair (2 reverts each); seed 0 is a
+    conflict-free control. Output must be watertight, crossing-free,
+    one single-ring outline with exact area."""
+    from collections import Counter
+
+    from posmspark.dissolve import (_has_proper_crossing, _key,
+                                    dissolve_union, shared_edge_simplify)
+
+    rng = np.random.default_rng(seed)
+    W = rng.uniform(8.0, 14.0)
+    ymid = rng.uniform(1.0, 2.0)
+    ytop = ymid + rng.uniform(1.5, 3.0)
+    tol = 0.5
+    n_dips = rng.integers(1, 4)
+    starts = np.sort(rng.uniform(0.5, W - 3.0, n_dips))
+    if not all(starts[i + 1] - starts[i] > 2.8 for i in range(n_dips - 1)):
+        return
+    br = [(0.0, ymid)]
+    enclaves = []
+    for s in starts:
+        wdip = rng.uniform(2.2, 2.8)
+        depth = rng.uniform(0.28, 0.45)
+        npts = rng.integers(4, 8)
+        xs = np.linspace(s, s + wdip, npts + 2)[1:-1]
+        dippts = [(s, ymid)]
+        br.append((s, ymid))
+        for x in xs:
+            y = float(ymid - depth * np.sin(np.pi * (x - s) / wdip))
+            br.append((float(x), y))
+            dippts.append((float(x), y))
+        br.append((s + wdip, ymid))
+        dippts.append((s + wdip, ymid))
+        if rng.random() < 0.75:
+            side = rng.uniform(1.3, 1.9) * tol
+            cx = s + wdip / 2 + rng.uniform(-0.1, 0.1)
+            cy = ymid + rng.uniform(-0.05, 0.25)
+            top, bot = cy + side / 2, cy - side / 2
+            x0, x1 = cx - side / 2, cx + side / 2
+            dx = np.array([p[0] for p in dippts])
+            dy = np.array([p[1] for p in dippts])
+            border_max = float(np.interp(np.linspace(x0, x1, 32),
+                                         dx, dy).max())
+            if (top < ytop - 0.2 and x0 > s + 0.15
+                    and x1 < s + wdip - 0.15 and bot > border_max + 0.12):
+                enclaves.append(np.array(
+                    [[x0, bot], [x1, bot], [x1, top], [x0, top],
+                     [x0, bot]]))
+    br.append((W, ymid))
+    a_hull = [(W, ytop)]
+    if rng.random() < 0.4:
+        sx = rng.uniform(1.0, W - 1.0)
+        a_hull += [(sx, ytop), (sx, ytop + rng.uniform(0.8, 1.5)),
+                   (sx, ytop)]
+    a_hull += [(0.0, ytop), (0.0, ymid)]
+    a_outer = np.array(br + a_hull)
+    children = {"A": [[a_outer] + [e[::-1].copy() for e in enclaves]],
+                "B": [[np.array([(0.0, 0.0), (W, 0.0)] + br[::-1]
+                                + [(0.0, 0.0)])]]}
+    for i, e in enumerate(enclaves):
+        children[f"E{i}"] = [[e.copy()]]
+    stats = {}
+    simp = shared_edge_simplify(children, tol=tol, _stats=stats)
+    if seed in (13, 43, 51, 72):
+        assert stats["n_reverted"] == 2, seed
+    cnt = Counter()
+    segs_all = []
+    for polys in simp.values():
+        for rings in polys:
+            for ring in rings:
+                for i in range(len(ring) - 1):
+                    a, b = _key(ring[i]), _key(ring[i + 1])
+                    cnt[(a, b) if a < b else (b, a)] += 1
+                segs_all.append(
+                    np.concatenate([ring[:-1], ring[1:]], axis=1))
+    assert all(c <= 2 for c in cnt.values()), seed
+    assert not _has_proper_crossing(np.concatenate(segs_all)), seed
+    u = dissolve_union(simp)
+    assert len(u) == 1 and len(u[0]) == 1, seed
+    area = sum(geom.ring_area(r) for p in u for r in p)
+    assert abs(area - W * ytop) < 0.05 * W * ytop, seed
