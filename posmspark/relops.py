@@ -763,37 +763,57 @@ def q_repetition_stats(spark, sf):
     toks = (d.select("doc_id", F.split("text", " ").alias("w"))
             .withColumn("n_tokens", F.size("w"))
             .filter(F.col("n_tokens") >= 2))
-    # ONE tagged explode (kind 0 = word, kind 1 = 2-gram) so the text
-    # column is scanned once and both metric families share one
-    # map-side-combinable groupBy pair — no second scan, no join.
-    ex = toks.select(
+    # MAP-ONLY: every metric is local to one document, so sort each
+    # array and run-length it inside a single `aggregate` fold — ZERO
+    # shuffle at any scale. (The first cut exploded tokens into a
+    # global (doc_id, tok) groupBy; the 10x bench measured 20.5x wall
+    # growth for 10x docs — ~600M exploded string-keyed rows spilling
+    # through one exchange. This shape is exactly linear.)
+    arr = toks.select(
         "doc_id", "n_tokens",
-        F.explode(F.concat(
-            F.expr("transform(w, x -> struct(0 AS kind, x AS tok))"),
-            F.expr("transform(sequence(0, size(w) - 2),"
-                   " i -> struct(1 AS kind,"
-                   " concat(element_at(w, i + 1), ' ',"
-                   " element_at(w, i + 2)) AS tok))"))).alias("e"))
-    cnt = (ex.groupBy("doc_id", "n_tokens",
-                      F.col("e.kind").alias("kind"),
-                      F.col("e.tok").alias("tok"))
-           .agg(F.count(F.lit(1)).alias("c")))
-    is_g = F.col("kind") == 1
-    agg = cnt.groupBy("doc_id", "n_tokens").agg(
-        F.max(F.when(is_g, F.col("c"))).alias("top_c"),
-        F.sum(F.when(is_g, F.col("c")).otherwise(F.lit(0)))
-        .alias("n_grams"),
-        F.sum(F.when(is_g & (F.col("c") > 1), F.col("c"))
-              .otherwise(F.lit(0))).alias("dup_g"),
-        F.max(F.when(~is_g, F.col("c"))).alias("top_w"))
-    return agg.select(
+        F.array_sort(F.expr(
+            "transform(sequence(0, size(w) - 2),"
+            " i -> concat(element_at(w, i + 1), ' ',"
+            " element_at(w, i + 2)))")).alias("sg"),
+        F.array_sort("w").alias("sw"))
+
+    def runstats(col):
+        # one pass over the sorted array: longest equal run (mx) and
+        # total members of runs longer than 1 (dup)
+        return F.expr(f"""aggregate({col},
+          named_struct('prev', CAST(NULL AS STRING), 'cur', 0L,
+                       'mx', 0L, 'dup', 0L),
+          (st, x) -> named_struct(
+            'prev', x,
+            'cur', IF(st.prev IS NOT NULL AND x = st.prev,
+                      st.cur + 1L, 1L),
+            'mx', greatest(st.mx,
+                           IF(st.prev IS NOT NULL AND x = st.prev,
+                              st.cur + 1L, 1L)),
+            'dup', st.dup + IF(st.prev IS NOT NULL AND x != st.prev
+                               AND st.cur > 1L, st.cur, 0L)),
+          st -> named_struct(
+            'mx', st.mx,
+            'dup', st.dup + IF(st.cur > 1L, st.cur, 0L)))""")
+
+    # explode(array(struct(...))) is a Generate node — a CollapseProject
+    # barrier, so each heavy fold is evaluated ONCE even though its
+    # fields feed multiple output columns (the r01 expression-blowup
+    # pitfall class)
+    staged = arr.select(
         "doc_id", "n_tokens",
-        (F.col("top_c").cast("double") / F.col("n_grams").cast("double"))
+        F.explode(F.array(F.struct(
+            runstats("sg").alias("g"),
+            runstats("sw").alias("t")))).alias("st"))
+    n_grams = (F.col("n_tokens") - 1).cast("double")
+    return staged.select(
+        "doc_id", "n_tokens",
+        (F.col("st.g.mx").cast("double") / n_grams)
         .alias("top_2gram_frac"),
-        (F.col("dup_g").cast("double") / F.col("n_grams").cast("double"))
+        (F.col("st.g.dup").cast("double") / n_grams)
         .alias("dup_2gram_frac"),
-        (F.col("top_w").cast("double") / F.col("n_tokens").cast("double"))
-        .alias("top_word_frac"))
+        (F.col("st.t.mx").cast("double")
+         / F.col("n_tokens").cast("double")).alias("top_word_frac"))
 
 
 SQL_REPETITION_STATS = """

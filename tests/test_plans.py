@@ -284,11 +284,13 @@ def test_ivf_probe_assignment_is_map_only(spark):
     assert len(shuffles) == 1 and shuffles[0].startswith("query_id"), plan
 
 
-def test_repetition_stats_single_pass_no_join(spark):
-    """repetition_stats' scale contract: the tagged explode computes
-    word AND 2-gram counts from ONE text scan — no join, no second
-    scan, and both groupBys are plain hash aggregations (map-side
-    combinable exchanges only)."""
+def test_repetition_stats_map_only(spark):
+    """repetition_stats' scale contract: every metric is per-doc
+    local, computed by sorted-array run-length folds — ONE text scan,
+    no join, and ZERO exchanges at any size (the exploded-groupBy
+    first cut grew 20.5x on 10x data; this shape is exactly linear).
+    The single Generate is the explode(array(struct)) CollapseProject
+    barrier that keeps each fold evaluated once."""
     from posmspark.relops import q_repetition_stats
 
     # sparkPlan (pre-AQE) so node counts aren't doubled by the
@@ -298,11 +300,7 @@ def test_repetition_stats_single_pass_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
     assert plan.count("Generate") == 1
-    # both aggregations are partial->final (map-side combinable); at
-    # most the two agg exchanges (zero here: the sf0.001 scan is a
-    # single partition, which already satisfies both distributions)
-    assert plan.count("partial_count") == 1
-    assert plan.count("partial_max") == 2
-    import re
-    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
-    assert len(shuffles) <= 2, plan
+    assert "Exchange" not in plan, plan
+    # the two folds appear once each, not once per consuming column
+    assert plan.count("aggregate(sg") == 1, plan
+    assert plan.count("aggregate(sw") == 1, plan
