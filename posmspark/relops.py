@@ -754,11 +754,13 @@ def q_repetition_stats(spark, sf):
     Cross-engine exactness: every metric stays an integer count until
     ONE exact IEEE division (ints << 2^53, correctly rounded in both
     engines), so no rounding grid is needed. max(count) avoids any
-    argmax tie-break entirely. Scale shape: token split + 2-gram
-    transform are per-row JVM expressions (the token array is a
-    materialized column, NOT re-split inside the lambda); the only
-    shuffles are the two (doc_id, gram/word) groupBys — map-side
-    combinable, output cardinality bounded by total tokens."""
+    argmax tie-break entirely. Scale shape: MAP-ONLY — every metric is
+    local to one document, computed by sorting the per-row token /
+    2-gram arrays and run-length-folding them in a single `aggregate`
+    expression: one scan, ZERO exchanges at any size (plan-pinned).
+    The token array is a materialized column, never re-split inside a
+    lambda, and each string is compared to its sorted neighbor exactly
+    once (a zip_with flags array feeds an integer-only fold)."""
     d = _t(spark, sf, "documents")
     toks = (d.select("doc_id", F.split("text", " ").alias("w"))
             .withColumn("n_tokens", F.size("w"))
@@ -778,20 +780,21 @@ def q_repetition_stats(spark, sf):
         F.array_sort("w").alias("sw"))
 
     def runstats(col):
-        # one pass over the sorted array: longest equal run (mx) and
-        # total members of runs longer than 1 (dup)
-        return F.expr(f"""aggregate({col},
-          named_struct('prev', CAST(NULL AS STRING), 'cur', 0L,
-                       'mx', 0L, 'dup', 0L),
-          (st, x) -> named_struct(
-            'prev', x,
-            'cur', IF(st.prev IS NOT NULL AND x = st.prev,
-                      st.cur + 1L, 1L),
-            'mx', greatest(st.mx,
-                           IF(st.prev IS NOT NULL AND x = st.prev,
-                              st.cur + 1L, 1L)),
-            'dup', st.dup + IF(st.prev IS NOT NULL AND x != st.prev
-                               AND st.cur > 1L, st.cur, 0L)),
+        # longest equal run (mx) and total members of runs longer
+        # than 1 (dup). Each string is compared to its sorted neighbor
+        # ONCE, in the zip_with producing a boolean flags array; the
+        # fold itself is integer-only (Spark does no CSE inside HOF
+        # lambdas, so putting the compare in the fold would pay it
+        # twice per element — review r05)
+        return F.expr(f"""aggregate(
+          zip_with(slice({col}, 1, size({col}) - 1),
+                   slice({col}, 2, size({col}) - 1), (x, y) -> x = y),
+          named_struct('cur', 1L, 'mx', 1L, 'dup', 0L),
+          (st, same) -> named_struct(
+            'cur', IF(same, st.cur + 1L, 1L),
+            'mx', greatest(st.mx, IF(same, st.cur + 1L, 1L)),
+            'dup', st.dup + IF(NOT same AND st.cur > 1L,
+                               st.cur, 0L)),
           st -> named_struct(
             'mx', st.mx,
             'dup', st.dup + IF(st.cur > 1L, st.cur, 0L)))""")

@@ -301,6 +301,7 @@ def test_repetition_stats_map_only(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Generate") == 1
     assert "Exchange" not in plan, plan
-    # the two folds appear once each, not once per consuming column
-    assert plan.count("aggregate(sg") == 1, plan
-    assert plan.count("aggregate(sw") == 1, plan
+    # the two folds appear once each, not once per consuming column,
+    # and each sorted array is neighbor-compared once (one zip_with)
+    assert plan.count("zip_with(slice(sg") == 1, plan
+    assert plan.count("zip_with(slice(sw") == 1, plan
