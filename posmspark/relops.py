@@ -761,7 +761,14 @@ def q_repetition_stats(spark, sf):
     The token array is a materialized column, never re-split inside a
     lambda, and each string is compared to its sorted neighbor exactly
     once (a zip_with flags array feeds an integer-only fold)."""
-    d = _t(spark, sf, "documents")
+    return repetition_stats_transform(_t(spark, sf, "documents"))
+
+
+def repetition_stats_transform(d: DataFrame) -> DataFrame:
+    """Shared batch/stream transform behind q_repetition_stats: being
+    stateless map-only (no aggregation state, no watermark), the SAME
+    plan runs unchanged as a Structured Streaming append-mode
+    transform — pinned by the batch/stream parity test."""
     toks = (d.select("doc_id", F.split("text", " ").alias("w"))
             .withColumn("n_tokens", F.size("w"))
             .filter(F.col("n_tokens") >= 2))

@@ -185,3 +185,36 @@ def test_dedup_stream_ttl_expiry_and_bounded_state(spark, tmp_path):
     # bounded state: alpha's stale marker was timer-dropped once the
     # watermark passed it, so the store holds only the live keys
     assert ops4.get("numRowsTotal") <= 2, (ops3, ops4)
+
+
+def test_repetition_stats_batch_stream_parity(spark, tmp_path):
+    """The map-only repetition_stats transform is stateless (no agg
+    state, no watermark), so the IDENTICAL plan runs as an append-mode
+    Structured Streaming transform: an availableNow drain over the
+    documents table must produce exactly the batch result."""
+    from posmspark.relops import repetition_stats_transform
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(src)
+    in_dir = str(tmp_path / "rep_in")
+    out_dir = str(tmp_path / "rep_out")
+    ckpt = str(tmp_path / "rep_ckpt")
+    docs.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    sdf = repetition_stats_transform(stream)
+    assert sdf.isStreaming
+    q = (sdf.writeStream.outputMode("append")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination()
+
+    batch = sorted(tuple(r) for r in
+                   repetition_stats_transform(docs).collect())
+    streamed = sorted(tuple(r) for r in
+                      spark.read.parquet(out_dir)
+                      .select(*repetition_stats_transform(docs).columns)
+                      .collect())
+    assert streamed == batch
+    assert len(batch) > 0
