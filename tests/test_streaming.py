@@ -210,11 +210,10 @@ def test_repetition_stats_batch_stream_parity(spark, tmp_path):
          .format("parquet").option("path", out_dir).start())
     q.awaitTermination()
 
-    batch = sorted(tuple(r) for r in
-                   repetition_stats_transform(docs).collect())
+    bdf = repetition_stats_transform(docs)
+    batch = sorted(tuple(r) for r in bdf.collect())
     streamed = sorted(tuple(r) for r in
                       spark.read.parquet(out_dir)
-                      .select(*repetition_stats_transform(docs).columns)
-                      .collect())
+                      .select(*bdf.columns).collect())
     assert streamed == batch
     assert len(batch) > 0
