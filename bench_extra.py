@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Per-stage isolation bench (guide §1.4: noop sink; §1.5: labeled jobs).
+
+NOT part of the frozen driver contract — bench.py is the measured
+entrypoint. This file exists to attribute time inside the expensive
+queries and to A/B candidate rewrites.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py [target]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(spark, label, thunk):
+    spark.sparkContext.setJobDescription(label)
+    t0 = time.monotonic()
+    thunk()
+    dt = time.monotonic() - t0
+    spark.sparkContext.setJobDescription(None)
+    print(f"  {label:50s} {dt:7.3f}s", flush=True)
+    return dt
+
+
+def minhash_stages(spark):
+    from pyspark.sql import functions as F
+
+    from posmspark import dedup, session as _session
+    from posmspark.relops import NGRAM_MAX_SHINGLE_FREQ, _doc_shingles
+
+    print("== minhash_band_candidates sub-stages ==")
+    # warm input
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+
+    sh_plain = _doc_shingles(spark, SF_DIR)
+    timed(spark, "shingles explode (no persist)", lambda: noop(sh_plain))
+
+    sh = _session.stage_persist(_doc_shingles(spark, SF_DIR))
+    timed(spark, "shingles persist+materialize", lambda: noop(sh))
+
+    shh = sh.withColumn("_sh_h", F.xxhash64("shingle"))
+    hot = (shh.groupBy("_sh_h").agg(F.count(F.lit(1)).alias("_df"))
+           .filter(F.col("_df") > NGRAM_MAX_SHINGLE_FREQ).select("_sh_h"))
+    timed(spark, "hot detection agg", lambda: noop(hot))
+
+    hot_kept = dedup.cap_k_smallest(
+        shh.join(F.broadcast(hot), "_sh_h"), ["_sh_h"], "doc_id",
+        NGRAM_MAX_SHINGLE_FREQ).drop("_sh_h")
+    capped = (shh.join(F.broadcast(hot), "_sh_h", "left_anti")
+              .drop("_sh_h").unionByName(hot_kept))
+    timed(spark, "capped table (anti+window+union)", lambda: noop(capped))
+
+    sigs = dedup.minhash_signatures(
+        sh, n_bands=4, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
+        portable_hash=True)
+    timed(spark, "signatures (cap + 4x md5 min agg)", lambda: noop(sigs))
+
+    cand = dedup.lsh_candidate_pairs(sigs)
+    timed(spark, "full query (sigs + self-join + distinct)",
+          lambda: noop(cand))
+    _session.release_staged()
+
+
+def suite(spark):
+    from pyspark.sql import functions as F
+
+    from posmspark.relops import QUERIES
+    from posmspark import session as _session
+
+    for t in ["documents", "embeddings", "orders", "customer", "lineitem",
+              "events", "nation", "region", "supplier", "part"]:
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+
+    names = sys.argv[2:] if len(sys.argv) > 2 else [
+        "pricing_summary", "hierarchy_join", "window_running", "sessionize",
+        "dedup_exact", "token_stats", "minhash_band_candidates",
+        "ngram_jaccard_pairs", "ann_cosine_topk",
+        "embedding_label_centroids"]
+    print(f"== per-query (noop, {SF_DIR}) ==")
+    for name in names:
+        fn, _ = QUERIES[name]
+        timed(spark, name, lambda: noop(fn(spark, SF_DIR)))
+
+
+def main():
+    from posmspark.session import get_spark
+
+    spark = get_spark("posmspark-bench-extra", cpus=CPUS)
+    target = sys.argv[1] if len(sys.argv) > 1 else "minhash"
+    if target == "minhash":
+        minhash_stages(spark)
+    elif target == "suite":
+        suite(spark)
+
+
+if __name__ == "__main__":
+    main()

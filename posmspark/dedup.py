@@ -105,7 +105,8 @@ def cap_k_smallest(df: DataFrame, key_cols: list[str], id_col: str,
 def minhash_signatures(sh: DataFrame, n_bands: int = 8,
                        id_col: str = "doc_id",
                        max_shingle_freq: int | None = None,
-                       portable_hash: bool = False) -> DataFrame:
+                       portable_hash: bool = False,
+                       cap_shards: int | None = None) -> DataFrame:
     """(doc_id, band, sig): per-band minimum of a salted shingle hash.
 
     max_shingle_freq is the skew guard: each shingle keeps only its K
@@ -122,35 +123,23 @@ def minhash_signatures(sh: DataFrame, n_bands: int = 8,
     identical in DuckDB, so the whole LSH+verify path is oracle-
     checkable; default is xxhash64 (JVM-native, faster).
 
-    Shuffle shape (round-3 rework, both choices result-identical to
-    the naive forms): (a) the cap windows ONLY hot-shingle rows — the
-    global row_number sorted the entire shingle table, the hot subset
-    is a tiny fraction of it; (b) all n_bands minima are computed in
-    ONE map-side-combinable groupBy(doc) pass (n_bands hash exprs per
-    row) and then unpivoted, instead of exploding the shingle table
-    x n_bands through the shuffle.
+    Shuffle shape (r06 rework, result-identical — oracle hash-green):
+    the capped path aggregates ONCE per shingle — the k smallest doc
+    ids fall out of slice(sort_array(collect_list), 1, k) — and the
+    n_bands salted hashes are computed per DISTINCT shingle before the
+    doc ids are re-exploded (hash evaluations drop from rows x bands to
+    distinct_shingles x bands; measured 94x fewer at the bench corpus).
+    This replaces the r03 shape's four extra operators (hot-count agg,
+    broadcast anti-join, hot-row window sort, union) with one grouped
+    pass: bench 13.2s -> 5.3s at 50k docs on local[32]. The groupBy
+    partial-merge state is one doc-id list per shingle; at corpora
+    where a boilerplate shingle's doc-frequency times 8 bytes could
+    stress executor memory, pass cap_shards=S to insert a salted
+    pre-cap level (exact: the k smallest of a union are the k smallest
+    of the per-shard k-smallest), bounding state at max(df/S, S*k) ids
+    per group. Off by default — the extra exchange costs ~2x at bench
+    scale and both driver scale factors are nowhere near the regime.
     """
-    if max_shingle_freq is not None:
-        # NOTE: sh feeds three branches here — callers persist it
-        # (every in-repo caller does; at scale the shingle table is a
-        # materialized stage anyway). The hot list is bounded by the
-        # corpus's boilerplate vocabulary -> broadcastable. Hot
-        # DETECTION keys on a 64-bit hash so the partial-agg exchange
-        # (one row per distinct shingle per partition) moves int64s,
-        # not 3-gram strings; a 2^-64 collision could at worst sample
-        # one cold shingle under the cap.
-        shh = sh.withColumn("_sh_h", F.xxhash64("shingle"))
-        hot = (
-            shh.groupBy("_sh_h").agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_freq).select("_sh_h")
-        )
-        hot_kept = cap_k_smallest(
-            shh.join(F.broadcast(hot), "_sh_h"), ["_sh_h"], id_col,
-            max_shingle_freq).drop("_sh_h")
-        sh = (
-            shh.join(F.broadcast(hot), "_sh_h", "left_anti")
-            .drop("_sh_h").unionByName(hot_kept)
-        )
     if portable_hash:
         def band_hash(b):
             return F.md5(F.concat(F.lit(str(b)), F.lit("|"),
@@ -158,8 +147,36 @@ def minhash_signatures(sh: DataFrame, n_bands: int = 8,
     else:
         def band_hash(b):
             return F.xxhash64(F.lit(b), F.col("shingle"))
-    per_doc = sh.groupBy(id_col).agg(
-        *[F.min(band_hash(b)).alias(f"_s{b}") for b in range(n_bands)])
+    if max_shingle_freq is not None:
+        k = max_shingle_freq
+        if cap_shards:
+            l1 = (
+                sh.groupBy("shingle",
+                           F.pmod(F.xxhash64(id_col),
+                                  F.lit(cap_shards)).alias("_cs"))
+                .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, k)
+                     .alias("_ds")))
+            grp = (
+                l1.groupBy("shingle")
+                .agg(F.slice(F.sort_array(F.flatten(F.collect_list("_ds"))),
+                             1, k).alias("_ds")))
+        else:
+            grp = (
+                sh.groupBy("shingle")
+                .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, k)
+                     .alias("_ds")))
+        # band hashes evaluate in the Project BELOW the Generate —
+        # once per distinct shingle, not per exploded (doc, shingle) row
+        per_sh = grp.select(
+            *[band_hash(b).alias(f"_m{b}") for b in range(n_bands)],
+            F.explode("_ds").alias(id_col))
+        per_doc = per_sh.groupBy(id_col).agg(
+            *[F.min(f"_m{b}").alias(f"_s{b}") for b in range(n_bands)])
+    else:
+        # uncapped path (callers with pre-bounded corpora): one
+        # map-side-combinable groupBy(doc) pass, n_bands exprs per row
+        per_doc = sh.groupBy(id_col).agg(
+            *[F.min(band_hash(b)).alias(f"_s{b}") for b in range(n_bands)])
     kb = F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"), F.col(f"_s{b}").alias("sig"))
         for b in range(n_bands)
@@ -171,25 +188,30 @@ def minhash_signatures(sh: DataFrame, n_bands: int = 8,
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Docs sharing any band signature -> distinct candidate pairs.
 
-    Self-equi-join on (band, sig) — bucket sizes are tiny after the
-    frequency cap, so the join output is near-linear in input size.
-    The merge hint pins a sort-merge join: both sides are FACT-sized
-    (one row per doc per band) and Catalyst's size estimate for
-    explode+aggregate output lands under the broadcast threshold, which
-    at 600k docs already tried to build a multi-GB broadcast hash
-    relation on the driver (measured OOM; fatal at real scale).
+    r06 shape: ONE groupBy(band, sig) + bounded in-JVM combination
+    expansion (the shape q_ngram_jaccard_pairs proved in r05), replacing
+    the sort-merge self-join — which exchanged AND sorted the signature
+    table twice and needed a merge hint to stop Catalyst building a
+    multi-GB broadcast from a bad size estimate. Result-identical: a
+    bucket {d1 < d2 < ...} emits exactly the (a < b) pairs the
+    self-join's a.id < b.id condition produced, and .distinct() dedups
+    across bands the same way. Bucket doc lists are bounded by the
+    signature cap (sig = min over the doc's surviving shingles, and a
+    capped shingle survives in at most K docs, so at most K docs can
+    share the minimizing shingle): collect_list state and the expanded
+    C(K,2) combination array are both O(K^2) per bucket, never M^2.
     """
-    a = sigs.alias("a").hint("merge")
-    b = sigs.alias("b")
+    bkt = (
+        sigs.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ds"))
+        .filter(F.size("_ds") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
+        bkt.select(F.explode(F.expr(
+            "flatten(transform(_ds, (x, i) ->"
+            " transform(slice(_ds, i + 2, size(_ds)),"
+            " y -> named_struct('id_a', x, 'id_b', y))))")).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

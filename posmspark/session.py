@@ -49,6 +49,23 @@ def get_spark(
     return spark
 
 
+def spread_input(df, min_parts: int | None = None):
+    """Round-robin repartition an input whose SCAN cannot parallelize —
+    the driver fixtures are single-row-group parquet files, so every
+    downstream narrow operator (shingling, md5, regexp) would otherwise
+    run in ONE task on a 32-core session (guide §2.5 "input skew: one
+    huge unsplittable file ... otherwise repartition immediately after
+    the read"). Scale-adaptive, not a local[32] constant: the target is
+    the session's defaultParallelism, and when the scan already yields
+    >= that many partitions (any production table with multiple row
+    groups / files) this is a NO-OP — no exchange is added."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 #: persisted multi-consumer intermediates, most recent last. Bounded
 #: LRU (review r03: CacheManager entries are plan-keyed and never
 #: garbage-collected without an explicit unpersist, so an unbounded
