@@ -661,8 +661,12 @@ FROM nation
 
 def q_dedup_exact(spark, sf):
     """exact dedup via content signature: md5 of the sorted distinct
-    token set; keep min doc_id per group (hash-groupBy dedup)."""
-    d = _t(spark, sf, "documents")
+    token set; keep min doc_id per group (hash-groupBy dedup).
+    spread_input (r06) parallelizes the per-row sort+md5 when the scan
+    is a single-row-group file."""
+    from posmspark import session as _session
+
+    d = _session.spread_input(_t(spark, sf, "documents"))
     sig = F.md5(
         F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
     )
@@ -691,8 +695,11 @@ BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 def q_token_stats(spark, sf):
     """token counting (whitespace + BPE-ish regex) + quality scoring
-    (length / stopword ratios)."""
-    d = _t(spark, sf, "documents")
+    (length / stopword ratios). spread_input (r06) parallelizes the
+    regexp_count when the scan is a single-row-group file."""
+    from posmspark import session as _session
+
+    d = _session.spread_input(_t(spark, sf, "documents"))
     toks = F.split("text", " ")
     stop = F.filter(toks, lambda x: x.isin("the", "a"))
     return d.select(
