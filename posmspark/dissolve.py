@@ -755,9 +755,18 @@ def _eps_side_parity(ab: np.ndarray, parts: list):
     # of scanning all E. Candidate work is then O(E/B) typical, and
     # correctness never depends on the prune: every gathered candidate
     # still goes through the identical certain/ambiguous/exact logic.
+    #: conservative error band for the y comparisons (anything inside
+    #: goes exact); hoisted above the bucket prune so the prune pad is
+    #: DERIVED from it (ADVICE r05: pad >= amb1 band must hold by
+    #: construction — a future REL1 bump now widens the pad with it
+    #: instead of silently pruning edges the ambiguous path would have
+    #: sent exact). REL1 covers one subtraction + the midpoint rounding
+    #: (~2 ulp) with ~100x margin.
+    REL1 = 1e-14
     eylo = np.minimum(ey1, ey2)
     eyhi = np.maximum(ey1, ey2)
-    _pad = 2e-14 * np.maximum(np.maximum(np.abs(ey1), np.abs(ey2)), 1.0)
+    _pad = (2.0 * REL1) * np.maximum(
+        np.maximum(np.abs(ey1), np.abs(ey2)), 1.0)
     eylo = eylo - _pad
     eyhi = eyhi + _pad
     ymin = float(eylo.min())
@@ -778,16 +787,15 @@ def _eps_side_parity(ab: np.ndarray, parts: list):
     bstart = np.searchsorted(bids[order], np.arange(B + 1))
     exmax = np.maximum(ex1, ex2)
 
-    #: conservative error bands (anything inside goes exact). REL1
-    #: covers one subtraction + the midpoint rounding (~2 ulp) with
-    #: ~100x margin. c0's error has BOTH a relative term (product
+    #: conservative error bands for c0 (anything inside goes exact;
+    #: REL1 is defined above the bucket prune, which derives its pad
+    #: from it). c0's error has BOTH a relative term (product
     #: roundings, ~6 ulp of |t1|+|t2|) and an ABSOLUTE term from the
     #: midpoint rounding propagated through the cross difference,
     #: ~(|dx|+|dy|) * ulp(m): on a micro-sub-segment whose own carrier
     #: has true c0 == 0, the float residue (~1e-21) dwarfs the relative
     #: band alone (fuzz seed 1978 — the filter certified the sign of
     #: pure rounding noise). Both terms carry ~100x margin.
-    REL1 = 1e-14
     REL2 = 1e-14
     ABS2 = 1e-14  # x (|dx|+|dy|) * max(|mx|, |my|, 1)
 

@@ -106,6 +106,39 @@ def _compare(name, sdf, ddb, sql):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+def test_tile_clip_oracle_ring_size_within_pairwise_tree():
+    """ADVICE r05: tile_clip_areas_oracle_sql's shoelace CTE mirrors the
+    numpy pairwise summation only for rings with < 16 terms (explicit
+    8-leaf tree + sequential tail). The fixture's clipped rings never
+    exceed that today; this assert makes a future fixture that does
+    fail LOUDLY here instead of producing a subtle bitwise float
+    divergence in the driver's hash gate."""
+    import numpy as np
+
+    from posmspark import cells, geom, synth
+    from posmspark.joins import prepare_boundaries
+
+    prepared = prepare_boundaries(
+        synth.gen_boundaries_pdf(), synth.gen_admin_mapping_pdf(),
+        n_levels=4)
+    # same per-(cell, osm_id) collapse as tiles.boundary_tile_areas
+    cov = (prepared.cover_pdf.groupby(["cell", "osm_id"])["full"]
+           .max().reset_index())
+    max_verts = 0
+    for r in cov[~cov["full"]].itertuples(index=False):
+        x0, y0, x1, y1 = (float(a[0]) for a in cells.cell_bounds(
+            np.array([r.cell], dtype=np.int64)))
+        clipped = geom.clip_multipolygon_bbox(
+            prepared.polys_by_id[r.osm_id], (x0, y0, x1, y1))
+        for crings in clipped:
+            for ring in crings:
+                max_verts = max(max_verts, len(ring))
+    assert 0 < max_verts <= 15, (
+        f"a clipped ring has {max_verts} vertices; the oracle's "
+        "pairwise-sum CTE only matches numpy up to 15 terms — extend "
+        "the tree in tiles.tile_clip_areas_oracle_sql first")
+
+
 @pytest.mark.parametrize("name", EXTERNAL_ORACLE_NAMES)
 def test_external_query_matches_oracle(spark, ddb, name):
     import importlib.util
