@@ -38,40 +38,30 @@ def timed(spark, label, thunk):
 def minhash_stages(spark):
     from pyspark.sql import functions as F
 
-    from posmspark import dedup, session as _session
+    from posmspark import dedup
     from posmspark.relops import NGRAM_MAX_SHINGLE_FREQ, _doc_shingles
 
-    print("== minhash_band_candidates sub-stages ==")
+    print("== minhash_band_candidates sub-stages (r06 grouped shape) ==")
     # warm input
     spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
 
-    sh_plain = _doc_shingles(spark, SF_DIR)
-    timed(spark, "shingles explode (no persist)", lambda: noop(sh_plain))
+    sh = _doc_shingles(spark, SF_DIR)
+    timed(spark, "shingles explode (spread scan)", lambda: noop(sh))
 
-    sh = _session.stage_persist(_doc_shingles(spark, SF_DIR))
-    timed(spark, "shingles persist+materialize", lambda: noop(sh))
-
-    shh = sh.withColumn("_sh_h", F.xxhash64("shingle"))
-    hot = (shh.groupBy("_sh_h").agg(F.count(F.lit(1)).alias("_df"))
-           .filter(F.col("_df") > NGRAM_MAX_SHINGLE_FREQ).select("_sh_h"))
-    timed(spark, "hot detection agg", lambda: noop(hot))
-
-    hot_kept = dedup.cap_k_smallest(
-        shh.join(F.broadcast(hot), "_sh_h"), ["_sh_h"], "doc_id",
-        NGRAM_MAX_SHINGLE_FREQ).drop("_sh_h")
-    capped = (shh.join(F.broadcast(hot), "_sh_h", "left_anti")
-              .drop("_sh_h").unionByName(hot_kept))
-    timed(spark, "capped table (anti+window+union)", lambda: noop(capped))
+    grp = sh.groupBy("shingle").agg(
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1,
+                NGRAM_MAX_SHINGLE_FREQ).alias("_ds"))
+    timed(spark, "groupBy(shingle) capped doc lists", lambda: noop(grp))
 
     sigs = dedup.minhash_signatures(
         sh, n_bands=4, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
         portable_hash=True)
-    timed(spark, "signatures (cap + 4x md5 min agg)", lambda: noop(sigs))
+    timed(spark, "signatures (md5/distinct-shingle + doc min)",
+          lambda: noop(sigs))
 
     cand = dedup.lsh_candidate_pairs(sigs)
-    timed(spark, "full query (sigs + self-join + distinct)",
+    timed(spark, "full query (+bucket pair expand + distinct)",
           lambda: noop(cand))
-    _session.release_staged()
 
 
 def suite(spark):

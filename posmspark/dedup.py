@@ -220,35 +220,35 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float,
                    id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard on candidate pairs only (the verify pass).
 
-    Every join side here is fact-sized (the full shingle table, the
-    per-doc counts) — merge hints keep them out of driver-side
-    broadcast builds regardless of Catalyst's size estimates.
+    r06 shape (the rework q_ngram_jaccard_pairs proved): each side of a
+    candidate pair gets its per-doc sorted int64 shingle-hash ARRAY
+    attached by one narrow equi-join, and the intersection count is one
+    in-JVM array_intersect — replacing the r05 chain of four
+    merge-hinted sort joins (two (doc, sh_h) occurrence joins + two
+    count joins) and a groupBy with TWO equi-joins and zero extra
+    aggregations. Values unchanged: the arrays hold the same distinct
+    per-doc hashes the row joins matched on (same ~2^-64 cross-engine
+    collision caveat, portable-oracle parity at sf0.01 is collision-
+    free by test), |A ∩ B| of duplicate-free arrays equals the row-join
+    count, and n_a/n_b are the array sizes. Arrays are bounded by doc
+    length, pairs are O(docs) under the candidate caps: both joins stay
+    linear at scale.
     """
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # join on a 64-bit hash of the shingle, not the string: the two
-    # fact-fact shuffles below move every (doc, shingle) row, and long
-    # 3-gram strings dominate the shuffle bytes (~5x narrower as int64).
-    # Jaccard counts are unchanged unless xxhash64 collides WITHIN one
-    # candidate pair's shingle sets (~2^-64 per shingle pair; the
-    # portable-oracle parity at sf0.01 is collision-free by test).
-    shh = sh.select(id_col, F.xxhash64("shingle").alias("sh_h"))
-    sa = shh.select(F.col(id_col).alias("id_a"), "sh_h").hint("merge")
-    sb = shh.select(F.col(id_col).alias("id_b"), "sh_h").hint("merge")
-    inter = (
-        pairs.join(sa, "id_a").join(sb, ["id_b", "sh_h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    ca = counts.select(F.col(id_col).alias("id_a"),
-                       F.col("n_sh").alias("n_a")).hint("merge")
-    cb = counts.select(F.col(id_col).alias("id_b"),
-                       F.col("n_sh").alias("n_b")).hint("merge")
+    arr = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.xxhash64("shingle"))).alias("_shs"))
+    sa = arr.select(F.col(id_col).alias("id_a"),
+                    F.col("_shs").alias("_shs_a"))
+    sb = arr.select(F.col(id_col).alias("id_b"),
+                    F.col("_shs").alias("_shs_b"))
     return (
-        inter.join(ca, "id_a").join(cb, "id_b")
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("_shs_a", "_shs_b")).alias("_ni"),
+            F.size("_shs_a").alias("_na"), F.size("_shs_b").alias("_nb"))
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
+            F.col("_ni") / (F.col("_na") + F.col("_nb") - F.col("_ni")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
