@@ -640,50 +640,72 @@ _SPATIAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: Driver-budget ordering (VERDICT r02 item 1): the driver verifies
-#: registry entries IN ORDER with a ~50-query budget. Round-5 window
-#: (VERDICT r04 item 3): the 13 entries whose latest driver row is r03
-#: (skipped by the r04 budget, unchanged since) come FIRST, then every
-#: entry whose behavior changed this round; long-green r04 repeats fill
-#: the tail.
+#: registry entries IN ORDER with a ~50-query budget. Round-6 window
+#: (VERDICT r05 item 2): the 18 entries whose latest driver row is r04
+#: (skipped by the r05 budget, unchanged since) come FIRST, then every
+#: entry whose plan changed this round (optimizations are
+#: result-identical by construction, but the driver should re-prove
+#: that, not trust it); long-green r05 repeats fill the tail.
 _VERIFY_FIRST = [
-    # --- stale since r03 (rotation, VERDICT r04 item 3)
-    "dedup_exact",
-    "token_stats",
+    # --- stale since r04 (rotation, VERDICT r05 item 2 / missing #1)
+    "ann_cosine_topk",
+    "case_bucket",
+    "date_trunc_hourly",
+    "distinct_exact",
+    "doc_fingerprint",
+    "embedding_label_centroids",
+    "json_extract",
+    "langid_ngram",
+    "pivot_status",
+    "pricing_summary",
+    "rollup_hierarchy",
+    "sessionize",
+    "set_difference",
+    "snap_to_grid",
+    "string_funcs",
+    "topk",
+    "union_bag",
+    "window_running",
+    # --- plan changed in round 6 (optimization rework; see
+    # OPTIMIZATION_r06.md — outputs proven identical vs the same
+    # oracles, re-verify under the driver gate)
+    "minhash_band_candidates",  # grouped signatures, join-free plan
+    "minhash_verified_dups",    # + array-intersect verify_jaccard
+    "ngram_jaccard_pairs",      # array-intersect exact Jaccard
+    "embedding_cosine_dups",    # regime dispatch -> LSH path
+    "embedding_cosine_dups_lsh",  # shares the dispatched plan
+    "dedup_exact",              # spread_input scan
+    "token_stats",              # spread_input scan
+    # --- r05-green, unchanged: fill the budget tail
     "lang_quality",
-    "minhash_band_candidates",
-    "minhash_verified_dups",
-    "ngram_jaccard_pairs",    # also changed r05: array-form shingle cache
-    "embedding_cosine_dups",
     "simhash_pigeonhole_pairs",
     "rand_indicators",
     "problem_url",
-    "ann_lsh_topk",           # r05: NEW signature/rerank SQL oracle
-    "multimodal_features",   # r05: md5-portable pixels + new oracle
+    "ann_lsh_topk",
+    "multimodal_features",
     "poly_export",
-    # --- changed in round 5
-    "shapefile_source",       # r05: NEW hierarchy-rederivation SQL oracle
-    "simhash_near_pairs",     # NEW oracle: FNV-1a SimHash re-derived in SQL
-    "embedding_cosine_dups_lsh",  # NEW: LSH scale path vs brute oracle
-    "cell_tile_stats",        # NEW DuckDB oracle (SQL morton cell ids)
-    "streaming_tile_counts",  # NEW oracle + real availableNow stream run
-    "streaming_dedup",        # NEW oracle: single-batch first-seen SQL
-    "incremental_manifest",   # NEW oracle: recompute decision + output
-    "table_snapshots",        # NEW oracle: per-commit row multiset sizes
-    "knn_cellring",           # NEW DuckDB haversine brute-force oracle
-    "byte_identity_audit",    # NEW oracle: DuckDB re-derives the audit
-    "problems_routing",       # NEW oracle: SQL validity re-derivation
-    "knn_topk_flat",          # r05: dist_m rounding 4 -> 2 decimals
-    "dissolve_parents",       # r05: NEW mesh-cancellation SQL oracle
-    "residual_holes",         # r05: NEW mesh-cancellation SQL oracle
-    "simplify_mesh_stats",    # shares the dissolve mesh machinery
-    "dual_export",            # r05: NEW kept-point shoelace SQL oracle
-    "zip_package_counts",     # r05: NEW hierarchy-walk SQL oracle
-    "topojson_arc_stats",     # r05: NEW chain/arc-topology SQL oracle
-    "tile_clip_areas",        # r05: per-cell rows + bit-exact SQL oracle
-    "pip_assignment",         # anchor oracle for the new rollup oracles
+    "shapefile_source",
+    "simhash_near_pairs",
+    "cell_tile_stats",
+    "streaming_tile_counts",
+    "streaming_dedup",
+    "incremental_manifest",
+    "table_snapshots",
+    "knn_cellring",
+    "byte_identity_audit",
+    "problems_routing",
+    "knn_topk_flat",
+    "dissolve_parents",
+    "residual_holes",
+    "simplify_mesh_stats",
+    "dual_export",
+    "zip_package_counts",
+    "topojson_arc_stats",
+    "tile_clip_areas",
+    "pip_assignment",
     "pip_tile_rollup",
-    "ann_ivf_probe_topk",     # r05: NEW data-derived-codebook SQL oracle
-    "repetition_stats",       # r05: NEW Gopher-style repetition filters
+    "ann_ivf_probe_topk",
+    "repetition_stats",
     # --- rows-only residue: keep their rows fresh every round (their
     # oracle-backed siblings cover the checkable semantics)
     "topojson_export",
