@@ -434,25 +434,53 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3,
         F.col("kb.val").alias("val"),
     )
     if max_bucket_size is not None:
-        keyed = cap_k_smallest(keyed, ["blk", "val"], id_col,
-                               max_bucket_size)
-    a = keyed.alias("a").hint("merge")  # fact-fact: never broadcast
-    b = keyed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        # r06: ONE groupBy(blk, val) + bounded in-JVM combination
+        # expansion (the lsh_candidate_pairs shape) replaces the window
+        # cap (a full sort of the block rows) AND the merge-hinted
+        # sort-merge self-join. slice(sort_array(collect_list), 1, K)
+        # keeps the K smallest doc ids per bucket — sort_array over
+        # array<struct> orders by the leading (id) field, exactly
+        # cap_k_smallest's row_number-over-id semantics — and the
+        # expanded array carries both fingerprints for the hamming
+        # verify. Result-identical (same pairs, same dedup across
+        # blocks); pinned by the FNV/pigeonhole DuckDB oracles.
+        bkt = (
+            keyed.groupBy("blk", "val")
+            .agg(F.slice(F.sort_array(F.collect_list(F.struct(
+                F.col(id_col).alias("i"), F.col("simhash").alias("s")))),
+                1, max_bucket_size).alias("_ms"))
+            .filter(F.size("_ms") > 1)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+        cand = (
+            bkt.select(F.explode(F.expr(
+                "flatten(transform(_ms, (x, i) ->"
+                " transform(slice(_ms, i + 2, size(_ms)),"
+                " y -> named_struct('id_a', x.i, 'id_b', y.i,"
+                " 'sh_a', x.s, 'sh_b', y.s))))")).alias("p"))
+            .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        # uncapped callers (bounded corpora / wide-radius audits): the
+        # equi-join keeps per-bucket memory flat when buckets may be
+        # arbitrarily large
+        a = keyed.alias("a").hint("merge")  # fact-fact: never broadcast
+        b = keyed.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+            .distinct()
+        )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", ham)

@@ -1161,18 +1161,24 @@ def q_simhash_pigeonhole_pairs(spark, sf):
                   F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"))
         .withColumn("val", F.expr("shiftright(fp, blk * 8) & 255"))
     )
-    from posmspark import dedup
-
-    blocks = dedup.cap_k_smallest(blocks, ["blk", "val"], "doc_id", 50)
-    a = blocks.alias("a").hint("merge")  # fact-fact: never broadcast
-    b = blocks.alias("b")
+    # r06: grouped bucket expansion (dedup.simhash_near_pairs shape) —
+    # the 50-smallest-ids cap falls out of slice(sort_array(...), 1, 50)
+    # and pairs expand in-JVM, replacing the window cap + merge-hinted
+    # self-join; result-identical, DuckDB oracle unchanged.
+    bkt = (
+        blocks.groupBy("blk", "val")
+        .agg(F.slice(F.sort_array(F.collect_list(F.struct(
+            F.col("doc_id").alias("i"), F.col("fp").alias("f")))),
+            1, 50).alias("_ms"))
+        .filter(F.size("_ms") > 1)
+    )
     cand = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.val") == F.col("b.val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        bkt.select(F.explode(F.expr(
+            "flatten(transform(_ms, (x, i) ->"
+            " transform(slice(_ms, i + 2, size(_ms)),"
+            " y -> named_struct('id_a', x.i, 'id_b', y.i,"
+            " 'fp_a', x.f, 'fp_b', y.f))))")).alias("p"))
+        .select("p.id_a", "p.id_b", "p.fp_a", "p.fp_b")
         .distinct()
     )
     return (
