@@ -106,7 +106,12 @@ def spread_input(df, min_parts: int | None = None):
     the read"). Scale-adaptive, not a local[32] constant: the target is
     the session's defaultParallelism, and when the scan already yields
     >= that many partitions (any production table with multiple row
-    groups / files) this is a NO-OP — no exchange is added."""
+    groups / files) this is a NO-OP — no exchange is added.
+
+    The scan-partition probe (df.rdd) costs a driver-side planning pass
+    (~100ms); a semanticHash-keyed memo was tried and measured a wash
+    (the hash pays the same analysis the probe does), so the probe
+    stays direct."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
